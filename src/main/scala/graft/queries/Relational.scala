@@ -1,0 +1,390 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** B-series: relational analytics over the materialized tables
+  * (SURVEY.md §2.B). Each query has a DuckDB oracle in [[oracles]].
+  *
+  * Parity rules (SURVEY.md §5): money(x) = floor(x*100 + 0.5)/100 is
+  * written as the *same IEEE double arithmetic* on both sides, so both
+  * engines compute bit-identical results from identical inputs; every
+  * computed column carries the same alias on both sides; every query
+  * ends with a deterministic ORDER BY (unique tie-break key).
+  *
+  * Scale notes (SURVEY.md §6): filters are plain column predicates
+  * (reach the parquet scan as PushedFilters), dims join via broadcast,
+  * aggregations are partial (map-side combine) by construction, and no
+  * query collects to the driver.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic 2-dp rounding: identical IEEE ops in Spark + DuckDB. */
+  private def money(c: Column): Column = floor(c * 100 + 0.5) / 100
+  private def money4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  // ---------------------------------------------------------------- B1
+  /** TPC-H Q1 shape: scan + filter + groupBy multi-aggregate.
+    * 100 TB: single shuffle on (returnflag, linestatus) — 6 groups —
+    * with map-side partial aggregation; filter + 7-column pruning
+    * pushed to the scan. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        money(sum($"l_extendedprice")).as("sum_base_price"),
+        money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+        money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).as("sum_charge"),
+        avg($"l_quantity").as("avg_qty"),
+        money(avg($"l_extendedprice")).as("avg_price"),
+        money4(avg($"l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- B2
+  /** TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+    * 100 TB: customer filter prunes before the join; orders⋈lineitem
+    * shuffles on orderkey; top-k is a TakeOrderedAndProject (no global
+    * sort materialization). */
+  def q3TopUnshipped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = t(s, dir, "orders").filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .select($"l_orderkey", $"revenue", $"o_orderdate".cast("date").as("orderdate"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- B3
+  /** TPC-H Q5 shape: 6-way star join with broadcast dims.
+    * 100 TB: region/nation/supplier/customer broadcast; only
+    * lineitem⋈orders shuffles (on orderkey). */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val region = t(s, dir, "region").filter($"r_name" === "ASIA")
+    val nation = t(s, dir, "nation")
+    val supplier = t(s, dir, "supplier")
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    li.join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supplier),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  // ---------------------------------------------------------------- B4
+  /** join + groupBy + HAVING + top-k. */
+  def qTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(money(sum($"o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 5)
+      .orderBy($"total_spent".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- B5
+  /** EXISTS via left-semi join (TPC-H Q4 shape).
+    * 100 TB: semi join never materializes lineitem columns; shuffles
+    * only the join keys + condition column. */
+  def qExistsSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    ord.join(li, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- B6
+  /** NOT EXISTS via left-anti join: customers with no high-value order. */
+  def qNotExistsAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = t(s, dir, "orders")
+      .filter($"o_totalprice" > 300000.0).select($"o_custkey")
+    t(s, dir, "customer")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  // ---------------------------------------------------------------- B7
+  /** Window rank: top-3 orders per customer (row_number with
+    * deterministic tie-break). 100 TB: one shuffle on o_custkey; rank
+    * filter applied before any further join. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", row_number().over(w).as("rn"))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  // ---------------------------------------------------------------- B8
+  /** Running total over daily revenue. The inner aggregate reduces to
+    * ~one row per day before the single-partition ordered window, so
+    * the unpartitioned frame is safe at any SF (days, not rows). */
+  def qRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("d"))
+      .agg(money(sum($"o_totalprice")).as("rev"))
+    val w = Window.orderBy($"d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select($"d", $"rev", money(sum($"rev").over(w)).as("running_rev"))
+      .orderBy($"d")
+  }
+
+  // ---------------------------------------------------------------- B9
+  /** Sessionization of the event stream: 30-minute inactivity gap
+    * starts a new session; emits per-session stats. One shuffle on
+    * user_id; both windows share the same partitioning (single
+    * exchange). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = graft.Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"value",
+        lag($"ts", 1).over(byUser).as("prev_ts"))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(byUser))
+    ev.groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        money(sum($"value")).as("session_value"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  // ---------------------------------------------------------------- B10
+  /** Pivot via conditional aggregation (event_type → columns).
+    * count(when(...)) matches DuckDB count(CASE ...) = 0 for absent
+    * combinations (Spark's pivot() API would yield NULL instead). */
+  def qEventPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def cnt(tpe: String) = count(when($"event_type" === tpe, lit(1))).as(tpe + "s")
+    graft.Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(cnt("click"), cnt("view"), cnt("signup"), cnt("error"),
+        money(sum(when($"event_type" === "purchase", $"value").otherwise(lit(0.0)))).as("purchase_value"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------- B11
+  /** ROLLUP hierarchical aggregate over region → nation. */
+  def qRollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(money(sum($"o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(coalesce($"r_name", lit("ALL")).as("region_name"),
+        coalesce($"n_name", lit("ALL")).as("nation_name"),
+        $"revenue", $"n_orders")
+      .orderBy($"region_name", $"nation_name")
+  }
+
+  // ---------------------------------------------------------------- B12
+  /** Exact distinct count per group (the approx/HLL variant is
+    * exercised in DistinctSpec — approx values aren't oracle-stable). */
+  def qDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------- B13
+  /** Correlated scalar subquery shape (TPC-H Q17): lineitems below
+    * half their part's average quantity. Quantities are integral so
+    * avg is an exact double — the threshold comparison is
+    * deterministic across engines. 100 TB: per-part avg is a partial
+    * agg + broadcast-able (2M parts/SF100); here re-joined on partkey. */
+  def qCorrelatedScalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
+      .agg(avg($"l_quantity").as("avg_qty"))
+    li.join(avgQty, $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < $"avg_qty" * 0.5)
+      .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(money(sum($"l_extendedprice")).as("total_below"), count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_unshipped" -> (q3TopUnshipped _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q_top_customers" -> (qTopCustomers _),
+    "q_exists_semi" -> (qExistsSemi _),
+    "q_not_exists_anti" -> (qNotExistsAnti _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_running_total" -> (qRunningTotal _),
+    "q_sessionize" -> (qSessionize _),
+    "q_event_pivot" -> (qEventPivot _),
+    "q_rollup_revenue" -> (qRollupRevenue _),
+    "q_distinct_users" -> (qDistinctUsers _),
+    "q_correlated_scalar" -> (qCorrelatedScalar _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100 AS sum_disc_price,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 100 + 0.5) / 100 AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS avg_price,
+        |  floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unshipped" ->
+      """SELECT l_orderkey,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+        |  CAST(o_orderdate AS DATE) AS orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN customer ON c_nationkey = s_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_spent,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |HAVING count(*) >= 5
+        |ORDER BY total_spent DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_exists_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_not_exists_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_running_total" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT d, rev,
+        |  floor(sum(rev) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS running_rev
+        |FROM daily ORDER BY d""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    sum(CASE WHEN prev_ts IS NULL
+        |             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS session_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_event_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+        |  floor(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) * 100 + 0.5) / 100 AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_correlated_scalar" ->
+      """WITH aq AS (
+        |  SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS total_below,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN aq ON l_partkey = ap_partkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < avg_qty * 0.5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+}
