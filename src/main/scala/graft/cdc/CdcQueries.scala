@@ -1,0 +1,235 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A-series queries (SURVEY.md §2.A): the reference's CDC surface,
+  * re-expressed Spark-first, each with a DuckDB oracle.
+  *
+  * The decode paths are verified by roundtrip: Spark encodes the
+  * canonical change feed to the wire format (binary pgoutput / wal2json
+  * JSON / Debezium JSON), decodes it back distributed, and the result
+  * must hash-match a plain SQL projection of the source table.
+  */
+object CdcQueries {
+
+  import ChangeFeed.{tsFmt, tsFmtDuck, changesSql}
+
+  /** Shared output shape for the three parser roundtrips. */
+  private val parsedOracle: String =
+    s"""WITH $changesSql
+       |SELECT op, key AS user_id,
+       |  CASE WHEN op = 'd' THEN NULL ELSE event_type END AS event_type,
+       |  CASE WHEN op = 'd' THEN NULL ELSE value END AS value,
+       |  CASE WHEN op = 'd' THEN NULL ELSE strftime(ts, '$tsFmtDuck') END AS ts_str,
+       |  seq
+       |FROM changes ORDER BY seq""".stripMargin
+
+  // ---------------------------------------------------------------- A1
+  def pgoutputDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgOutputExpressions.register(s)
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val wire = changes.select(struct(
+      when($"op" === "i", "I").when($"op" === "d", "D").otherwise("U").as("op"),
+      lit(1).as("relation_id"),
+      array($"key".cast("string"), $"seq".cast("string")).as("key_cells"),
+      when($"op" =!= "d",
+        array($"key".cast("string"), $"event_type", $"value".cast("string"),
+          date_format($"ts", tsFmt), $"seq".cast("string"))).as("cells")).as("m"))
+      .select(expr("pg_encode(m)").as("raw"))
+    val d = wire.select(expr("pg_decode(raw)").as("d")).select($"d.*")
+    d.select(
+      when($"op" === "I", "i").when($"op" === "D", "d").otherwise("u").as("op"),
+      when($"op" === "D", element_at($"key_cells", 1))
+        .otherwise(element_at($"cells", 1)).cast("long").as("user_id"),
+      when($"op" =!= "D", element_at($"cells", 2)).as("event_type"),
+      when($"op" =!= "D", element_at($"cells", 3)).cast("double").as("value"),
+      when($"op" =!= "D", element_at($"cells", 4)).as("ts_str"),
+      when($"op" === "D", element_at($"key_cells", 2))
+        .otherwise(element_at($"cells", 5)).cast("long").as("seq"))
+      .orderBy($"seq")
+  }
+
+  // ---------------------------------------------------------------- A2
+  def wal2jsonParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val cols = Seq("user_id", "event_type", "value", "ts", "event_id")
+    val types = Seq("bigint", "text", "double precision", "timestamp", "bigint")
+    val doc = changes.select(to_json(struct(array(struct(
+      when($"op" === "i", "insert").when($"op" === "d", "delete")
+        .otherwise("update").as("kind"),
+      lit("public").as("schema"),
+      lit("users").as("table"),
+      when($"op" =!= "d", array(cols.map(lit): _*)).as("columnnames"),
+      when($"op" =!= "d", array(types.map(lit): _*)).as("columntypes"),
+      when($"op" =!= "d",
+        array($"key".cast("string"), $"event_type", $"value".cast("string"),
+          date_format($"ts", tsFmt), $"seq".cast("string"))).as("columnvalues"),
+      when($"op" === "d", struct(
+        array(lit("user_id"), lit("event_id")).as("keynames"),
+        array(lit("bigint"), lit("bigint")).as("keytypes"),
+        array($"key".cast("string"), $"seq".cast("string")).as("keyvalues")))
+        .as("oldkeys"))).as("change"))).as("doc"))
+    val flat = JsonParsers.wal2jsonFlatten(
+      doc.select(JsonParsers.parseWal2Json($"doc").as("change")), "change")
+    flat.select(
+      when($"kind" === "insert", "i").when($"kind" === "delete", "d")
+        .otherwise("u").as("op"),
+      coalesce($"after"("user_id"), $"old_keys"("user_id")).cast("long").as("user_id"),
+      $"after"("event_type").as("event_type"),
+      $"after"("value").cast("double").as("value"),
+      $"after"("ts").as("ts_str"),
+      coalesce($"after"("event_id"), $"old_keys"("event_id")).cast("long").as("seq"))
+      .orderBy($"seq")
+  }
+
+  // ---------------------------------------------------------------- A3
+  def debeziumParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val rowType = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("ts", StringType),
+      StructField("event_id", LongType)))
+    val row = struct($"key".as("user_id"), $"event_type", $"value",
+      date_format($"ts", tsFmt).as("ts"), $"seq".as("event_id"))
+    val doc = changes.select(to_json(struct(
+      when($"op" === "i", "c").when($"op" === "d", "d").otherwise("u").as("op"),
+      expr("unix_micros(ts) div 1000").as("ts_ms"),
+      when($"op" === "d", row).as("before"),
+      when($"op" =!= "d", row).as("after"),
+      struct(lit("users").as("table"), $"seq".as("lsn")).as("source"))).as("doc"))
+    doc.select(JsonParsers.parseDebezium($"doc", rowType).as("e"))
+      .select(
+        when($"e.op" === "c", "i").when($"e.op" === "d", "d").otherwise("u").as("op"),
+        coalesce($"e.after.user_id", $"e.before.user_id").as("user_id"),
+        $"e.after.event_type".as("event_type"),
+        $"e.after.value".as("value"),
+        $"e.after.ts".as("ts_str"),
+        $"e.source.lsn".as("seq"))
+      .orderBy($"seq")
+  }
+
+  // ---------------------------------------------------------------- A4
+  def latestState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ApplyChanges.latest(ChangeFeed.fromEvents(s, dir), Seq("key"), Seq("seq"))
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        date_format($"ts", tsFmt).as("last_ts"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------- A5
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ApplyChanges.scd2(ChangeFeed.fromEvents(s, dir), Seq("key"), "seq", "ts")
+      .select($"key".as("user_id"), $"seq", $"event_type", $"value",
+        date_format($"valid_from", tsFmt).as("valid_from"),
+        date_format($"valid_to", tsFmt).as("valid_to"),
+        $"is_current")
+      .orderBy($"user_id", $"seq")
+  }
+
+  // ---------------------------------------------------------------- A6
+  def eventStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ChangeFeed.fromEvents(s, dir)
+      .groupBy($"op", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n_changes"),
+        (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
+      .orderBy($"op", $"hour")
+  }
+
+  // ---------------------------------------------------------------- A7
+  /** Bounded file-source stand-in for the Kafka/Debezium feed. The
+    * file source wants a directory, so glob-filter `events.parquet`
+    * out of the sf dir (ts read as raw nanos → truncated to micros). */
+  private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
+  private def changeStream(s: SparkSession, dir: String): Dataset[ChangeRecord] = {
+    import s.implicits._
+    rawEventStream(s, dir)
+      .select($"user_id".as("key"), $"event_id".as("seq"),
+        when($"event_type" === "signup", "i").when($"event_type" === "error", "d")
+          .otherwise("u").as("op"),
+        $"event_type", $"value", expr("ts div 1000").as("tsMicros"))
+      .as[ChangeRecord]
+  }
+
+  def streamUpserts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcStream.runLatestStateBounded(s, changeStream(s, dir))
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        date_format(timestamp_micros($"tsMicros"), tsFmt).as("last_ts"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------- A8
+  def streamWindowed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = rawEventStream(s, dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type", $"value")
+    CdcStream.runWindowedBounded(s, events)
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_pgoutput_decode" -> (pgoutputDecode _),
+    "cdc_wal2json_parse" -> (wal2jsonParse _),
+    "cdc_debezium_parse" -> (debeziumParse _),
+    "cdc_latest_state" -> (latestState _),
+    "cdc_scd2_history" -> (scd2History _),
+    "cdc_event_stats" -> (eventStats _),
+    "cdc_stream_upserts" -> (streamUpserts _),
+    "cdc_stream_windowed" -> (streamWindowed _))
+
+  private val latestOracle: String =
+    s"""WITH $changesSql,
+       |r AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |      FROM changes)
+       |SELECT key AS user_id, event_type AS last_event_type, value AS last_value,
+       |  seq AS last_seq, strftime(ts, '$tsFmtDuck') AS last_ts
+       |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "cdc_pgoutput_decode" -> parsedOracle,
+    "cdc_wal2json_parse" -> parsedOracle,
+    "cdc_debezium_parse" -> parsedOracle,
+    "cdc_latest_state" -> latestOracle,
+    "cdc_stream_upserts" -> latestOracle,
+    "cdc_scd2_history" ->
+      s"""WITH $changesSql,
+         |v AS (SELECT key, seq, op, event_type, value, ts AS valid_from,
+         |        lead(ts) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+         |      FROM changes)
+         |SELECT key AS user_id, seq, event_type, value,
+         |  strftime(valid_from, '$tsFmtDuck') AS valid_from,
+         |  strftime(valid_to, '$tsFmtDuck') AS valid_to,
+         |  valid_to IS NULL AS is_current
+         |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin,
+    "cdc_event_stats" ->
+      s"""WITH $changesSql
+         |SELECT op, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  count(*) AS n_changes,
+         |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+         |FROM changes GROUP BY op, hour ORDER BY op, hour""".stripMargin,
+    "cdc_stream_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |FROM events GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin)
+}

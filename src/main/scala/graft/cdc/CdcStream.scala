@@ -1,0 +1,74 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One change-feed record in flight (micros instead of Timestamp keeps
+  * the encoder simple and the state compact). */
+case class ChangeRecord(key: Long, seq: Long, op: String,
+    event_type: String, value: Double, tsMicros: Long)
+
+/** Structured-Streaming twins of [[ApplyChanges]] — the "consume a
+  * Debezium/Kafka change stream, keep materialized state" path from the
+  * reference's presentation. In production the source would be
+  * Kafka+Debezium; here the bounded file source stands in, which is
+  * exactly how Structured Streaming treats a backfill anyway.
+  *
+  * Scale: state lives in the state store keyed by `key` (RocksDB on a
+  * real cluster); each micro-batch shuffles only that batch's changes.
+  */
+object CdcStream {
+
+  /** Latest-state upserts via flatMapGroupsWithState (Update mode).
+    * Emits the current state of every key touched by the batch; a
+    * delete keeps a tombstone in state so late lower-seq changes can't
+    * resurrect the row (emitted with op = "d", filtered by the reader). */
+  def latestState(changes: Dataset[ChangeRecord]): Dataset[ChangeRecord] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[ChangeRecord], state: GroupState[ChangeRecord]) => {
+          val best = (state.getOption.iterator ++ rows).maxBy(_.seq)
+          state.update(best)
+          Iterator.single(best)
+        })
+  }
+
+  /** Bounded run helper: stream `changes` through [[latestState]] into
+    * a memory sink and return the final materialized table (batch-
+    * equivalent of [[ApplyChanges.latest]]). */
+  def runLatestStateBounded(spark: SparkSession, changes: Dataset[ChangeRecord]): DataFrame = {
+    import spark.implicits._
+    val name = "graft_upserts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = latestState(changes).writeStream
+      .outputMode(OutputMode.Update).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // A key may be emitted once per micro-batch: keep its max-seq row.
+    val all = spark.table(name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"seq".desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1 && $"op" =!= "d").drop("__rn")
+  }
+
+  /** Streaming tumbling-window aggregate (1h) per event_type, complete
+    * mode; with a real unbounded source this would carry
+    * `withWatermark` + append mode — complete mode keeps the bounded
+    * result equal to the batch oracle. */
+  def runWindowedBounded(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val name = "graft_windows_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"event_type", $"n_events", $"total_value")
+  }
+}

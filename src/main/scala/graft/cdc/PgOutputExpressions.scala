@@ -1,0 +1,85 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions over the [[PgOutput]] wire codec.
+  *
+  * Decode runs as a narrow per-row expression inside the scan stage —
+  * the distributed equivalent of the reference's single-threaded event
+  * loop (/root/reference/examples/pgoutput/main.go:64-135). At 100 TB
+  * the decode parallelism is simply the scan parallelism; no shuffle.
+  */
+object PgOutputExpressions {
+
+  val decodedType: StructType = StructType(Seq(
+    StructField("op", StringType, nullable = false),
+    StructField("relation_id", IntegerType, nullable = true),
+    StructField("key_cells", ArrayType(StringType), nullable = true),
+    StructField("cells", ArrayType(StringType), nullable = true),
+    StructField("lsn", LongType, nullable = true)))
+
+  private def utf8Cells(row: Seq[Option[String]]): GenericArrayData =
+    new GenericArrayData(row.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+
+  /** binary pgoutput message → struct(op, relation_id, key_cells, cells, lsn). */
+  case class PgDecode(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = decodedType
+    override def nullSafeEval(input: Any): Any = {
+      val op = (s: String) => UTF8String.fromString(s)
+      PgOutput.decode(input.asInstanceOf[Array[Byte]]) match {
+        case PgOutput.Insert(rel, row) =>
+          InternalRow(op("I"), rel, null, utf8Cells(row), null)
+        case PgOutput.Update(rel, key, old, row) =>
+          InternalRow(op("U"), rel, key.orElse(old).map(utf8Cells).orNull, utf8Cells(row), null)
+        case PgOutput.Delete(rel, _, row) =>
+          InternalRow(op("D"), rel, utf8Cells(row), null, null)
+        case PgOutput.Begin(lsn, _, _) => InternalRow(op("B"), null, null, null, lsn)
+        case PgOutput.Commit(_, lsn, _, _) => InternalRow(op("C"), null, null, null, lsn)
+        case PgOutput.Relation(id, _, _, _, _) => InternalRow(op("R"), id, null, null, null)
+        case PgOutput.TypeMsg(id, _, _) => InternalRow(op("Y"), id, null, null, null)
+        case PgOutput.Origin(lsn, _) => InternalRow(op("O"), null, null, null, lsn)
+        case PgOutput.Truncate(_, _, ids) =>
+          InternalRow(op("T"), ids.headOption.map(Int.box).orNull, null, null, null)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): PgDecode = copy(child = c)
+  }
+
+  /** struct(op, relation_id, key_cells, cells) → binary pgoutput message
+    * (the test-path inverse, used for roundtrip verification). */
+  case class PgEncode(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any = {
+      val row = input.asInstanceOf[InternalRow]
+      val op = row.getUTF8String(0).toString
+      val rel = row.getInt(1)
+      def cells(i: Int): Seq[Option[String]] =
+        if (row.isNullAt(i)) Seq.empty
+        else {
+          val a = row.getArray(i)
+          (0 until a.numElements()).map(j =>
+            if (a.isNullAt(j)) None else Some(a.getUTF8String(j).toString))
+        }
+      op match {
+        case "I" => PgOutput.encode(PgOutput.Insert(rel, cells(3)))
+        case "U" => PgOutput.encode(PgOutput.Update(rel, Some(cells(2)), None, cells(3)))
+        case "D" => PgOutput.encode(PgOutput.Delete(rel, viaKey = true, cells(2)))
+        case other => throw new IllegalArgumentException(s"encode: unsupported op $other")
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): PgEncode = copy(child = c)
+  }
+
+  /** Register as SQL functions once per session; returns helper names. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("pg_decode", es => PgDecode(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("pg_encode", es => PgEncode(es.head), "scala_udf")
+  }
+}
