@@ -16,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented capability from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ cdc.CdcQueries.queries
+    graft.queries.Relational.queries ++ cdc.CdcQueries.queries ++
+      ops.PipelineQueries.queries
 
   /** DuckDB-runnable ANSI SQL equivalent per query (same column names,
     * same deterministic rounding — see SURVEY.md §5). */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ cdc.CdcQueries.oracles
+    graft.queries.Relational.oracles ++ cdc.CdcQueries.oracles ++
+      ops.PipelineQueries.oracles
 }

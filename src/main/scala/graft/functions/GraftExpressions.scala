@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the training-data pipeline
+  * (SURVEY.md §2.C). Each generates code that calls the static kernels
+  * in [[HashOps]] — the call stays inside whole-stage codegen, so the
+  * surrounding filter/project pipeline never leaves generated code and
+  * primitive results (Long/Double/Int) are never boxed.
+  */
+object GraftExpressions {
+
+  private val H = "graft.functions.HashOps"
+
+  /** array<string> shingles → array<long> MinHash signature. */
+  case class MinHashSig(child: Expression, numPerms: Int)
+      extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig needs array<string>, got $t")
+    }
+    override def nullSafeEval(input: Any): Any =
+      HashOps.minhashSig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPerms)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$H.minhashSig($c, $numPerms)")
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** array<string> tokens → 64-bit SimHash fingerprint. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.simhash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$H.simhash64($c)")
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** string → 64-bit rolling polynomial fingerprint. */
+  case class Fingerprint64(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.fingerprint64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$H.fingerprint64($c)")
+    override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
+  }
+
+  /** (array<double>, array<double>) → cosine similarity, one fused pass
+    * (dot + both norms) instead of three higher-order-function passes. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.cosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$H.cosine($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** array<double> → int LSH bucket code from `numPlanes` seeded
+    * pseudo-random hyperplanes. */
+  case class HyperplaneLsh(child: Expression, numPlanes: Int, seed: Long)
+      extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.hyperplaneCode(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPlanes, seed)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$H.hyperplaneCode($c, $numPlanes, ${seed}L)")
+    override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+  }
+
+  /** Register as SQL functions (idempotent, per session). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      es => HyperplaneLsh(es.head, es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Number].longValue()), "scala_udf")
+  }
+}

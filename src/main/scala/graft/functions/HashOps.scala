@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-loop hash/vector kernels, written against Catalyst's internal
+  * types (`ArrayData`, `UTF8String`) so the wrapping expressions can
+  * call them from generated code as static methods — no boxing, no
+  * Scala collection wrappers per row (SURVEY.md §6).
+  *
+  * All hashes are standard public constructions: FNV-1a 64, the
+  * splitmix64 finalizer (Steele et al., "Fast splittable pseudorandom
+  * number generators"), MinHash (Broder '97), SimHash (Charikar '02).
+  */
+object HashOps {
+
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64 over UTF-8 bytes. */
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — used to derive the p-th permutation hash
+    * from a base hash without materializing permutations. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash signature: sig(p) = min over shingles of mix64(h ^ seed_p).
+    * One pass over the shingles per row, perms in the inner loop so each
+    * shingle is hashed once. */
+  def minhashSig(shingles: ArrayData, numPerms: Int): ArrayData = {
+    val sig = Array.fill[Long](numPerms)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val base = fnv64(shingles.getUTF8String(i))
+      var p = 0
+      while (p < numPerms) {
+        val h = mix64(base ^ mix64(p.toLong))
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token hashes (weight 1 per occurrence). */
+  def simhash64(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv64(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** 64-bit rolling polynomial fingerprint (base-31 Horner over UTF-8
+    * bytes, wraparound arithmetic). */
+  def fingerprint64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Cosine similarity of two double vectors (one fused pass: dot +
+    * both norms). Returns 0 when either norm is 0. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH bucket code: bit p of the code is the sign
+    * of the dot product with the p-th deterministic pseudo-random
+    * hyperplane (components from splitmix64, mapped to [-1, 1)). */
+  def hyperplaneCode(v: ArrayData, numPlanes: Int, seed: Long): Int = {
+    val dim = v.numElements()
+    var code = 0
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        val r = mix64(seed + p.toLong * 1000003L + i.toLong)
+        // top 53 bits -> uniform double in [0,1) -> [-1,1)
+        val u = (r >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+        dot += v.getDouble(i) * u
+        i += 1
+      }
+      if (dot >= 0) code |= (1 << p)
+      p += 1
+    }
+    code
+  }
+}

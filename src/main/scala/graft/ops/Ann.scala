@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.GraftExpressions
+
+/** C6–C7: similarity search over the `embeddings` table.
+  *
+  * Scale posture: the query set is tiny (it is collected & broadcast —
+  * the ONE legitimate collect in this codebase); the corpus side
+  * streams through the scan once. Brute force is the exact baseline
+  * (cost Q×N fused-codegen cosines, no shuffle until the per-query
+  * top-k); the LSH variant prunes the corpus to matching hyperplane
+  * buckets first, which is the 100 TB path (bucket join instead of
+  * cross product).
+  */
+object Ann {
+
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  val K = 10
+  /** Query vectors: vec_id < 8 (deterministic tiny query set). */
+  val QueryIds = 8
+
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+  }
+
+  // ---------------------------------------------------------------- C6
+  /** Exact cosine top-k per query via broadcast cross join + fused
+    * [[graft.functions.HashOps.cosine]] + per-query window top-k.
+    * Ranking uses the *rounded* cosine with vec_id tie-break so the
+    * order is reproducible across engines. */
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val c = corpus(s, dir)
+    val q = c.filter($"vec_id" < QueryIds)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        r4(expr("cosine_sim(qv, v)")).as("cos"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+  val annBruteforceSql: String =
+    s"""WITH n AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+       |      FROM m WHERE vec_id < $QueryIds),
+       |sc AS (SELECT q.query_id, m.vec_id AS neighbor_id,
+       |    floor(list_sum(list_transform(list_zip(q.qv, m.v),
+       |      p -> p[1] * p[2])) / (q.qn * m.nrm) * 10000 + 0.5) / 10000 AS cos
+       |  FROM m CROSS JOIN q WHERE m.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cos FROM r
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- C7
+  /** Approximate NN: random-hyperplane codes; a query probes its own
+    * bucket plus all single-bit-flip buckets (multiprobe), exact cosine
+    * re-rank inside the candidate set. Corpus side touches only rows
+    * whose bucket matches a probe. Bits sizes the bucket count: pick
+    * ≈ log2(N / wanted-bucket-size) — 6 bits / 64 buckets at test SF;
+    * at 100 TB you'd raise it so buckets stay executor-sized and
+    * probe (bits+1)/2^bits of the corpus instead of scanning it.
+    * Recall vs [[annBruteforce]] is measured in AnnSpec. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val Bits = 6
+    val coded = corpus(s, dir)
+      .withColumn("code", expr(s"lsh_bucket(v, $Bits, 42)"))
+    // multiprobe out to hamming distance 2: 1 + 6 + 15 = 22 of the 64
+    // buckets — the recall/cost knob (22/64 of the corpus touched here;
+    // at higher Bits the same radius touches a vanishing fraction)
+    val probeMasks = 0 +:
+      (0 until Bits).map(1 << _) ++:
+      (for (i <- 0 until Bits; j <- i + 1 until Bits) yield (1 << i) | (1 << j))
+    val q = coded.filter($"vec_id" < QueryIds)
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        explode(array(probeMasks.map(m => $"code".bitwiseXOR(lit(m))): _*)).as("probe"))
+    val cand = coded.join(broadcast(q), $"code" === $"probe")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        r4(expr("cosine_sim(qv, v)")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+}

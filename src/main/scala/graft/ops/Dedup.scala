@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.GraftExpressions
+
+/** C1–C5: deduplication operators over `documents` / `embeddings`
+  * (SURVEY.md §2.C). The reference materializes clean tables from
+  * change streams; a training-data pipeline needs the same "keep one
+  * canonical row" semantics at corpus scale, so these are first-class
+  * operators here.
+  *
+  * Scale posture (SURVEY.md §6):
+  *  - exact dedup = one hash shuffle on md5(text), map-side partial agg;
+  *  - n-gram Jaccard (C2) is the exact-but-quadratic baseline (shuffle
+  *    on shingle; a hot shingle is the skew risk) — C3 is the scale
+  *    path: MinHash+LSH shuffles only (band, band_hash) buckets and
+  *    confirms exact Jaccard *within* buckets, never all-pairs;
+  *  - SimHash (C4) blocks by 16-bit chunks (pigeonhole: hamming ≤ 3
+  *    over 4 chunks ⇒ ≥ 1 chunk equal), so candidates shuffle on
+  *    (chunk_id, chunk_value);
+  *  - embedding near-dup (C5) at this SF is the exact pairwise baseline
+  *    over a self-join; its scale path is the LSH bucketing in
+  *    [[Ann.annLsh]].
+  */
+object Dedup {
+
+  /** Deterministic 4-dp rounding — identical IEEE ops in both engines. */
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  /** Dup-injected feed: the synthetic corpus has no *exact* dups, so
+    * re-add every 10th doc under a shifted id (deterministic, oracle
+    * mirrors it with UNION ALL). */
+  def dupFeed(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+  val dupFeedSql: String =
+    """feed AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Distinct 3-word shingles per doc: (doc_id, shingles array, n). */
+  def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", array_distinct(
+        transform(sequence(lit(0), size($"w") - 3),
+          i => concat_ws(" ", slice($"w", i + 1, lit(3))))).as("sh"))
+  }
+  /** DuckDB twin of [[shingled]] (list comprehension over word slices). */
+  val shingledSql: String =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+      |         FOR i IN range(1, len(w) - 1)]) AS sh
+      |       FROM words WHERE len(w) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------- C1
+  /** Exact dedup: group by md5(text), keep the smallest doc_id.
+    * 100 TB: one shuffle on the 128-bit hash (never on the text
+    * itself), partial-agg combines copies map-side. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dupFeed(s, dir)
+      .groupBy(md5($"text").as("text_md5"))
+      .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_doc_id")
+  }
+  val dedupExactSql: String =
+    s"""WITH $dupFeedSql
+       |SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+       |  count(*) AS n_copies
+       |FROM feed GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C2
+  /** Exact n-gram Jaccard near-dup pairs ≥ 0.8 via shingle-explode +
+    * self-join co-count (|A∩B| from the join, |A∪B| = nA + nB − ∩). */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+    val ex = sh.select($"doc_id", explode($"sh").as("s"))
+    val co = ex.as("a").join(ex.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val sz = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+    co.join(sz.as("x"), $"d1" === $"x.doc_id")
+      .join(sz.as("y"), $"d2" === $"y.doc_id")
+      .select($"d1", $"d2",
+        r4($"inter" / ($"x.n" + $"y.n" - $"inter")).as("jac"))
+      .filter($"jac" >= 0.8)
+      .orderBy($"d1", $"d2")
+  }
+  val dedupNgramJaccardSql: String =
+    s"""WITH $shingledSql,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |j AS (SELECT d1, d2,
+       |        floor(inter * 1.0 / (x.n + y.n - inter) * 10000 + 0.5) / 10000 AS jac
+       |      FROM co JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2)
+       |SELECT d1, d2, jac FROM j WHERE jac >= 0.8 ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- C3
+  /** MinHash(128) + LSH banding (16 bands × 8 rows) → candidate pairs
+    * → exact-Jaccard confirm ≥ 0.8. Same output as C2, but the only
+    * wide exchange is groupBy(band, band_hash); all-pairs never
+    * materializes. Bucket size is capped to bound worst-case skew
+    * (a degenerate bucket can't blow up a task). */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val sh = shingled(s, dir).withColumn("sig", expr("minhash_sig(sh, 128)"))
+    val bands = sh.select($"doc_id", $"sh",
+        explode(array((0 until 16).map(b =>
+          struct(lit(b).as("band"), xxhash64(slice($"sig", b * 8 + 1, 8)).as("bh"))): _*))
+          .as("e"))
+      .select($"doc_id", $"sh", $"e.band", $"e.bh")
+    val buckets = bands.groupBy($"band", $"bh")
+      .agg(slice(sort_array(collect_list(struct($"doc_id", $"sh"))), 1, 64).as("ids"))
+      .filter(size($"ids") > 1)
+    val cand = buckets
+      .select(explode($"ids").as("a"), $"ids")
+      .select($"a", explode($"ids").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        $"a.sh".as("sh1"), $"b.sh".as("sh2"))
+      .dropDuplicates("d1", "d2")
+    cand.select($"d1", $"d2",
+        r4(size(array_intersect($"sh1", $"sh2")).cast("double") /
+           size(array_union($"sh1", $"sh2"))).as("jac"))
+      .filter($"jac" >= 0.8)
+      .orderBy($"d1", $"d2")
+  }
+  // oracle: identical pair set to C2 (confirm step makes precision
+  // exact; planted near-dups at jac ≈ 0.98 make recall deterministic).
+
+  // ---------------------------------------------------------------- C4
+  /** SimHash near-dup buckets: 64-bit fingerprint, pairs at hamming ≤ 3
+    * found by 16-bit-chunk blocking + exact popcount confirm.
+    * Not SQL-expressible (needs the same 64-bit token hash on both
+    * sides) → rows-only here, recomputation spec in DedupSpec. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val fp = table(s, dir, "documents")
+      .select($"doc_id", expr("simhash64(split(text, ' '))").as("sim"))
+    val chunks = fp.select($"doc_id", $"sim",
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned($"sim", c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
+          .as("e"))
+      .select($"doc_id", $"sim", $"e.chunk", $"e.cv")
+    val cand = chunks.as("a").join(chunks.as("b"),
+        $"a.chunk" === $"b.chunk" && $"a.cv" === $"b.cv" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        $"a.sim".as("s1"), $"b.sim".as("s2"))
+      .dropDuplicates("d1", "d2")
+    cand.select($"d1", $"d2",
+        bit_count($"s1".bitwiseXOR($"s2")).as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy($"d1", $"d2")
+  }
+
+  // ---------------------------------------------------------------- C5
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.45 — the synthetic
+    * corpus tops out ≈ 0.51, so 0.45 keeps the planted neighborhood
+    * non-empty with ≥ 1e-4 margin to the threshold at every SF).
+    * Exact pairwise baseline; [[Ann.annLsh]] is the bucketed path. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val e = table(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+        r4(expr("cosine_sim(a.v, b.v)")).as("cos"))
+      .filter($"cos" >= 0.45)
+      .orderBy($"v1", $"v2")
+  }
+  val dedupEmbeddingSql: String =
+    """WITH n AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+      |c AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |    floor(list_sum(list_transform(list_zip(a.v, b.v),
+      |      p -> p[1] * p[2])) / (a.nrm * b.nrm) * 10000 + 0.5) / 10000 AS cos
+      |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
+      |SELECT v1, v2, cos FROM c WHERE cos >= 0.45 ORDER BY v1, v2""".stripMargin
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** One multimodal asset in flight: opaque binary payload + typed
+  * metadata riding alongside. */
+case class MediaAsset(doc_id: Long, media_type: String, width: Int,
+    height: Int, payload: Array[Byte])
+
+/** Extracted features for one asset. */
+case class MediaFeatures(doc_id: Long, media_type: String, width: Int,
+    height: Int, payload_len: Long, checksum: Long, n_frames: Long,
+    first_byte: Int)
+
+/** C12: multimodal column plumbing (SURVEY.md §2.C). Image/audio/video
+  * ride as opaque `binary` columns with typed metadata; the
+  * decode/feature step is a partition-local batch iterator (the Scala
+  * analog of `mapInPandas` — same batch shape: Iterator[rows] in,
+  * Iterator[rows] out, no shuffle, partitioning preserved).
+  *
+  * The *codec* is stubbed with a deterministic fake payload
+  * (byte i = (doc_id + i) % 256 — real image/audio libs aren't in this
+  * container); everything Spark-side is real: binary schema, typed
+  * metadata, iterator batching, and the oracle checks the feature
+  * arithmetic end-to-end against DuckDB `generate_series`.
+  */
+object Multimodal {
+
+  /** STUB for a real decoder: deterministic fake payload. In
+    * production this is `open(path).read()` / a blob-store fetch. */
+  def fakePayload(docId: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < len) { out(i) = ((docId + i) % 256).toByte; i += 1 }
+    out
+  }
+
+  /** Manifest: binary payload + typed metadata per document. Payload
+    * construction happens distributed, inside the partition. */
+  def manifest(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"n_chars")
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val mt = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaAsset(id, mt,
+          width = 64 + (id % 16).toInt * 16,
+          height = 48 + (id % 12).toInt * 16,
+          payload = fakePayload(id, nChars.toInt))
+      })
+  }
+
+  /** Feature extraction over the binary column: batch iterator per
+    * partition, one pass over each payload. */
+  def extract(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      var sum = 0L
+      var i = 0
+      while (i < a.payload.length) { sum += a.payload(i) & 0xff; i += 1 }
+      MediaFeatures(a.doc_id, a.media_type, a.width, a.height,
+        payload_len = a.payload.length,
+        checksum = sum % 997,
+        n_frames = a.payload.length / 4096L + 1L,
+        first_byte = if (a.payload.nonEmpty) a.payload(0) & 0xff else -1)
+    })
+  }
+
+  /** C12 query: manifest → extract → ordered feature table. */
+  def mmManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extract(manifest(s, dir)).toDF().orderBy($"doc_id")
+  }
+
+  /** DuckDB oracle recomputes the feature arithmetic from the payload
+    * *definition* — closed-form sum of ((doc_id + i) % 256, i < len):
+    * f full 0..255 cycles (each sums 32640) plus a tail run from
+    * s = doc_id % 256, split at the 256 wraparound. If the Spark
+    * side's real bytes differ from the spec, checksum/first_byte break. */
+  val mmManifestSql: String =
+    """WITH b AS (SELECT doc_id, n_chars, doc_id % 256 AS s,
+      |    n_chars // 256 AS f, n_chars % 256 AS r FROM documents)
+      |SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS media_type,
+      |  CAST(64 + (doc_id % 16) * 16 AS INT) AS width,
+      |  CAST(48 + (doc_id % 12) * 16 AS INT) AS height,
+      |  n_chars AS payload_len,
+      |  CAST((f * 32640 + CASE WHEN s + r <= 256
+      |      THEN r * s + r * (r - 1) // 2
+      |      ELSE (256 - s) * (s + 255) // 2
+      |        + (r - (256 - s)) * (r - (256 - s) - 1) // 2 END) % 997
+      |    AS BIGINT) AS checksum,
+      |  CAST(n_chars // 4096 + 1 AS BIGINT) AS n_frames,
+      |  CAST(doc_id % 256 AS INT) AS first_byte
+      |FROM b ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+import graft.functions.GraftExpressions
+
+/** C8–C11: per-document text analysis. All narrow (no shuffle except
+  * the final presentation sort): at 100 TB these run at scan
+  * parallelism with column pruning down to (doc_id, text).
+  */
+object TextOps {
+
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  /** Marker stopwords per language — tiny, inlined on both sides. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  // ---------------------------------------------------------------- C8
+  /** Marker-token language ID: score = marker-token occurrences per
+    * language, argmax with fixed priority (en > de > es > fr, else
+    * "und" for undetermined). The same CASE runs in DuckDB, so the
+    * heuristic itself is the contract (the synthetic corpus's `lang`
+    * column is a label with no textual signal — see SURVEY.md §5). */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    val scores = Markers.map { case (lang, ms) =>
+      size(filter(words, w => ms.foldLeft(lit(false))((acc, m) => acc || w === m)))
+        .as(s"${lang}_score")
+    }
+    val d = table(s, dir, "documents").select($"doc_id" +: scores: _*)
+    d.select($"doc_id",
+        when($"en_score" > 0 && $"en_score" >= $"de_score" &&
+             $"en_score" >= $"es_score" && $"en_score" >= $"fr_score", "en")
+          .when($"de_score" > 0 && $"de_score" >= $"es_score" &&
+                $"de_score" >= $"fr_score", "de")
+          .when($"es_score" > 0 && $"es_score" >= $"fr_score", "es")
+          .when($"fr_score" > 0, "fr")
+          .otherwise("und").as("pred_lang"),
+        $"en_score", $"de_score", $"es_score", $"fr_score")
+      .orderBy($"doc_id")
+  }
+  val textLangidSql: String = {
+    val score = Markers.map { case (lang, ms) =>
+      val in = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS ${lang}_score"
+    }.mkString(",\n  ")
+    s"""WITH sc AS (SELECT doc_id, $score FROM documents)
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN en_score > 0 AND en_score >= de_score AND en_score >= es_score
+       |         AND en_score >= fr_score THEN 'en'
+       |    WHEN de_score > 0 AND de_score >= es_score AND de_score >= fr_score THEN 'de'
+       |    WHEN es_score > 0 AND es_score >= fr_score THEN 'es'
+       |    WHEN fr_score > 0 THEN 'fr'
+       |    ELSE 'und' END AS pred_lang,
+       |  en_score, de_score, es_score, fr_score
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C9
+  /** Quality scores: length, word count, mean word length, alpha /
+    * whitespace ratios, stopword ratio — the usual corpus-filtering
+    * features, all single-pass regexp/split arithmetic. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "is")
+    table(s, dir, "documents")
+      .select($"doc_id", $"text",
+        length($"text").as("n_chars_m"),
+        size(split($"text", " ")).cast("long").as("n_words"),
+        size(filter(split($"text", " "),
+          w => stop.foldLeft(lit(false))((acc, m) => acc || w === m)))
+          .cast("long").as("n_stop"))
+      .select($"doc_id", $"n_chars_m", $"n_words",
+        r4(($"n_chars_m" - ($"n_words" - 1)).cast("double") / $"n_words")
+          .as("mean_word_len"),
+        r4(size(split($"text", "[a-z]")).cast("double").minus(1) / $"n_chars_m")
+          .as("alpha_ratio"),
+        r4(($"n_words" - 1).cast("double") / $"n_chars_m").as("space_ratio"),
+        r4($"n_stop".cast("double") / $"n_words").as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+  val textQualitySql: String =
+    """WITH b AS (SELECT doc_id, text, length(text) AS n_chars_m,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_chars_m, n_words,
+      |  floor((n_chars_m - (n_words - 1)) * 1.0 / n_words * 10000 + 0.5) / 10000
+      |    AS mean_word_len,
+      |  floor((len(string_split_regex(text, '[a-z]')) - 1) * 1.0 / n_chars_m
+      |    * 10000 + 0.5) / 10000 AS alpha_ratio,
+      |  floor((n_words - 1) * 1.0 / n_chars_m * 10000 + 0.5) / 10000
+      |    AS space_ratio,
+      |  floor(n_stop * 1.0 / n_words * 10000 + 0.5) / 10000 AS stopword_ratio
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- C10
+  /** Token counting: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / single non-alnum), plus chars per
+    * token — the "how many tokens is this corpus" pipeline stage. */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("bpe_tokens"),
+        length($"text").as("n_chars_m"))
+      .withColumn("chars_per_token",
+        r4($"n_chars_m".cast("double") / $"bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+  val textTokensSql: String =
+    """WITH b AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) AS ws_tokens,
+      |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+      |    length(text) AS n_chars_m
+      |  FROM documents)
+      |SELECT doc_id, ws_tokens, bpe_tokens, n_chars_m,
+      |  floor(n_chars_m * 1.0 / bpe_tokens * 10000 + 0.5) / 10000
+      |    AS chars_per_token
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- C11
+  /** 64-bit rolling polynomial fingerprints over the dup-injected feed;
+    * self-join on the fingerprint finds exactly the injected copies.
+    * The hash itself is not SQL-expressible → rows-only + FingerprintSpec
+    * (equality ⇔ text equality on this corpus). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val fp = Dedup.dupFeed(s, dir)
+      .select($"doc_id", expr("fingerprint64(text)").as("fp"))
+    fp.as("a").join(fp.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"a.fp".as("fp"))
+      .orderBy($"d1", $"d2")
+  }
+}

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture.{spark, sf0001}
+
+class AnnSpec extends AnyFunSuite {
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] = {
+    import spark.implicits._
+    df.select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+  }
+
+  test("ann_lsh candidates carry exact cosines and never beat brute force") {
+    val bf = topk(Ann.annBruteforce(spark, sf0001))
+    val lsh = topk(Ann.annLsh(spark, sf0001))
+    assert(bf.keySet === (0L until Ann.QueryIds).toSet)
+    // every lsh hit that brute force also returns has the identical score
+    for ((q, hits) <- lsh; (n, c) <- hits; bc <- bf(q).toMap.get(n))
+      assert(c === bc, s"query $q neighbor $n")
+    // approximation can't exceed the exact best score per query
+    for ((q, hits) <- lsh if hits.nonEmpty)
+      assert(hits.map(_._2).max <= bf(q).map(_._2).max + 1e-12)
+  }
+
+  test("ann_lsh recall vs brute force is usable at test scale") {
+    val bf = topk(Ann.annBruteforce(spark, sf0001))
+    val lsh = topk(Ann.annLsh(spark, sf0001))
+    val recalls = (0L until Ann.QueryIds).map { q =>
+      val want = bf(q).map(_._1).toSet
+      val got = lsh.getOrElse(q, Nil).map(_._1).toSet
+      (want & got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean top-${Ann.K} recall over ${Ann.QueryIds} queries: $mean%.3f")
+    assert(mean >= 0.35, f"mean recall $mean%.3f below floor")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture.{spark, sf0001}
+
+/** Specs for the non-SQL-expressible dedup paths (SURVEY.md §5):
+  * recompute the expected result exactly in plain Scala at sf0.001 and
+  * demand equality — stronger than a rows-only check. */
+class DedupSpec extends AnyFunSuite {
+
+  test("dedup_simhash equals brute-force hamming<=3 over all pairs") {
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    // chunk blocking is exact by pigeonhole: 4 chunks, <=3 differing
+    // bits -> at least one chunk identical. Verify against all-pairs.
+    val fps = graft.Tables.table(spark, sf0001, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions.expr("simhash64(split(text, ' '))"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val want = (for {
+      (d1, s1) <- fps.iterator
+      (d2, s2) <- fps.iterator if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (d1, d2, h)).toSet
+    val got = Dedup.dedupSimhash(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty, "planted near-dups should collide")
+  }
+
+  test("dedup_minhash_lsh reproduces the exact jaccard pair set") {
+    import spark.implicits._
+    val exact = Dedup.dedupNgramJaccard(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.dedupMinhashLsh(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("dedup_exact keeps one canonical row per text") {
+    import spark.implicits._
+    val out = Dedup.dedupExact(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    val docs = graft.Tables.table(spark, sf0001, "documents").count()
+    assert(out.length === docs) // corpus has no natural exact dups
+    assert(out.count(_._3 == 2) === (docs / 10).toInt) // injected copies collapse
+    assert(out.forall(_._2 < 1000000L)) // canonical row is the original
+  }
+}

@@ -1,0 +1,18 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture.{spark, sf0001}
+
+class FingerprintSpec extends AnyFunSuite {
+
+  test("text_fingerprint collisions are exactly the injected copies") {
+    import spark.implicits._
+    val pairs = TextOps.textFingerprint(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val docs = graft.Tables.table(spark, sf0001, "documents").count()
+    // corpus texts are unique -> the only fp collisions are the
+    // doc_id+1000000 copies injected by Dedup.dupFeed
+    assert(pairs.length === (docs / 10).toInt)
+    assert(pairs.forall { case (d1, d2, _) => d2 === d1 + 1000000L && d1 % 10 === 0 })
+  }
+}
