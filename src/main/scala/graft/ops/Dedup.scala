@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -43,11 +44,16 @@ object Dedup {
     """feed AS (SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  /** Distinct 3-word shingles per doc: (doc_id, shingles array, n). */
+  /** Distinct 3-word shingles per doc: (doc_id, shingles array, n).
+    * The documents table arrives as few parquet splits (it's small
+    * relative to maxPartitionBytes), but shingling is CPU-heavy per
+    * row — repartition first so it runs at full core parallelism
+    * instead of serializing on the scan's partition count. */
   def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
+      .repartition(s.sparkContext.defaultParallelism)
       .filter(size($"w") >= 3)
       .select($"doc_id", array_distinct(
         transform(sequence(lit(0), size($"w") - 3),
@@ -78,22 +84,42 @@ object Dedup {
        |FROM feed GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
   // ---------------------------------------------------------------- C2
-  /** Exact n-gram Jaccard near-dup pairs ≥ 0.8 via shingle-explode +
-    * self-join co-count (|A∩B| from the join, |A∪B| = nA + nB − ∩). */
+  /** Exact n-gram Jaccard near-dup pairs ≥ 0.8 via prefix-filtered
+    * set-similarity join (Chaudhuri/Xiao PPJoin family): J(A,B) ≥ t
+    * forces the (1−t)·|A|+1 globally-rarest shingles of A to overlap
+    * B's prefix, so only prefixes join — the all-shingle self-join's
+    * Σc² blowup on hot shingles never happens (hot shingles are, by
+    * construction, last in every prefix ordering). A length filter
+    * (t·|A| ≤ |B|) prunes further; exact |∩|/|∪| verifies candidates.
+    * Semantics identical to the naive join; cost ∝ rare-shingle
+    * collisions only — this is what survives a 100× corpus. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingled(s, dir)
-    val ex = sh.select($"doc_id", explode($"sh").as("s"))
-    val co = ex.as("a").join(ex.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    val sz = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-    co.join(sz.as("x"), $"d1" === $"x.doc_id")
-      .join(sz.as("y"), $"d2" === $"y.doc_id")
+    val t = 0.8
+    // four plan branches consume the shingles (freq, both join sides,
+    // verify) — persist so shingling runs once, not per branch
+    val sh = shingled(s, dir).withColumn("n", size($"sh")).persist()
+    val ex = sh.select($"doc_id", $"n", explode($"sh").as("s"))
+    val freq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"s")
+    // persisted: both sides of the candidate self-join consume it
+    val prefix = ex.join(freq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= floor((lit(1.0) - t) * $"n") + 1)
+      .select($"doc_id", $"n", $"s")
+      .persist()
+    val cand = prefix.as("a").join(prefix.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+          $"b.n" >= ceil(lit(t) * $"a.n") && $"a.n" >= ceil(lit(t) * $"b.n"))
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .dropDuplicates("d1", "d2")
+    val full = sh.select($"doc_id", $"sh")
+    cand.join(full.as("x"), $"d1" === $"x.doc_id")
+      .join(full.as("y"), $"d2" === $"y.doc_id")
       .select($"d1", $"d2",
-        r4($"inter" / ($"x.n" + $"y.n" - $"inter")).as("jac"))
-      .filter($"jac" >= 0.8)
+        r4(size(array_intersect($"x.sh", $"y.sh")).cast("double") /
+           size(array_union($"x.sh", $"y.sh"))).as("jac"))
+      .filter($"jac" >= t)
       .orderBy($"d1", $"d2")
   }
   val dedupNgramJaccardSql: String =
@@ -117,25 +143,29 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
-    val sh = shingled(s, dir).withColumn("sig", expr("minhash_sig(sh, 128)"))
-    val bands = sh.select($"doc_id", $"sh",
+    val sh = shingled(s, dir).withColumn("sig", expr("minhash_sig(sh, 128)")).persist()
+    // band shuffle carries (doc_id, band, hash) only — never the
+    // shingle arrays (16× duplication of the corpus otherwise)
+    val bands = sh.select($"doc_id",
         explode(array((0 until 16).map(b =>
           struct(lit(b).as("band"), xxhash64(slice($"sig", b * 8 + 1, 8)).as("bh"))): _*))
           .as("e"))
-      .select($"doc_id", $"sh", $"e.band", $"e.bh")
+      .select($"doc_id", $"e.band", $"e.bh")
     val buckets = bands.groupBy($"band", $"bh")
-      .agg(slice(sort_array(collect_list(struct($"doc_id", $"sh"))), 1, 64).as("ids"))
+      .agg(slice(sort_array(collect_list($"doc_id")), 1, 64).as("ids"))
       .filter(size($"ids") > 1)
     val cand = buckets
-      .select(explode($"ids").as("a"), $"ids")
-      .select($"a", explode($"ids").as("b"))
-      .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        $"a.sh".as("sh1"), $"b.sh".as("sh2"))
+      .select(explode($"ids").as("d1"), $"ids")
+      .select($"d1", explode($"ids").as("d2"))
+      .filter($"d1" < $"d2")
       .dropDuplicates("d1", "d2")
-    cand.select($"d1", $"d2",
-        r4(size(array_intersect($"sh1", $"sh2")).cast("double") /
-           size(array_union($"sh1", $"sh2"))).as("jac"))
+    // exact confirm only touches candidate docs' shingles
+    val full = sh.select($"doc_id", $"sh")
+    cand.join(full.as("x"), $"d1" === $"x.doc_id")
+      .join(full.as("y"), $"d2" === $"y.doc_id")
+      .select($"d1", $"d2",
+        r4(size(array_intersect($"x.sh", $"y.sh")).cast("double") /
+           size(array_union($"x.sh", $"y.sh"))).as("jac"))
       .filter($"jac" >= 0.8)
       .orderBy($"d1", $"d2")
   }
@@ -151,6 +181,7 @@ object Dedup {
     import s.implicits._
     GraftExpressions.register(s)
     val fp = table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", expr("simhash64(split(text, ' '))").as("sim"))
     val chunks = fp.select($"doc_id", $"sim",
         explode(array((0 until 4).map(c =>
