@@ -186,7 +186,88 @@ object CdcQueries {
       .orderBy($"hour_start", $"event_type")
   }
 
+  // ---------------------------------------------------------------- A9
+  /** Relation-registry schema evolution (reference migrations 001→002:
+    * add/drop column mid-stream). The feed interleaves Relation
+    * messages with data rows: the `users` relation cycles every 1000
+    * LSNs through v0(user_id,event_type,ts,event_id) →
+    * v1(+value) → v2(−event_type). The decoder reconstructs each row's
+    * columns *from the stream alone*: a schema-as-of interval join
+    * (Relation valid from its LSN until the next one) supplies the
+    * column names, `map_from_arrays` re-keys the cells.
+    *
+    * Scale: the schema table is tiny by nature (schema changes are
+    * rare), so the as-of join is a broadcast interval join — data rows
+    * never shuffle. This is the declarative twin of the reference's
+    * in-memory RelationSet registry (main.go:380-430). */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgOutputExpressions.register(s)
+    val changes = ChangeFeed.fromEvents(s, dir)
+
+    def colsFor(v: Int): Seq[String] = v match {
+      case 0 => Seq("user_id", "event_type", "ts", "event_id")
+      case 1 => Seq("user_id", "event_type", "ts", "event_id", "value")
+      case _ => Seq("user_id", "ts", "event_id", "value")
+    }
+    // Relation wire messages are version-constant: encode once, attach
+    // as literals to each epoch boundary.
+    val relBytes: IndexedSeq[Array[Byte]] = (0 to 2).map { v =>
+      PgOutput.encode(PgOutput.Relation(1, "public", "users", 'd'.toByte,
+        colsFor(v).map(c =>
+          PgOutput.RelColumn(key = c == "user_id" || c == "event_id", c, 25, -1))))
+    }
+    val epoch = floor($"seq" / 1000).cast("long")
+    val relMsgs = changes.select(epoch.as("epoch")).distinct()
+      .select(($"epoch" * 1000).as("seq"), lit(0).as("subseq"),
+        when($"epoch" % 3 === 0, lit(relBytes(0)))
+          .when($"epoch" % 3 === 1, lit(relBytes(1)))
+          .otherwise(lit(relBytes(2))).as("raw"))
+
+    val tsStr = date_format($"ts", tsFmt)
+    val cellsByVersion = Map(
+      0 -> array($"key".cast("string"), $"event_type", tsStr, $"seq".cast("string")),
+      1 -> array($"key".cast("string"), $"event_type", tsStr, $"seq".cast("string"),
+        $"value".cast("string")),
+      2 -> array($"key".cast("string"), tsStr, $"seq".cast("string"),
+        $"value".cast("string")))
+    val dataMsgs = changes.select($"seq", lit(1).as("subseq"), struct(
+        when($"op" === "i", "I").when($"op" === "d", "D").otherwise("U").as("op"),
+        lit(1).as("relation_id"),
+        array($"key".cast("string"), $"seq".cast("string")).as("key_cells"),
+        when($"op" =!= "d",
+          when(epoch % 3 === 0, cellsByVersion(0))
+            .when(epoch % 3 === 1, cellsByVersion(1))
+            .otherwise(cellsByVersion(2))).as("cells")).as("m"))
+      .select($"seq", $"subseq", expr("pg_encode(m)").as("raw"))
+
+    // ---- the decoder: stream of (seq, subseq, raw) only from here on
+    val wire = relMsgs.unionByName(dataMsgs)
+    val d = wire.select($"seq", $"subseq", expr("pg_decode(raw)").as("d"))
+    // registry = Relation messages with validity intervals (as-of)
+    val wNext = org.apache.spark.sql.expressions.Window.orderBy($"valid_from")
+    val registry = d.filter($"d.op" === "R")
+      .select($"seq".as("valid_from"), $"d.col_names".as("col_names"))
+      .withColumn("valid_to",
+        coalesce(lead($"valid_from", 1).over(wNext), lit(Long.MaxValue)))
+    val rows = d.filter($"d.op".isin("I", "U", "D"))
+      .select($"seq", $"d.op".as("mop"), $"d.key_cells".as("key_cells"),
+        $"d.cells".as("cells"))
+    val joined = rows.join(broadcast(registry),
+      $"seq" >= $"valid_from" && $"seq" < $"valid_to")
+    val m = map_from_arrays($"col_names", $"cells")
+    val keyM = map_from_arrays(array(lit("user_id"), lit("event_id")), $"key_cells")
+    joined.select($"seq",
+        when($"mop" === "I", "i").when($"mop" === "D", "d").otherwise("u").as("op"),
+        when($"mop" === "D", keyM("user_id")).otherwise(m("user_id"))
+          .cast("long").as("user_id"),
+        when($"mop" =!= "D", m("event_type")).as("event_type"),
+        when($"mop" =!= "D", m("value")).cast("double").as("value"))
+      .orderBy($"seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_schema_evolution" -> (schemaEvolution _),
     "cdc_pgoutput_decode" -> (pgoutputDecode _),
     "cdc_wal2json_parse" -> (wal2jsonParse _),
     "cdc_debezium_parse" -> (debeziumParse _),
@@ -205,6 +286,16 @@ object CdcQueries {
        |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_schema_evolution" ->
+      s"""WITH $changesSql
+         |SELECT seq, op, key AS user_id,
+         |  CASE WHEN op = 'd' THEN NULL
+         |       WHEN (seq // 1000) % 3 = 2 THEN NULL
+         |       ELSE event_type END AS event_type,
+         |  CASE WHEN op = 'd' THEN NULL
+         |       WHEN (seq // 1000) % 3 = 0 THEN NULL
+         |       ELSE value END AS value
+         |FROM changes ORDER BY seq""".stripMargin,
     "cdc_pgoutput_decode" -> parsedOracle,
     "cdc_wal2json_parse" -> parsedOracle,
     "cdc_debezium_parse" -> parsedOracle,

@@ -22,32 +22,40 @@ object PgOutputExpressions {
     StructField("relation_id", IntegerType, nullable = true),
     StructField("key_cells", ArrayType(StringType), nullable = true),
     StructField("cells", ArrayType(StringType), nullable = true),
-    StructField("lsn", LongType, nullable = true)))
+    StructField("lsn", LongType, nullable = true),
+    StructField("col_names", ArrayType(StringType), nullable = true)))
 
   private def utf8Cells(row: Seq[Option[String]]): GenericArrayData =
     new GenericArrayData(row.map(_.map(UTF8String.fromString).orNull).toArray[Any])
 
-  /** binary pgoutput message → struct(op, relation_id, key_cells, cells, lsn). */
+  /** Shared decode kernel: wire bytes → InternalRow(decodedType). */
+  private def decodeToRow(bytes: Array[Byte]): InternalRow = {
+      val op = (s: String) => UTF8String.fromString(s)
+      PgOutput.decode(bytes) match {
+        case PgOutput.Insert(rel, row) =>
+          InternalRow(op("I"), rel, null, utf8Cells(row), null, null)
+        case PgOutput.Update(rel, key, old, row) =>
+          InternalRow(op("U"), rel, key.orElse(old).map(utf8Cells).orNull, utf8Cells(row), null, null)
+        case PgOutput.Delete(rel, _, row) =>
+          InternalRow(op("D"), rel, utf8Cells(row), null, null, null)
+        case PgOutput.Begin(lsn, _, _) => InternalRow(op("B"), null, null, null, lsn, null)
+        case PgOutput.Commit(_, lsn, _, _) => InternalRow(op("C"), null, null, null, lsn, null)
+        case PgOutput.Relation(id, _, _, _, cols) =>
+          InternalRow(op("R"), id, null, null, null,
+            utf8Cells(cols.map(c => Some(c.name))))
+        case PgOutput.TypeMsg(id, _, _) => InternalRow(op("Y"), id, null, null, null, null)
+        case PgOutput.Origin(lsn, _) => InternalRow(op("O"), null, null, null, lsn, null)
+        case PgOutput.Truncate(_, _, ids) =>
+          InternalRow(op("T"), ids.headOption.map(Int.box).orNull, null, null, null, null)
+      }
+  }
+
+  /** binary pgoutput message → struct(op, relation_id, key_cells, cells,
+    * lsn, col_names); corrupt input fails the task (strict mode). */
   case class PgDecode(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = decodedType
-    override def nullSafeEval(input: Any): Any = {
-      val op = (s: String) => UTF8String.fromString(s)
-      PgOutput.decode(input.asInstanceOf[Array[Byte]]) match {
-        case PgOutput.Insert(rel, row) =>
-          InternalRow(op("I"), rel, null, utf8Cells(row), null)
-        case PgOutput.Update(rel, key, old, row) =>
-          InternalRow(op("U"), rel, key.orElse(old).map(utf8Cells).orNull, utf8Cells(row), null)
-        case PgOutput.Delete(rel, _, row) =>
-          InternalRow(op("D"), rel, utf8Cells(row), null, null)
-        case PgOutput.Begin(lsn, _, _) => InternalRow(op("B"), null, null, null, lsn)
-        case PgOutput.Commit(_, lsn, _, _) => InternalRow(op("C"), null, null, null, lsn)
-        case PgOutput.Relation(id, _, _, _, _) => InternalRow(op("R"), id, null, null, null)
-        case PgOutput.TypeMsg(id, _, _) => InternalRow(op("Y"), id, null, null, null)
-        case PgOutput.Origin(lsn, _) => InternalRow(op("O"), null, null, null, lsn)
-        case PgOutput.Truncate(_, _, ids) =>
-          InternalRow(op("T"), ids.headOption.map(Int.box).orNull, null, null, null)
-      }
-    }
+    override def nullSafeEval(input: Any): Any =
+      decodeToRow(input.asInstanceOf[Array[Byte]])
     override protected def withNewChildInternal(c: Expression): PgDecode = copy(child = c)
   }
 
@@ -76,10 +84,26 @@ object PgOutputExpressions {
     override protected def withNewChildInternal(c: Expression): PgEncode = copy(child = c)
   }
 
+  /** Permissive decode: corrupt wire data → NULL instead of failing the
+    * job. At 100 TB one bad record must not kill a stage; pair with
+    * `count(raw) - count(pg_decode_permissive(raw))` to quarantine-count
+    * (mirrors Spark's own PERMISSIVE JSON parse mode). */
+  case class PgDecodePermissive(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = decodedType
+    override def nullSafeEval(input: Any): Any =
+      try decodeToRow(input.asInstanceOf[Array[Byte]])
+      catch { case _: RuntimeException => null }
+    override protected def withNewChildInternal(c: Expression): PgDecodePermissive =
+      copy(child = c)
+  }
+
   /** Register as SQL functions once per session; returns helper names. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("pg_decode", es => PgDecode(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("pg_decode_permissive",
+      es => PgDecodePermissive(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pg_encode", es => PgEncode(es.head), "scala_udf")
   }
 }
