@@ -266,7 +266,38 @@ object CdcQueries {
       .orderBy($"seq")
   }
 
+  // --------------------------------------------------------------- A10
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = rawEventStream(s, dir)
+      .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ts"),
+        $"user_id", $"event_type", $"value")
+    CdcStream.runStreamJoinBounded(s, events)
+      .select($"user_id", $"signup_seq", $"purchase_seq",
+        $"purchase_value",
+        date_format($"signup_ts", tsFmt).as("signup_ts"),
+        date_format($"purchase_ts", tsFmt).as("purchase_ts"))
+      .orderBy($"signup_seq", $"purchase_seq")
+  }
+
+  // --------------------------------------------------------------- A11
+  /** Dup-injected stream (every 7th event re-sent) deduped exactly by
+    * event_id with watermark-bounded state. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = rawEventStream(s, dir)
+      .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ts"),
+        $"user_id", $"event_type", $"value")
+    val withDups = raw.unionByName(raw.filter($"event_id" % 7 === 0))
+    CdcStream.runStreamDedupBounded(s, withDups)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        date_format($"ts", tsFmt).as("ts_str"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stream_join" -> (streamJoin _),
+    "cdc_stream_dedup" -> (streamDedup _),
     "cdc_schema_evolution" -> (schemaEvolution _),
     "cdc_pgoutput_decode" -> (pgoutputDecode _),
     "cdc_wal2json_parse" -> (wal2jsonParse _),
@@ -286,6 +317,19 @@ object CdcQueries {
        |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_stream_join" ->
+      s"""SELECT a.user_id, a.event_id AS signup_seq, b.event_id AS purchase_seq,
+         |  b.value AS purchase_value,
+         |  strftime(a.ts, '$tsFmtDuck') AS signup_ts,
+         |  strftime(b.ts, '$tsFmtDuck') AS purchase_ts
+         |FROM events a JOIN events b ON a.user_id = b.user_id
+         |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         |ORDER BY signup_seq, purchase_seq""".stripMargin,
+    "cdc_stream_dedup" ->
+      s"""SELECT event_id, user_id, event_type, value,
+         |  strftime(ts, '$tsFmtDuck') AS ts_str
+         |FROM events ORDER BY event_id""".stripMargin,
     "cdc_schema_evolution" ->
       s"""WITH $changesSql
          |SELECT seq, op, key AS user_id,

@@ -53,6 +53,46 @@ object CdcStream {
       .filter($"__rn" === 1 && $"op" =!= "d").drop("__rn")
   }
 
+  /** Stream-stream inner join with watermarks + time-range condition
+    * (the presentation's "streaming joins of change feeds"): signups ⋈
+    * purchases by the same user within 1 hour of signup. Both sides
+    * carry a watermark so the join state is GC'd once the range
+    * condition can no longer match — bounded state at 100 TB. */
+  def runStreamJoinBounded(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val name = "graft_sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("signup_ts"), $"event_id".as("signup_seq"))
+      .withWatermark("signup_ts", "2 hours")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_seq"), $"value".as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = signups.join(purchases,
+      $"user_id" === $"p_user_id" &&
+        $"purchase_ts" >= $"signup_ts" &&
+        $"purchase_ts" <= $"signup_ts" + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming exact dedup on event_id with watermark-bounded state:
+    * duplicates arriving within the watermark horizon are dropped, and
+    * state for expired event-times is GC'd (unbounded-stream safe,
+    * unlike plain dropDuplicates). */
+  def runStreamDedupBounded(spark: SparkSession, events: DataFrame): DataFrame = {
+    val name = "graft_sdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming tumbling-window aggregate (1h) per event_type, complete
     * mode; with a real unbounded source this would carry
     * `withWatermark` + append mode — complete mode keeps the bounded
