@@ -72,6 +72,70 @@ object Ann {
        |SELECT query_id, rank, neighbor_id, cos FROM r
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- C7b
+  /** IVF (inverted-file) ANN: a coarse spherical-k-means quantizer
+    * partitions the corpus into K cells; a query probes its `nprobe`
+    * nearest centroids and exact-reranks only those cells' vectors.
+    *
+    * Training is Lloyd iterations as plain DataFrame ops: assignment is
+    * a broadcast join against the (tiny) centroid table, the update
+    * step recomputes element-wise means via posexplode + groupBy —
+    * both distributed, no driver-side vectors. Deterministic: seeds
+    * are the K lowest vec_ids. At 100 TB the cell assignment is the
+    * partition key (cluster-by cell on write), so a probe touches
+    * nprobe/K of the data; K scales with corpus size (√N rule). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val K = 16; val NProbe = 4; val Iters = 2
+    val c = corpus(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+
+    var centroids = c.orderBy($"vec_id").limit(K)
+      .select(row_number().over(Window.orderBy($"vec_id")).as("cluster"),
+        $"v".as("cv"))
+    for (_ <- 1 to Iters) {
+      val assigned = c.crossJoin(broadcast(centroids))
+        .withColumn("sim", expr("cosine_sim(v, cv)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster")))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cluster", $"v")
+      centroids = assigned
+        .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cluster", $"pos").agg(avg($"x").as("m"))
+        .groupBy($"cluster")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          e => e("m")).as("cv"))
+    }
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("sim", expr("cosine_sim(v, cv)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cluster", $"v")
+
+    val probes = c.filter($"vec_id" < QueryIds)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"sim".desc, $"cluster")))
+      .filter($"rn" <= NProbe)
+      .select($"query_id", $"qv", $"cluster")
+
+    val cand = assigned.join(broadcast(probes), "cluster")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        r4(expr("cosine_sim(qv, v)")).as("cos"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= Ann.K)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---------------------------------------------------------------- C7
   /** Approximate NN: random-hyperplane codes; a query probes its own
     * bucket plus all single-bit-flip buckets (multiprobe), exact cosine

@@ -16,6 +16,7 @@ object PipelineQueries {
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLsh _),
+    "ann_ivf" -> (Ann.annIvf _),
     "text_langid" -> (TextOps.textLangid _),
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),

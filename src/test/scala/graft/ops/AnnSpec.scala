@@ -24,6 +24,22 @@ class AnnSpec extends AnyFunSuite {
       assert(hits.map(_._2).max <= bf(q).map(_._2).max + 1e-12)
   }
 
+  test("ann_ivf recall vs brute force is usable at test scale") {
+    val bf = topk(Ann.annBruteforce(spark, sf0001))
+    val ivf = topk(Ann.annIvf(spark, sf0001))
+    val recalls = (0L until Ann.QueryIds).map { q =>
+      val want = bf(q).map(_._1).toSet
+      val got = ivf.getOrElse(q, Nil).map(_._1).toSet
+      (want & got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean top-${Ann.K} IVF recall over ${Ann.QueryIds} queries: $mean%.3f")
+    assert(mean >= 0.35, f"mean recall $mean%.3f below floor")
+    // candidates carry exact cosines: any overlap with BF agrees
+    for ((q, hits) <- ivf; (n, c) <- hits; bc <- bf(q).toMap.get(n))
+      assert(c === bc, s"query $q neighbor $n")
+  }
+
   test("ann_lsh recall vs brute force is usable at test scale") {
     val bf = topk(Ann.annBruteforce(spark, sf0001))
     val lsh = topk(Ann.annLsh(spark, sf0001))
