@@ -3,7 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,8 +28,10 @@ object PgOutputExpressions {
   private def utf8Cells(row: Seq[Option[String]]): GenericArrayData =
     new GenericArrayData(row.map(_.map(UTF8String.fromString).orNull).toArray[Any])
 
-  /** Shared decode kernel: wire bytes → InternalRow(decodedType). */
-  private def decodeToRow(bytes: Array[Byte]): InternalRow = {
+  /** Shared decode kernel: wire bytes → InternalRow(decodedType).
+    * Public + static so generated code can call it directly (the
+    * expressions stay inside whole-stage codegen). */
+  def decodeToRow(bytes: Array[Byte]): InternalRow = {
       val op = (s: String) => UTF8String.fromString(s)
       PgOutput.decode(bytes) match {
         case PgOutput.Insert(rel, row) =>
@@ -52,19 +54,21 @@ object PgOutputExpressions {
 
   /** binary pgoutput message → struct(op, relation_id, key_cells, cells,
     * lsn, col_names); corrupt input fails the task (strict mode). */
-  case class PgDecode(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class PgDecode(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
     override def dataType: DataType = decodedType
     override def nullSafeEval(input: Any): Any =
       decodeToRow(input.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.cdc.PgOutputExpressions.decodeToRow($c)")
     override protected def withNewChildInternal(c: Expression): PgDecode = copy(child = c)
   }
 
   /** struct(op, relation_id, key_cells, cells) → binary pgoutput message
     * (the test-path inverse, used for roundtrip verification). */
-  case class PgEncode(child: Expression) extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = BinaryType
-    override def nullSafeEval(input: Any): Any = {
-      val row = input.asInstanceOf[InternalRow]
+  /** Static encode kernel for codegen. */
+  def encodeFromRow(row: InternalRow): Array[Byte] = {
       val op = row.getUTF8String(0).toString
       val rel = row.getInt(1)
       def cells(i: Int): Seq[Option[String]] =
@@ -80,7 +84,16 @@ object PgOutputExpressions {
         case "D" => PgOutput.encode(PgOutput.Delete(rel, viaKey = true, cells(2)))
         case other => throw new IllegalArgumentException(s"encode: unsupported op $other")
       }
-    }
+  }
+
+  case class PgEncode(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any =
+      encodeFromRow(input.asInstanceOf[InternalRow])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.cdc.PgOutputExpressions.encodeFromRow($c)")
     override protected def withNewChildInternal(c: Expression): PgEncode = copy(child = c)
   }
 
@@ -88,12 +101,18 @@ object PgOutputExpressions {
     * job. At 100 TB one bad record must not kill a stage; pair with
     * `count(raw) - count(pg_decode_permissive(raw))` to quarantine-count
     * (mirrors Spark's own PERMISSIVE JSON parse mode). */
-  case class PgDecodePermissive(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  /** decodeToRow, corrupt input → null (see PgDecodePermissive). */
+  def decodeToRowOrNull(bytes: Array[Byte]): InternalRow =
+    try decodeToRow(bytes) catch { case _: RuntimeException => null }
+
+  case class PgDecodePermissive(child: Expression) extends UnaryExpression {
     override def dataType: DataType = decodedType
     override def nullSafeEval(input: Any): Any =
-      try decodeToRow(input.asInstanceOf[Array[Byte]])
-      catch { case _: RuntimeException => null }
+      decodeToRowOrNull(input.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.cdc.PgOutputExpressions.decodeToRowOrNull($c);
+        ${ev.isNull} = ${ev.value} == null;""")
     override protected def withNewChildInternal(c: Expression): PgDecodePermissive =
       copy(child = c)
   }

@@ -246,7 +246,29 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  // --------------------------------------------------------------- B14
+  /** Exact COUNT(DISTINCT) under key skew via salting: phase 1 counts
+    * distinct users within (event_type, user_id % 32) — the salt
+    * partitions the *distinct state*, so no single reducer holds a hot
+    * key's whole user set — phase 2 sums the disjoint partials. With 5
+    * hot event_types over millions of users, the unsalted plan
+    * concentrates each key's dedup state on one task; this one spreads
+    * it 32-way and stays exact (the salt is a function of the counted
+    * column, so partials never overlap). */
+  def qSkewSaltedDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.events(s, dir)
+      .groupBy($"event_type", ($"user_id" % 32).as("salt"))
+      .agg(count_distinct($"user_id").as("part_users"),
+        count(lit(1)).as("part_events"))
+      .groupBy($"event_type")
+      .agg(sum($"part_users").as("exact_users"),
+        sum($"part_events").as("n_events"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_distinct" -> (qSkewSaltedDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -262,6 +284,11 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_skew_salted_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
