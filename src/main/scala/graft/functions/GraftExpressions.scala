@@ -54,6 +54,17 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
   }
 
+  /** binary → sum of unsigned byte values (payload checksum kernel). */
+  case class ByteSum(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.byteSum(input.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$H.byteSum($c)")
+    override protected def withNewChildInternal(c: Expression): ByteSum = copy(child = c)
+  }
+
   /** (array<double>, array<double>) → cosine similarity, one fused pass
     * (dot + both norms) instead of three higher-order-function passes. */
   case class CosineSim(left: Expression, right: Expression)
@@ -89,6 +100,7 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("byte_sum", es => ByteSum(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket",

@@ -85,6 +85,14 @@ object HashOps {
     h
   }
 
+  /** Sum of unsigned byte values of a binary payload. */
+  def byteSum(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    s
+  }
+
   /** Cosine similarity of two double vectors (one fused pass: dot +
     * both norms). Returns 0 when either norm is 0. */
   def cosine(a: ArrayData, b: ArrayData): Double = {

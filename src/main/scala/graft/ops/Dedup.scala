@@ -103,9 +103,13 @@ object Dedup {
     val freq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"s")
     // persisted: both sides of the candidate self-join consume it
+    // safe prefix length is |A| − ⌈t·|A|⌉ + 1 (NOT ⌊(1−t)·|A|⌋ + 1,
+    // which is one short whenever t·|A| is an integer): the suffix
+    // then holds ⌈t·|A|⌉ − 1 < minimum-overlap elements, so any
+    // qualifying pair must meet inside the prefix
     val prefix = ex.join(freq, "s")
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= floor((lit(1.0) - t) * $"n") + 1)
+      .filter($"rn" <= $"n" - ceil(lit(t) * $"n") + 1)
       .select($"doc_id", $"n", $"s")
       .persist()
     val cand = prefix.as("a").join(prefix.as("b"),

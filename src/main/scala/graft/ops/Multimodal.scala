@@ -78,6 +78,56 @@ object Multimodal {
     extract(manifest(s, dir)).toDF().orderBy($"doc_id")
   }
 
+  /** C12b — frame sampling over the binary column: split each payload
+    * into 64-byte frames (video-frame / audio-chunk analog), checksum
+    * each frame declaratively (`substring` on binary + the `byte_sum`
+    * codegen kernel). All narrow: explode + slice at scan parallelism,
+    * no shuffle before the presentation sort. */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExpressions.register(s)
+    val FrameLen = 64
+    manifest(s, dir).toDF()
+      .select($"doc_id", $"media_type", $"payload",
+        explode(sequence(lit(0),
+          ceil(length($"payload") / FrameLen).cast("long") - 1)).as("f"))
+      .select($"doc_id", $"media_type", $"f",
+        expr(s"substring(payload, f * $FrameLen + 1, $FrameLen)").as("frame"))
+      .select($"doc_id", $"media_type", $"f",
+        length($"frame").cast("long").as("frame_len"),
+        (expr("byte_sum(frame)") % 997).as("frame_checksum"))
+      .orderBy($"doc_id", $"f")
+  }
+
+  /** Oracle: T(d, n) = Σ_{i<n} (d+i) % 256 in closed form (full cycles
+    * + wrap-split tail); frame sum = T(d, hi) − T(d, lo). */
+  val mmFramesSql: String =
+    """WITH t AS (SELECT doc_id, n_chars,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS media_type
+      |  FROM documents),
+      |fr AS (SELECT doc_id, media_type, g.f,
+      |    g.f * 64 AS lo, least((g.f + 1) * 64, n_chars) AS hi
+      |  FROM t, generate_series(0, 9999) g(f)
+      |  WHERE g.f < ceil(n_chars / 64.0)),
+      |s AS (SELECT doc_id, media_type, f, lo, hi,
+      |    (lo // 256) * 32640 +
+      |      CASE WHEN (doc_id % 256) + (lo % 256) <= 256
+      |        THEN (lo % 256) * (doc_id % 256) + (lo % 256) * ((lo % 256) - 1) // 2
+      |        ELSE (256 - doc_id % 256) * ((doc_id % 256) + 255) // 2
+      |          + ((lo % 256) - (256 - doc_id % 256))
+      |            * ((lo % 256) - (256 - doc_id % 256) - 1) // 2 END AS t_lo,
+      |    (hi // 256) * 32640 +
+      |      CASE WHEN (doc_id % 256) + (hi % 256) <= 256
+      |        THEN (hi % 256) * (doc_id % 256) + (hi % 256) * ((hi % 256) - 1) // 2
+      |        ELSE (256 - doc_id % 256) * ((doc_id % 256) + 255) // 2
+      |          + ((hi % 256) - (256 - doc_id % 256))
+      |            * ((hi % 256) - (256 - doc_id % 256) - 1) // 2 END AS t_hi
+      |  FROM fr)
+      |SELECT doc_id, media_type, f, hi - lo AS frame_len,
+      |  CAST((t_hi - t_lo) % 997 AS BIGINT) AS frame_checksum
+      |FROM s ORDER BY doc_id, f""".stripMargin
+
   /** DuckDB oracle recomputes the feature arithmetic from the payload
     * *definition* — closed-form sum of ((doc_id + i) % 256, i < len):
     * f full 0..255 cycles (each sums 32640) plus a tail run from

@@ -21,7 +21,9 @@ object PipelineQueries {
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
-    "mm_manifest" -> (Multimodal.mmManifest _))
+    "text_scrub" -> (TextOps.textScrub _),
+    "mm_manifest" -> (Multimodal.mmManifest _),
+    "mm_frames" -> (Multimodal.mmFrames _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.dedupExactSql,
@@ -32,5 +34,7 @@ object PipelineQueries {
     "text_langid" -> TextOps.textLangidSql,
     "text_quality" -> TextOps.textQualitySql,
     "text_tokens" -> TextOps.textTokensSql,
-    "mm_manifest" -> Multimodal.mmManifestSql)
+    "text_scrub" -> TextOps.textScrubSql,
+    "mm_manifest" -> Multimodal.mmManifestSql,
+    "mm_frames" -> Multimodal.mmFramesSql)
 }

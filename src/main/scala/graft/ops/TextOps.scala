@@ -130,6 +130,45 @@ object TextOps {
       |    AS chars_per_token
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C13
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before a corpus ships. Synthetic emails/phones are injected
+    * deterministically (the corpus has none), then redacted with the
+    * same regexes on both engines; the md5 of the scrubbed text proves
+    * byte-identical redaction, not just matching counts. Narrow
+    * (regexp at scan parallelism, no shuffle). */
+  def textScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPii = table(s, dir, "documents").select($"doc_id",
+      when($"doc_id" % 5 === 0,
+        concat($"text", lit(" contact user"), $"doc_id", lit("@example.com now")))
+        .when($"doc_id" % 5 === 1,
+          concat($"text", lit(" call 555-"), $"doc_id" % 10000))
+        .otherwise($"text").as("text2"))
+    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phone = "555-[0-9]+"
+    withPii.select($"doc_id",
+        size(expr(s"regexp_extract_all(text2, '$email', 0)")).cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(text2, '$phone', 0)")).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace($"text2", email, "<EMAIL>"),
+          phone, "<PHONE>")).as("scrub_md5"))
+      .orderBy($"doc_id")
+  }
+  val textScrubSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN text || ' contact user' || doc_id || '@example.com now'
+      |      WHEN doc_id % 5 = 1 THEN text || ' call 555-' || (doc_id % 10000)
+      |      ELSE text END AS text2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text2, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+      |  len(regexp_extract_all(text2, '555-[0-9]+')) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(text2,
+      |    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '555-[0-9]+', '<PHONE>', 'g')) AS scrub_md5
+      |FROM p ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C11
   /** 64-bit rolling polynomial fingerprints over the dup-injected feed;
     * self-join on the fingerprint finds exactly the injected copies.
