@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2 is the coverage contract: every inventory row's query
+  * key must be registered (and every registered query documented).
+  * Keys appear in §2 table rows as the second, backtick-quoted cell. */
+class CoverageSpec extends AnyFunSuite {
+
+  private val surveyKeys: Set[String] = {
+    val lines = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines().toSeq
+    val row = """^\|\s*[A-Z0-9b—-]+\s*\|\s*`([a-z0-9_]+)`\s*\|.*""".r
+    lines.collect { case row(k) => k }.toSet
+  }
+
+  test("every SURVEY §2 inventory key is a registered query") {
+    val registered = SparkEntry.queries.keySet
+    val missing = surveyKeys -- registered
+    assert(missing.isEmpty, s"in SURVEY but not registered: $missing")
+  }
+
+  test("every registered query is documented in SURVEY §2") {
+    val registered = SparkEntry.queries.keySet
+    val undocumented = registered -- surveyKeys
+    assert(undocumented.isEmpty, s"registered but not in SURVEY: $undocumented")
+  }
+
+  test("every oracle belongs to a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("rows-only queries are the documented hash-based exceptions") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("dedup_simhash", "ann_lsh", "ann_ivf", "text_fingerprint"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+}
