@@ -81,6 +81,20 @@ object MaterializedTable {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Delete all snapshots except the `keep` most recent (never the
+    * current pointer target). Returns the deleted version names. */
+  def vacuum(s: SparkSession, table: String, keep: Int = 2): Seq[String] = {
+    val f = fs(s, table)
+    val current = readPointer(s, table)
+    val versions = f.listStatus(new Path(table)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .map(_.getPath.getName)
+      .sorted
+    val doomed = versions.dropRight(keep).filterNot(current.contains)
+    doomed.foreach(v => f.delete(new Path(table, v), true))
+    doomed
+  }
+
   /** Start the streaming upsert sink; one snapshot per micro-batch. */
   def upsertSink(changes: Dataset[ChangeRecord], table: String,
       checkpoint: String): StreamingQuery = {
