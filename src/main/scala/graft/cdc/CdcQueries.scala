@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** A-series queries (SURVEY.md §2.A): the reference's CDC surface,
   * re-expressed Spark-first, each with a DuckDB oracle.
@@ -295,7 +296,74 @@ object CdcQueries {
       .orderBy($"event_id")
   }
 
+  // --------------------------------------------------------------- A12
+  /** Streaming SCD2: history maintained in per-key state; bounded
+    * result must equal the batch scd2 oracle. */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcStream.runScd2Bounded(s, changeStream(s, dir))
+      .filter($"op" =!= "d")
+      .select($"key".as("user_id"), $"seq", $"event_type", $"value",
+        date_format(timestamp_micros($"valid_from_us"), tsFmt).as("valid_from"),
+        date_format(timestamp_micros($"valid_to_us"), tsFmt).as("valid_to"),
+        $"is_current")
+      .orderBy($"user_id", $"seq")
+  }
+
+  // --------------------------------------------------------------- A13
+  /** Streaming event-time session windows (30-min gap) per user.
+    * `session_window` only supports APPEND output, which finalizes a
+    * session when the watermark passes it — so a bounded replay needs
+    * end-of-stream punctuation: the events file is batch 1, then a
+    * far-future sentinel event (user −1) arrives as batch 2, advancing
+    * the watermark past every real session. The same pattern closes
+    * windows on a real CDC feed via source heartbeats. */
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sess_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      inDir.resolve("00_events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val name = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        $"user_id", $"value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
+    val q = agg.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // end-of-stream punctuation: year-2100 sentinel advances the
+      // watermark so every real session finalizes and appends
+      val sent = Seq((-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val sentDir = java.nio.file.Files.createTempDirectory("graft_sess_sent")
+      sent.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+      val part = java.nio.file.Files.list(sentDir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, inDir.resolve("01_sentinel.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .filter($"user_id" >= 0)
+      .select($"user_id",
+        date_format($"session_window.start", tsFmt).as("session_start"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stream_scd2" -> (streamScd2 _),
+    "cdc_stream_sessions" -> (streamSessions _),
     "cdc_stream_join" -> (streamJoin _),
     "cdc_stream_dedup" -> (streamDedup _),
     "cdc_schema_evolution" -> (schemaEvolution _),
@@ -316,7 +384,34 @@ object CdcQueries {
        |  seq AS last_seq, strftime(ts, '$tsFmtDuck') AS last_ts
        |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 
+  private val scd2Oracle: String =
+    s"""WITH $changesSql,
+       |v AS (SELECT key, seq, op, event_type, value, ts AS valid_from,
+       |        lead(ts) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+       |      FROM changes)
+       |SELECT key AS user_id, seq, event_type, value,
+       |  strftime(valid_from, '$tsFmtDuck') AS valid_from,
+       |  strftime(valid_to, '$tsFmtDuck') AS valid_to,
+       |  valid_to IS NULL AS is_current
+       |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "cdc_stream_scd2" -> scd2Oracle,
+    "cdc_stream_sessions" ->
+      s"""WITH g AS (SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |           > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |sess AS (SELECT user_id, ts, value,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM g)
+         |SELECT user_id,
+         |  strftime(min(ts), '$tsFmtDuck') AS session_start,
+         |  count(*) AS n_events,
+         |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start""".stripMargin,
     "cdc_stream_join" ->
       s"""SELECT a.user_id, a.event_id AS signup_seq, b.event_id AS purchase_seq,
          |  b.value AS purchase_value,
@@ -345,16 +440,7 @@ object CdcQueries {
     "cdc_debezium_parse" -> parsedOracle,
     "cdc_latest_state" -> latestOracle,
     "cdc_stream_upserts" -> latestOracle,
-    "cdc_scd2_history" ->
-      s"""WITH $changesSql,
-         |v AS (SELECT key, seq, op, event_type, value, ts AS valid_from,
-         |        lead(ts) OVER (PARTITION BY key ORDER BY seq) AS valid_to
-         |      FROM changes)
-         |SELECT key AS user_id, seq, event_type, value,
-         |  strftime(valid_from, '$tsFmtDuck') AS valid_from,
-         |  strftime(valid_to, '$tsFmtDuck') AS valid_to,
-         |  valid_to IS NULL AS is_current
-         |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin,
+    "cdc_scd2_history" -> scd2Oracle,
     "cdc_event_stats" ->
       s"""WITH $changesSql
          |SELECT op, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -53,6 +53,45 @@ object CdcStream {
       .filter($"__rn" === 1 && $"op" =!= "d").drop("__rn")
   }
 
+  /** Streaming SCD2: per-key state holds the open (current) version;
+    * each arriving change closes it (emit with valid_to) and opens a
+    * new one. Emissions are keyed (key, seq) so the bounded reader can
+    * keep the latest emission per version — the final table must equal
+    * the batch [[ApplyChanges.scd2]]. State is one row per live key. */
+  def runScd2Bounded(spark: SparkSession, changes: Dataset[ChangeRecord]): DataFrame = {
+    import spark.implicits._
+    val name = "graft_scd2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val versions = changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[ChangeRecord], state: GroupState[ChangeRecord]) => {
+          val sorted = (state.getOption.iterator ++ rows).toSeq
+            .distinctBy(_.seq).sortBy(_.seq)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            state.update(sorted.last)
+            // emit every version with its closing bound (None = open)
+            sorted.zip(sorted.drop(1).map(Option(_)) :+ None).iterator.map {
+              case (v, next) =>
+                (key, v.seq, v.op, v.event_type, v.value, v.tsMicros,
+                  next.map(_.tsMicros), next.isEmpty && v.op != "d")
+            }
+          }
+        })
+      .toDF("key", "seq", "op", "event_type", "value",
+        "valid_from_us", "valid_to_us", "is_current")
+    val q = versions.writeStream
+      .outputMode(OutputMode.Update).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // keep each version's latest emission (a version re-emits when a
+    // later batch closes it)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key", $"seq").orderBy($"valid_to_us".asc_nulls_last)
+    spark.table(name)
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1).drop("__rn")
+  }
+
   /** Stream-stream inner join with watermarks + time-range condition
     * (the presentation's "streaming joins of change feeds"): signups ⋈
     * purchases by the same user within 1 hour of signup. Both sides
