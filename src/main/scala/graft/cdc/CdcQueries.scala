@@ -361,7 +361,29 @@ object CdcQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  // --------------------------------------------------------------- A14
+  /** AS-OF join via the custom operator (graft.plans.AsOfJoinPlan →
+    * AsOfJoinExec merge-scan): every purchase event picks up the
+    * user's latest non-purchase state row at or before the purchase —
+    * "replay the table as of this WAL position", the CDC primitive. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        expr("unix_micros(ts)").as("p_ts"))
+    val state = ev.filter($"event_type" =!= "purchase")
+      .select($"event_id".as("s_id"), $"user_id".as("s_user"),
+        expr("unix_micros(ts)").as("s_ts"), $"event_type".as("s_type"),
+        $"value".as("s_value"))
+    graft.plans.AsOf.join(purchases, state,
+        "p_user", "p_ts", "p_id", "s_user", "s_ts", "s_id")
+      .select($"p_id", $"p_user", $"s_id", $"s_type", $"s_value")
+      .orderBy($"p_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_asof_join" -> (asofJoin _),
     "cdc_stream_scd2" -> (streamScd2 _),
     "cdc_stream_sessions" -> (streamSessions _),
     "cdc_stream_join" -> (streamJoin _),
@@ -396,6 +418,19 @@ object CdcQueries {
        |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_asof_join" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user,
+        |  s.s_id, s.s_type, s.s_value
+        |FROM events p
+        |LEFT JOIN LATERAL (
+        |  SELECT e2.event_id AS s_id, e2.event_type AS s_type,
+        |    e2.value AS s_value
+        |  FROM events e2
+        |  WHERE e2.user_id = p.user_id AND e2.event_type <> 'purchase'
+        |    AND epoch_us(e2.ts) <= epoch_us(p.ts)
+        |  ORDER BY epoch_us(e2.ts) DESC, e2.event_id DESC LIMIT 1) s ON true
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p_id""".stripMargin,
     "cdc_stream_scd2" -> scd2Oracle,
     "cdc_stream_sessions" ->
       s"""WITH g AS (SELECT user_id, ts, value,

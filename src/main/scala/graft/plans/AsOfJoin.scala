@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** AS-OF JOIN as a first-class operator (logical node → strategy →
+  * physical merge-scan), the one CDC primitive Spark's built-ins can't
+  * express without a quadratic interval join: for every left row,
+  * attach the latest right row with the same key whose timestamp is
+  * at or before the left timestamp (LEFT OUTER semantics).
+  *
+  * Physical algorithm: both sides hash-partitioned on the key
+  * (`requiredChildDistribution`) and sorted by (key, ts, tie)
+  * (`requiredChildOrdering` — EnsureRequirements inserts the exchanges
+  * and sorts), then a single O(n+m) zip-merge per partition keeps the
+  * best right candidate per key as both cursors advance. At 100 TB:
+  * one co-partitioning shuffle per side, no state, no window over the
+  * union — the same plan shape as a sort-merge join.
+  *
+  * Key/ts/tie columns are BIGINT (LSNs, epoch micros, sequence
+  * numbers — the CDC domain); the reference's analog is replaying a
+  * table against a position in the WAL.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTs: Attribute, leftTie: Attribute,
+    rightKey: Attribute, rightTs: Attribute, rightTie: Attribute)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
+    copy(left = l, right = r)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTs: Attribute, leftTie: Attribute,
+    rightKey: Attribute, rightTs: Attribute, rightTie: Attribute)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTie, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTie, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // capture only serializable expression lists; build the generated
+    // projections per partition on the executor
+    val leftOut = left.output
+    // bind as nullable so the null-right (outer) row propagates NULLs
+    // for primitive columns instead of zero values
+    val rightOut = right.output.map(_.withNullability(true))
+    val outAttrs = output
+    val lKeys: Seq[Attribute] = Seq(leftKey, leftTs)
+    val rKeys: Seq[Attribute] = Seq(rightKey, rightTs)
+    val rightWidth = rightOut.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private val nullRight = new GenericInternalRow(rightWidth)
+        private val rBuf = rIter.buffered
+        // best right row so far for the key currently under the cursor
+        private var candKey = 0L
+        private var candTs = 0L
+        private var cand: InternalRow = _
+        private val out = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val key = lk.getLong(0); val ts = lk.getLong(1)
+          if (cand != null && candKey != key) cand = null
+          // advance the right cursor through all rows at or before
+          // (key, ts); rows are (key, ts, tie)-sorted so the last one
+          // consumed is the as-of match
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rk = rKeyProj(rBuf.head)
+            val rKeyV = rk.getLong(0); val rTsV = rk.getLong(1)
+            if (rKeyV < key || (rKeyV == key && rTsV <= ts)) {
+              val r = rBuf.next()
+              if (rKeyV == key) { cand = r.copy(); candKey = rKeyV; candTs = rTsV }
+            } else advancing = false
+          }
+          if (cand != null && candKey == key && candTs <= ts)
+            out(joined(l, cand))
+          else out(joined(l, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinExec =
+    copy(left = l, right = r)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lts, ltie, rk, rts, rtie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, ltie, rk, rts, rtie) :: Nil
+    case _ => Nil
+  }
+}

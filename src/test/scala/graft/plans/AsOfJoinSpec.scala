@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture.{spark, sf0001}
+
+class AsOfJoinSpec extends AnyFunSuite {
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L), (3L, 5L, 13L))
+      .toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 40L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 100L, 3L, "c"),
+      (2L, 11L, 4L, "d"))
+      .toDF("rk", "rt", "rid", "v")
+    val out = AsOf.join(left, right, "k", "t", "lid", "rk", "rt", "rid")
+      .select($"lid", $"rid", $"v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getString(2))).toSet
+    assert(out === Set(
+      (10L, 3L, "c"),   // ts tie at 100 -> highest tie id wins
+      (11L, 1L, "a"),   // 50 -> latest at-or-before is 40
+      (12L, -1L, null), // right row at 11 is AFTER left ts 10
+      (13L, -1L, null)  // key with no right rows at all
+    ))
+  }
+
+  test("physical plan is the custom merge-scan exec with co-partitioned sides") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val l = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("p_ts"))
+    val r = ev.filter($"event_type" =!= "purchase")
+      .select($"event_id".as("s_id"), $"user_id".as("s_user"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("s_ts"))
+    val joined = AsOf.join(l, r, "p_user", "p_ts", "p_id", "s_user", "s_ts", "s_id")
+    joined.count()
+    val plan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val asofs = plan.collect { case e: AsOfJoinExec => e }
+    assert(asofs.size === 1, s"expected AsOfJoinExec in:\n$plan")
+    // EnsureRequirements must have co-partitioned both children
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size === 2, "both sides hash-exchange on the key")
+  }
+}
