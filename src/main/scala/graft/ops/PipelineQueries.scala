@@ -8,7 +8,89 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (non-SQL-expressible hashes) and spec-tested in graft.ops.*Spec. */
 object PipelineQueries {
 
+  import org.apache.spark.sql.functions._
+
+  // --------------------------------------------------------------- C14
+  /** The whole cleaning pipeline as ONE declarative plan — what a
+    * training-data team actually ships: exact dedup (collapse injected
+    * copies) → near-dup removal (drop the higher id of every Jaccard
+    * ≥ 0.8 pair) → language gate (marker-en) → length gate → PII scrub
+    * → content hash. Catalyst fuses the narrow stages; the only wide
+    * ops are the dedup shuffles already analyzed in C1–C3. */
+  def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = Dedup.dedupExact(s, dir)
+      .select($"keep_doc_id".as("doc_id"))
+    val nearDupLosers = Dedup.dedupNgramJaccard(s, dir)
+      .select($"d2".as("doc_id")).distinct()
+    val en = TextOps.textLangid(s, dir)
+      .filter($"pred_lang" === "en").select($"doc_id")
+    val docs = graft.Tables.table(s, dir, "documents")
+      .select($"doc_id", $"text", size(split($"text", " ")).cast("long").as("n_words"))
+      .filter($"n_words" >= 20 && $"n_words" <= 95)
+    docs
+      .join(kept, "doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(en, "doc_id")
+      .select($"doc_id", $"n_words",
+        md5(regexp_replace(regexp_replace($"text",
+          "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+          "555-[0-9]+", "<PHONE>")).as("text_md5"))
+      .orderBy($"doc_id")
+  }
+  val pipelineCleanCorpusSql: String = {
+    s"""WITH ${Dedup.dupFeedSql},
+       |kept AS (SELECT min(doc_id) AS doc_id FROM feed GROUP BY md5(text)),
+       |${Dedup.shingledSql},
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |losers AS (SELECT DISTINCT d2 AS doc_id
+       |  FROM co JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |  WHERE floor(inter * 1.0 / (x.n + y.n - inter) * 10000 + 0.5) / 10000 >= 0.8),
+       |en AS (SELECT doc_id FROM (${TextOps.textLangidSql.replace("ORDER BY doc_id", "")})
+       |  WHERE pred_lang = 'en'),
+       |base AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_words
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 95)
+       |SELECT b.doc_id, b.n_words,
+       |  md5(regexp_replace(regexp_replace(b.text,
+       |    '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+       |    '555-[0-9]+', '<PHONE>', 'g')) AS text_md5
+       |FROM base b
+       |JOIN kept k ON b.doc_id = k.doc_id
+       |JOIN en e ON b.doc_id = e.doc_id
+       |WHERE b.doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- C15
+  /** Dataset-card stats: per-source corpus aggregates (doc counts,
+    * language mix, size and token totals) — one shuffle on `source`. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.table(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct($"lang").as("n_langs"),
+        sum($"n_chars").as("total_chars"),
+        sum(size(split($"text", " ")).cast("long")).as("total_ws_tokens"),
+        (floor(avg($"n_chars") * 100 + 0.5) / 100).as("avg_chars"))
+      .orderBy($"source")
+  }
+  val corpusStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT lang) AS n_langs,
+      |  sum(n_chars) AS total_chars,
+      |  sum(len(string_split(text, ' '))) AS total_ws_tokens,
+      |  floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
+    "corpus_stats" -> (corpusStats _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -26,6 +108,8 @@ object PipelineQueries {
     "mm_frames" -> (Multimodal.mmFrames _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
+    "corpus_stats" -> corpusStatsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,
