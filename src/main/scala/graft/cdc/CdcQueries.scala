@@ -382,7 +382,29 @@ object CdcQueries {
       .orderBy($"p_id")
   }
 
+  // --------------------------------------------------------------- A15
+  /** Truncate handling (reference wire op 'T'): a TRUNCATE in the feed
+    * clears the whole table at its LSN, so only changes after the LAST
+    * truncate contribute to the materialized state. Truncate markers
+    * are derived at every 2500-seq boundary present in the feed; the
+    * last-marker scalar is a 1-row broadcast (no driver loop), then
+    * the usual latest-state window applies. */
+  def truncateApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val lastTrunc = changes
+      .select(floor($"seq" / 2500).cast("long").as("b")).where($"b" > 0)
+      .agg(coalesce(max($"b") * 2500, lit(0L)).as("trunc_seq"))
+    val survivors = changes.crossJoin(broadcast(lastTrunc))
+      .filter($"seq" > $"trunc_seq")
+    ApplyChanges.latest(survivors, Seq("key"), Seq("seq"))
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_truncate_apply" -> (truncateApply _),
     "cdc_asof_join" -> (asofJoin _),
     "cdc_stream_scd2" -> (streamScd2 _),
     "cdc_stream_sessions" -> (streamSessions _),
@@ -418,6 +440,16 @@ object CdcQueries {
        |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_truncate_apply" ->
+      s"""WITH $changesSql,
+         |t AS (SELECT coalesce(max((seq // 2500) * 2500), 0) AS trunc_seq
+         |      FROM changes WHERE seq // 2500 > 0),
+         |surv AS (SELECT c.* FROM changes c, t WHERE c.seq > t.trunc_seq),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+         |      FROM surv)
+         |SELECT key AS user_id, event_type AS last_event_type,
+         |  value AS last_value, seq AS last_seq
+         |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
     "cdc_asof_join" ->
       """SELECT p.event_id AS p_id, p.user_id AS p_user,
         |  s.s_id, s.s_type, s.s_value
