@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture.{spark, sf0001}
+
+/** Regression-proofs the SURVEY §6 plan claims: filters/columns reach
+  * the parquet scan, dims broadcast, single-shuffle materialization. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private def executed(df: org.apache.spark.sql.DataFrame) = {
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("q1: filter pushed to scan, columns pruned") {
+    val plan = executed(queries.Relational.q1PricingSummary(spark, sf0001))
+    val scan = plan.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      scan.metadata("PushedFilters"))
+    val read = scan.metadata("ReadSchema")
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"), read)
+  }
+
+  test("q5: all five dimension joins broadcast") {
+    val plan = executed(queries.Relational.q5RegionRevenue(spark, sf0001))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size === 5, s"expected 5 broadcast joins, got ${bhj.size}")
+  }
+
+  test("latest-state materialization is a single data shuffle") {
+    val plan = executed(cdc.CdcQueries.latestState(spark, sf0001))
+    // one exchange for the key window + one for the presentation sort
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$plan")
+  }
+}
