@@ -403,7 +403,57 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A16
+  /** Stream-static enrichment: the change stream joins the (slowly
+    * changing, broadcastable) customer dimension each micro-batch —
+    * the standard "enrich CDC events with reference data" topology.
+    * The static side re-resolves per batch, so dim updates are picked
+    * up without restarting the stream. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "graft_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val cust = graft.Tables.table(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    val enriched = rawEventStream(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .join(broadcast(cust), $"user_id" === $"c_custkey")
+    val q = enriched.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select($"event_id", $"user_id", $"c_name", $"c_mktsegment", $"value")
+      .orderBy($"event_id")
+  }
+
+  // --------------------------------------------------------------- A17
+  /** Quarantine accounting: a deterministically corrupted feed (every
+    * 97th message gets its type byte zeroed) decoded permissively;
+    * corrupt records surface as NULL and are counted, never killing
+    * the stage — the operational posture at 100 TB. */
+  def decodeQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgOutputExpressions.register(s)
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val wire = changes.select($"seq", struct(
+        when($"op" === "i", "I").when($"op" === "d", "D").otherwise("U").as("op"),
+        lit(1).as("relation_id"),
+        array($"key".cast("string"), $"seq".cast("string")).as("key_cells"),
+        when($"op" =!= "d",
+          array($"key".cast("string"), $"event_type")).as("cells")).as("m"))
+      .select($"seq", expr("pg_encode(m)").as("raw"))
+      // zero the message-type byte of every 97th record
+      .select($"seq", when($"seq" % 97 === 0,
+          concat(lit(Array[Byte](0)), expr("substring(raw, 2, length(raw))")))
+        .otherwise($"raw").as("raw"))
+    wire.select(expr("pg_decode_permissive(raw)").as("d"))
+      .agg(count(lit(1)).as("n_total"),
+        count($"d").as("n_ok"),
+        (count(lit(1)) - count($"d")).as("n_quarantined"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stream_enrich" -> (streamEnrich _),
+    "cdc_decode_quarantine" -> (decodeQuarantine _),
     "cdc_truncate_apply" -> (truncateApply _),
     "cdc_asof_join" -> (asofJoin _),
     "cdc_stream_scd2" -> (streamScd2 _),
@@ -440,6 +490,15 @@ object CdcQueries {
        |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "cdc_decode_quarantine" ->
+      """SELECT count(*) AS n_total,
+        |  count(*) - count(*) FILTER (event_id % 97 = 0) AS n_ok,
+        |  count(*) FILTER (event_id % 97 = 0) AS n_quarantined
+        |FROM events""".stripMargin,
     "cdc_truncate_apply" ->
       s"""WITH $changesSql,
          |t AS (SELECT coalesce(max((seq // 2500) * 2500), 0) AS trunc_seq

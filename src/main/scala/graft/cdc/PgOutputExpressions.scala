@@ -106,6 +106,8 @@ object PgOutputExpressions {
     try decodeToRow(bytes) catch { case _: RuntimeException => null }
 
   case class PgDecodePermissive(child: Expression) extends UnaryExpression {
+    // corrupt input maps to NULL even when the child can't be null
+    override def nullable: Boolean = true
     override def dataType: DataType = decodedType
     override def nullSafeEval(input: Any): Any =
       decodeToRowOrNull(input.asInstanceOf[Array[Byte]])

@@ -66,6 +66,43 @@ object PipelineQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- C16
+  /** Symmetric int8 vector quantization (the compression step before
+    * shipping embeddings at corpus scale): per-vector scale =
+    * max |x|, q = round(x·127/scale), plus reconstruction-error stats.
+    * All narrow higher-order-function arithmetic, identical floor-based
+    * rounding on both engines. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r6 = (c: org.apache.spark.sql.Column) => floor(c * 1000000 + 0.5) / 1000000
+    graft.Tables.table(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform($"v", x => abs(x))))
+      .withColumn("errs", transform($"v", x =>
+        abs(x - floor(x * 127 / $"scale" + 0.5) * $"scale" / 127)))
+      .select($"vec_id", r6($"scale").as("scale"),
+        r6(array_max($"errs")).as("max_abs_err"),
+        r6(aggregate($"errs", lit(0.0), (acc, e) => acc + e * e) / size($"v"))
+          .as("mse"))
+      .orderBy($"vec_id")
+  }
+  val embQuantizeSql: String =
+    """WITH n AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS scale FROM n),
+      |e AS (SELECT vec_id, scale, v,
+      |    list_transform(v, x ->
+      |      abs(x - floor(x * 127 / scale + 0.5) * scale / 127)) AS errs
+      |  FROM q)
+      |SELECT vec_id,
+      |  floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+      |  floor(list_max(errs) * 1000000 + 0.5) / 1000000 AS max_abs_err,
+      |  floor(list_sum(list_transform(errs, x -> x * x)) / len(v)
+      |    * 1000000 + 0.5) / 1000000 AS mse
+      |FROM e ORDER BY vec_id""".stripMargin
+
   // --------------------------------------------------------------- C15
   /** Dataset-card stats: per-source corpus aggregates (doc counts,
     * language mix, size and token totals) — one shuffle on `source`. */
@@ -91,6 +128,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "corpus_stats" -> (corpusStats _),
+    "emb_quantize" -> (embQuantize _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -110,6 +148,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "corpus_stats" -> corpusStatsSql,
+    "emb_quantize" -> embQuantizeSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,

@@ -267,7 +267,24 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------------------------- B15
+  /** CUBE over (segment, priority): all four grouping combinations in
+    * one pass — Spark expands the grouping sets map-side, so it's one
+    * shuffle, not four queries. */
+  def qCubeSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderpriority")
+      .agg(money(sum($"o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"revenue", $"n_orders")
+      .orderBy($"segment", $"priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube_segment" -> (qCubeSegment _),
     "q_skew_salted_distinct" -> (qSkewSaltedDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
@@ -284,6 +301,14 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_cube_segment" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY segment, priority""".stripMargin,
     "q_skew_salted_distinct" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS exact_users,
