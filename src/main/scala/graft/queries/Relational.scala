@@ -283,7 +283,26 @@ object Relational {
       .orderBy($"segment", $"priority")
   }
 
+  // --------------------------------------------------------------- B16
+  /** Top-3 orders per customer via the custom [[graft.functions.TopKAgg]]
+    * aggregate — same result as the window-rank formulation (B7 shape)
+    * but with map-side k-bounded partial buffers instead of a full
+    * per-group sort: the shuffle carries ≤ k rows per (task, group),
+    * which is what survives a group with 10^9 rows. */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.TopKAgg.register(s)
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(expr("topk_agg(struct(o_totalprice, o_orderkey), 3)").as("top"))
+      .select($"o_custkey", posexplode($"top"))
+      .select($"o_custkey", ($"pos" + 1).as("rank"),
+        $"col.id".as("o_orderkey"), money($"col.score").as("totalprice"))
+      .orderBy($"o_custkey", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_per_group" -> (qTopkPerGroup _),
     "q_cube_segment" -> (qCubeSegment _),
     "q_skew_salted_distinct" -> (qSkewSaltedDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -301,6 +320,14 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_topk_per_group" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |SELECT o_custkey, rank, o_orderkey,
+        |  floor(o_totalprice * 100 + 0.5) / 100 AS totalprice
+        |FROM r WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "q_cube_segment" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
