@@ -338,6 +338,7 @@ object CdcQueries {
       .groupBy(session_window($"ts", "30 minutes"), $"user_id")
       .agg(count(lit(1)).as("n_events"),
         (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
+    CdcStream.withStatePartitions(s) {
     val q = agg.writeStream
       .outputMode("append").format("memory").queryName(name).start()
     try {
@@ -353,6 +354,7 @@ object CdcQueries {
       java.nio.file.Files.move(part, inDir.resolve("01_sentinel.parquet"))
       q.processAllAvailable()
     } finally q.stop()
+    }
     s.table(name)
       .filter($"user_id" >= 0)
       .select($"user_id",

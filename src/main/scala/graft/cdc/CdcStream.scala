@@ -20,6 +20,21 @@ case class ChangeRecord(key: Long, seq: Long, op: String,
   */
 object CdcStream {
 
+  /** Stateful-stream partition count. `spark.sql.shuffle.partitions`
+    * at stream START fixes the state-store count for the life of the
+    * checkpoint, and each store pays per-batch commit overhead — so
+    * size it to STATE volume, not to the batch shuffle default
+    * (measured at sf0.1: stream-stream join 8.5 s @ 32 stores → 4.2 s
+    * @ 8; a cluster with large state raises it instead). Bounded
+    * runners scope the setting to the streaming query and restore. */
+  val StatePartitions = 8
+
+  private[cdc] def withStatePartitions[T](s: SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Latest-state upserts via flatMapGroupsWithState (Update mode).
     * Emits the current state of every key touched by the batch; a
     * delete keeps a tombstone in state so late lower-seq changes can't
@@ -42,9 +57,11 @@ object CdcStream {
   def runLatestStateBounded(spark: SparkSession, changes: Dataset[ChangeRecord]): DataFrame = {
     import spark.implicits._
     val name = "graft_upserts_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = latestState(changes).writeStream
-      .outputMode(OutputMode.Update).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = latestState(changes).writeStream
+        .outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // A key may be emitted once per micro-batch: keep its max-seq row.
     val all = spark.table(name)
     val w = org.apache.spark.sql.expressions.Window
@@ -80,9 +97,11 @@ object CdcStream {
         })
       .toDF("key", "seq", "op", "event_type", "value",
         "valid_from_us", "valid_to_us", "is_current")
-    val q = versions.writeStream
-      .outputMode(OutputMode.Update).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = versions.writeStream
+        .outputMode(OutputMode.Update).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // keep each version's latest emission (a version re-emits when a
     // later batch closes it)
     val w = org.apache.spark.sql.expressions.Window
@@ -111,9 +130,11 @@ object CdcStream {
       $"user_id" === $"p_user_id" &&
         $"purchase_ts" >= $"signup_ts" &&
         $"purchase_ts" <= $"signup_ts" + expr("INTERVAL 1 HOUR"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -123,12 +144,14 @@ object CdcStream {
     * unlike plain dropDuplicates). */
   def runStreamDedupBounded(spark: SparkSession, events: DataFrame): DataFrame = {
     val name = "graft_sdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream
-      .outputMode(OutputMode.Append).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = events
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .outputMode(OutputMode.Append).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -143,9 +166,11 @@ object CdcStream {
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
         (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         $"event_type", $"n_events", $"total_value")
