@@ -301,7 +301,44 @@ object Relational {
       .orderBy($"o_custkey", $"rank")
   }
 
+  // --------------------------------------------------------------- B17
+  /** Fuzzy entity matching: probe the 20 lowest-key customers' names
+    * against the whole dimension at edit distance ≤ 2 — the
+    * entity-resolution primitive (dirty CDC upstreams misspell keys).
+    * Probe side broadcasts; at 100 TB the corpus side stays a scan
+    * (candidate blocking by prefix/length would bound it further). */
+  def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer").select($"c_custkey", $"c_name")
+    val probes = cust.filter($"c_custkey" < 20)
+      .select($"c_custkey".as("probe_key"), $"c_name".as("probe_name"))
+    cust.crossJoin(broadcast(probes))
+      .filter($"c_custkey" =!= $"probe_key")
+      .withColumn("dist", levenshtein($"c_name", $"probe_name"))
+      .filter($"dist" <= 2)
+      .select($"probe_key", $"c_custkey".as("match_key"), $"dist")
+      .orderBy($"probe_key", $"match_key")
+  }
+
+  // --------------------------------------------------------------- B18
+  /** Exact interpolated percentiles (p50/p90/p99) of order totals per
+    * priority — Spark `percentile` and DuckDB `quantile_cont` share
+    * the continuous-interpolation definition. */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        money(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        money(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        money(expr("percentile(o_totalprice, 0.99)")).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_percentiles" -> (qPercentiles _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_cube_segment" -> (qCubeSegment _),
     "q_skew_salted_distinct" -> (qSkewSaltedDistinct _),
@@ -320,6 +357,20 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_match" ->
+      """SELECT p.c_custkey AS probe_key, c.c_custkey AS match_key,
+        |  levenshtein(c.c_name, p.c_name) AS dist
+        |FROM customer c CROSS JOIN customer p
+        |WHERE p.c_custkey < 20 AND c.c_custkey <> p.c_custkey
+        |  AND levenshtein(c.c_name, p.c_name) <= 2
+        |ORDER BY probe_key, match_key""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50,
+        |  floor(quantile_cont(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90,
+        |  floor(quantile_cont(o_totalprice, 0.99) * 100 + 0.5) / 100 AS p99,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_topk_per_group" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
