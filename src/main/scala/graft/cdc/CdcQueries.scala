@@ -453,7 +453,33 @@ object CdcQueries {
         (count(lit(1)) - count($"d")).as("n_quarantined"))
   }
 
+  // --------------------------------------------------------------- A18
+  /** Streaming sliding-window aggregate: 1-hour windows sliding every
+    * 15 minutes (each event lands in 4 overlapping windows) per
+    * event_type — complete mode keeps the bounded run equal to the
+    * batch oracle, which expands the 4 window memberships explicitly. */
+  def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "graft_slide_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = rawEventStream(s, dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        $"event_type", $"value")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
+    CdcStream.withStatePartitions(s) {
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        $"event_type", $"n_events", $"total_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stream_sliding" -> (streamSliding _),
     "cdc_stream_enrich" -> (streamEnrich _),
     "cdc_decode_quarantine" -> (decodeQuarantine _),
     "cdc_truncate_apply" -> (truncateApply _),
@@ -492,6 +518,16 @@ object CdcQueries {
        |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_stream_sliding" ->
+      """WITH m AS (SELECT ts, event_type, value,
+        |    time_bucket(INTERVAL 15 MINUTES, ts) AS tb FROM events),
+        |w AS (SELECT event_type, value,
+        |    tb - k.k * INTERVAL 15 MINUTES AS win_start
+        |  FROM m CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n_events,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "cdc_stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
