@@ -66,6 +66,32 @@ object PipelineQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- C17
+  /** Mixture sampling: build a training mix by keeping a per-source
+    * fraction of documents, decided by a *deterministic* content-free
+    * hash coin (first md5 byte of the doc id) — reproducible across
+    * engines and runs, no RNG state, embarrassingly parallel, and the
+    * mix is stable under corpus growth (a doc's fate never changes).
+    * Even sources keep 1/2, odd sources keep 1/4. */
+  def pipelineMixSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val coin = substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 2)
+    val srcNum = regexp_replace($"source", "[^0-9]", "").cast("int")
+    graft.Tables.table(s, dir, "documents")
+      .withColumn("keep", when(srcNum % 2 === 0, coin < "80").otherwise(coin < "40"))
+      .filter($"keep")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"), sum($"n_chars").as("sampled_chars"))
+      .orderBy($"source")
+  }
+  val pipelineMixSampleSql: String =
+    """SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+      |FROM documents
+      |WHERE CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 2 = 0
+      |  THEN substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+      |  ELSE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40' END
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- C16
   /** Symmetric int8 vector quantization (the compression step before
     * shipping embeddings at corpus scale): per-vector scale =
@@ -129,6 +155,7 @@ object PipelineQueries {
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "corpus_stats" -> (corpusStats _),
     "emb_quantize" -> (embQuantize _),
+    "pipeline_mix_sample" -> (pipelineMixSample _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -149,6 +176,7 @@ object PipelineQueries {
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "corpus_stats" -> corpusStatsSql,
     "emb_quantize" -> embQuantizeSql,
+    "pipeline_mix_sample" -> pipelineMixSampleSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,
