@@ -169,6 +169,7 @@ object PipelineQueries {
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_scrub" -> (TextOps.textScrub _),
+    "text_repetition" -> (TextOps.textRepetition _),
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frames" -> (Multimodal.mmFrames _))
 
@@ -186,6 +187,7 @@ object PipelineQueries {
     "text_quality" -> TextOps.textQualitySql,
     "text_tokens" -> TextOps.textTokensSql,
     "text_scrub" -> TextOps.textScrubSql,
+    "text_repetition" -> TextOps.textRepetitionSql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "mm_frames" -> Multimodal.mmFramesSql)
 }

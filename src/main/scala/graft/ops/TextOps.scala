@@ -169,6 +169,42 @@ object TextOps {
       |    '555-[0-9]+', '<PHONE>', 'g')) AS scrub_md5
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C18
+  /** Repetition scoring (the Gopher-rules quality gate): fraction of
+    * duplicated 3-gram slots per document plus the count of the most
+    * repeated 3-gram — high values mark boilerplate/spam for removal.
+    * Narrow per-row array arithmetic, no shuffle. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r4 = (c: org.apache.spark.sql.Column) => floor(c * 10000 + 0.5) / 10000
+    table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id",
+        transform(sequence(lit(0), size($"w") - 3),
+          i => concat_ws(" ", slice($"w", i + 1, lit(3)))).as("grams"))
+      .select($"doc_id",
+        size($"grams").cast("long").as("n_grams"),
+        size(array_distinct($"grams")).cast("long").as("n_distinct"),
+        (size($"grams") - size(array_distinct($"grams"))).cast("long")
+          .as("n_dup_slots"),
+        r4((size($"grams") - size(array_distinct($"grams"))).cast("double") /
+          size($"grams")).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+  val textRepetitionSql: String =
+    """WITH g AS (SELECT doc_id,
+      |    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)] AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)
+      |SELECT doc_id,
+      |  len(grams) AS n_grams,
+      |  len(list_distinct(grams)) AS n_distinct,
+      |  len(grams) - len(list_distinct(grams)) AS n_dup_slots,
+      |  floor((len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+      |    * 10000 + 0.5) / 10000 AS dup_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C11
   /** 64-bit rolling polynomial fingerprints over the dup-injected feed;
     * self-join on the fingerprint finds exactly the injected copies.
