@@ -336,7 +336,31 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  // --------------------------------------------------------------- B19
+  /** User lifecycle summary via frame-spanning window functions:
+    * first/last/second event over the full partition frame plus the
+    * active-span arithmetic — one shuffle on user_id, every window
+    * shares the same frame so Catalyst evaluates them in one pass. */
+  def qFirstLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    graft.Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts", $"event_type",
+        first($"event_type").over(w).as("first_type"),
+        last($"event_type").over(w).as("last_type"),
+        nth_value($"event_type", 2).over(w).as("second_type"),
+        count(lit(1)).over(w).as("n_events"),
+        (unix_micros(last($"ts").over(w)) -
+          unix_micros(first($"ts").over(w))).as("span_micros"))
+      .groupBy($"user_id", $"first_type", $"last_type", $"second_type",
+        $"n_events", $"span_micros")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_first_last" -> (qFirstLast _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_percentiles" -> (qPercentiles _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -357,6 +381,20 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_first_last" ->
+      """WITH w AS (SELECT user_id, event_id, ts, event_type,
+        |    first_value(event_type) OVER fr AS first_type,
+        |    last_value(event_type) OVER fr AS last_type,
+        |    nth_value(event_type, 2) OVER fr AS second_type,
+        |    count(*) OVER fr AS n_events,
+        |    epoch_us(last_value(ts) OVER fr)
+        |      - epoch_us(first_value(ts) OVER fr) AS span_micros
+        |  FROM events
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_type, last_type, second_type, n_events,
+        |  span_micros, count(*) AS n_rows
+        |FROM w GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY user_id""".stripMargin,
     "q_fuzzy_match" ->
       """SELECT p.c_custkey AS probe_key, c.c_custkey AS match_key,
         |  levenshtein(c.c_name, p.c_name) AS dist
