@@ -85,7 +85,8 @@ object PipelineQueries {
       .orderBy($"source")
   }
   val pipelineMixSampleSql: String =
-    """SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+    """SELECT source, count(*) AS n_sampled,
+      |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
       |FROM documents
       |WHERE CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 2 = 0
       |  THEN substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
@@ -146,8 +147,8 @@ object PipelineQueries {
   val corpusStatsSql: String =
     """SELECT source, count(*) AS n_docs,
       |  count(DISTINCT lang) AS n_langs,
-      |  sum(n_chars) AS total_chars,
-      |  sum(len(string_split(text, ' '))) AS total_ws_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
       |  floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 

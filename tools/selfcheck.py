@@ -43,12 +43,17 @@ for name, sql in sorted(oracles.items()):
         print(f"FAIL {name}: rows {len(gs)} != {len(ws)}")
         fails += 1
         continue
-    # normalize dtypes for compare (timestamps -> str, float exact)
+    # dtype-STRICT compare: the driver hashes value representations, so an
+    # int64 vs HUGEINT/object/float64 mismatch fails there even when values
+    # are numerically equal. Mirror that here.
     mism = []
     for c in ws.columns:
         a, b = gs[c], ws[c]
         if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
             a, b = a.astype(str), b.astype(str)
+        if str(a.dtype) != str(b.dtype):
+            mism.append((c, f"dtype spark={a.dtype}", f"oracle={b.dtype}", -1))
+            continue
         neq = ~(a.eq(b) | (a.isna() & b.isna()))
         if neq.any():
             i = neq.idxmax()
