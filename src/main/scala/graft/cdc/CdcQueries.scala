@@ -478,7 +478,61 @@ object CdcQueries {
       .orderBy($"win_start", $"event_type")
   }
 
+  // --------------------------------------------------------------- A19
+  /** Resume-from-LSN: the restart/exactly-once story of a CDC consumer
+    * (reference main.go:64–100 tracks `clientXLogPos` and acks it via
+    * StandbyStatusUpdate; on restart the server re-sends only LSNs
+    * after the ack). Modeled: the acked position is 60% through the
+    * feed (a deterministic 1-row broadcast scalar — no driver loop);
+    * the state snapshot materialized before the restart covers
+    * seq ≤ ack; the replay applies EXACTLY the unacked suffix
+    * (seq > ack) on top of it. The merged result must equal the
+    * full-feed materialization — that equality is the oracle.
+    *
+    * Scale: snapshot + suffix + merge are each one hash shuffle on
+    * `key`; the suffix is the only re-read data, which is the point of
+    * acking (restart cost ∝ unacked tail, not feed length). */
+  def resumeFromLsn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val ack = changes.agg(floor(max($"seq") * 0.6).cast("long").as("ack_lsn"))
+    val tagged = changes.crossJoin(broadcast(ack))
+    // state as of the acked LSN (what survived the restart)
+    val snapshot = ApplyChanges.latest(
+      tagged.filter($"seq" <= $"ack_lsn"), Seq("key"), Seq("seq"))
+    // replay exactly the unacked suffix; suffix seqs all exceed
+    // snapshot seqs, so one more latest() resolves the merge (suffix
+    // deletes tombstone keys out of the snapshot)
+    val suffix = tagged.filter($"seq" > $"ack_lsn")
+    ApplyChanges.latest(snapshot.unionByName(suffix), Seq("key"), Seq("seq"))
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"), $"ack_lsn")
+      .orderBy($"user_id")
+  }
+
+  // --------------------------------------------------------------- A20
+  /** Outbox-pattern consumption (the downstream-use pattern in the
+    * reference's presentation): the relay delivers outbox messages
+    * at-least-once — every 7th message arrives twice here — and the
+    * consumer gets exactly-once semantics by folding deliveries by
+    * message_id. One hash shuffle on the group key; copies collapse
+    * map-side (partial agg), so duplicate deliveries never cross the
+    * wire twice. */
+  def outboxConsume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outbox = ChangeFeed.fromEvents(s, dir)
+      .select($"seq".as("message_id"), $"key".as("aggregate_id"),
+        $"event_type", $"value")
+    val delivered = outbox.unionByName(outbox.filter($"message_id" % 7 === 0))
+    delivered
+      .groupBy($"message_id", $"aggregate_id", $"event_type", $"value")
+      .agg(count(lit(1)).as("n_deliveries"))
+      .orderBy($"message_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_resume_from_lsn" -> (resumeFromLsn _),
+    "cdc_outbox_consume" -> (outboxConsume _),
     "cdc_stream_sliding" -> (streamSliding _),
     "cdc_stream_enrich" -> (streamEnrich _),
     "cdc_decode_quarantine" -> (decodeQuarantine _),
@@ -518,6 +572,24 @@ object CdcQueries {
        |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_resume_from_lsn" ->
+      s"""WITH $changesSql,
+         |a AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS ack_lsn FROM changes),
+         |r AS (SELECT c.*, a.ack_lsn,
+         |        row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+         |      FROM changes c, a)
+         |SELECT key AS user_id, event_type AS last_event_type,
+         |  value AS last_value, seq AS last_seq, ack_lsn
+         |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+    "cdc_outbox_consume" ->
+      s"""WITH $changesSql,
+         |outbox AS (SELECT seq AS message_id, key AS aggregate_id,
+         |    event_type, value FROM changes),
+         |delivered AS (SELECT * FROM outbox
+         |  UNION ALL SELECT * FROM outbox WHERE message_id % 7 = 0)
+         |SELECT message_id, aggregate_id, event_type, value,
+         |  count(*) AS n_deliveries
+         |FROM delivered GROUP BY 1, 2, 3, 4 ORDER BY message_id""".stripMargin,
     "cdc_stream_sliding" ->
       """WITH m AS (SELECT ts, event_type, value,
         |    time_bucket(INTERVAL 15 MINUTES, ts) AS tb FROM events),

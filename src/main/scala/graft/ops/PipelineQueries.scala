@@ -184,6 +184,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_bruteforce" -> Ann.annBruteforceSql,
+    "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_langid" -> TextOps.textLangidSql,
     "text_quality" -> TextOps.textQualitySql,
     "text_tokens" -> TextOps.textTokensSql,

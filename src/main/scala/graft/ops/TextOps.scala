@@ -208,8 +208,12 @@ object TextOps {
   // --------------------------------------------------------------- C11
   /** 64-bit rolling polynomial fingerprints over the dup-injected feed;
     * self-join on the fingerprint finds exactly the injected copies.
-    * The hash itself is not SQL-expressible → rows-only + FingerprintSpec
-    * (equality ⇔ text equality on this corpus). */
+    * The hash value itself is not SQL-expressible, but the PAIR SET is:
+    * fingerprint equality ⇔ text equality on this corpus
+    * (collision-freedom asserted by FingerprintSpec), so the oracle is
+    * a text-equality self-join producing the identical (d1, d2) rows.
+    * 100 TB: the join key is the 8-byte fingerprint, never the text —
+    * the shuffle carries (doc_id, fp) only. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
@@ -217,7 +221,12 @@ object TextOps {
       .select($"doc_id", expr("fingerprint64(text)").as("fp"))
     fp.as("a").join(fp.as("b"),
         $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"a.fp".as("fp"))
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .orderBy($"d1", $"d2")
   }
+  val textFingerprintSql: String =
+    s"""WITH ${Dedup.dupFeedSql}
+       |SELECT a.doc_id AS d1, b.doc_id AS d2
+       |FROM feed a JOIN feed b ON a.text = b.text AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin
 }

@@ -51,16 +51,17 @@ object Relational {
 
   // ---------------------------------------------------------------- B2
   /** TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
-    * 100 TB: customer filter prunes before the join; orders⋈lineitem
-    * shuffles on orderkey; top-k is a TakeOrderedAndProject (no global
-    * sort materialization). */
+    * 100 TB: customer filter prunes before the join (and AQE picks the
+    * join strategy — customer scales with SF, so no hard broadcast);
+    * orders⋈lineitem shuffles on orderkey; top-k is a
+    * TakeOrderedAndProject (no global sort materialization). */
   def q3TopUnshipped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
     val ord = t(s, dir, "orders").filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
     val li = t(s, dir, "lineitem").filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
       .select($"l_orderkey", $"revenue", $"o_orderdate".cast("date").as("orderdate"))
@@ -69,9 +70,13 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- B3
-  /** TPC-H Q5 shape: 6-way star join with broadcast dims.
-    * 100 TB: region/nation/supplier/customer broadcast; only
-    * lineitem⋈orders shuffles (on orderkey). */
+  /** TPC-H Q5 shape: 6-way star join.
+    * 100 TB: region/nation are hint-broadcast (bounded at 25/5 rows by
+    * the data model — safe at ANY scale); customer/supplier are left
+    * to Catalyst/AQE, which broadcasts them while they fit the
+    * threshold and degrades to shuffle joins at SF100+ instead of
+    * OOMing on a multi-GB forced build side. Only lineitem⋈orders
+    * must shuffle (on orderkey). */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val region = t(s, dir, "region").filter($"r_name" === "ASIA")
@@ -83,8 +88,8 @@ object Relational {
         $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem")
     li.join(orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
-      .join(broadcast(supplier),
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(supplier,
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
@@ -94,11 +99,13 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- B4
-  /** join + groupBy + HAVING + top-k. */
+  /** join + groupBy + HAVING + top-k. Customer is NOT hint-broadcast:
+    * it grows with SF, so the join strategy is AQE's call (broadcast
+    * under the threshold, shuffle join above it). */
   def qTopCustomers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
       .agg(money(sum($"o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
       .filter($"n_orders" >= 5)
@@ -200,11 +207,13 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- B11
-  /** ROLLUP hierarchical aggregate over region → nation. */
+  /** ROLLUP hierarchical aggregate over region → nation. nation/region
+    * are scale-constant (hint-broadcast); customer scales with SF so
+    * its join strategy is left to AQE. */
   def qRollupRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
       .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
       .rollup($"r_name", $"n_name")
@@ -231,16 +240,18 @@ object Relational {
   /** Correlated scalar subquery shape (TPC-H Q17): lineitems below
     * half their part's average quantity. Quantities are integral so
     * avg is an exact double — the threshold comparison is
-    * deterministic across engines. 100 TB: per-part avg is a partial
-    * agg + broadcast-able (2M parts/SF100); here re-joined on partkey. */
+    * deterministic across engines. 100 TB: the per-part average is a
+    * window over partition-by-partkey, so lineitem is scanned ONCE and
+    * shuffled ONCE (the agg+re-join formulation scans and shuffles it
+    * twice for the same answer). */
   def qCorrelatedScalar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = t(s, dir, "lineitem")
-    val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
-      .agg(avg($"l_quantity").as("avg_qty"))
-    li.join(avgQty, $"l_partkey" === $"ap_partkey")
+    val perPart = Window.partitionBy($"l_partkey")
+    t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .withColumn("avg_qty", avg($"l_quantity").over(perPart))
       .filter($"l_quantity" < $"avg_qty" * 0.5)
-      .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(money(sum($"l_extendedprice")).as("total_below"), count(lit(1)).as("n_lines"))
       .orderBy($"p_brand")
@@ -270,11 +281,12 @@ object Relational {
   // --------------------------------------------------------------- B15
   /** CUBE over (segment, priority): all four grouping combinations in
     * one pass — Spark expands the grouping sets map-side, so it's one
-    * shuffle, not four queries. */
+    * shuffle, not four queries. customer join strategy is AQE's call
+    * (it scales with SF). */
   def qCubeSegment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
       .cube($"c_mktsegment", $"o_orderpriority")
       .agg(money(sum($"o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .select(coalesce($"c_mktsegment", lit("ALL")).as("segment"),

@@ -32,7 +32,7 @@ class CoverageSpec extends AnyFunSuite {
 
   test("rows-only queries are the documented hash-based exceptions") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("dedup_simhash", "ann_lsh", "ann_ivf", "text_fingerprint"),
+    assert(rowsOnly === Set("dedup_simhash", "ann_lsh", "ann_ivf"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }
