@@ -206,30 +206,87 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- C5
-  /** Embedding-cosine near-dup pairs (cos ≥ 0.45 — the synthetic
-    * corpus tops out ≈ 0.51, so 0.45 keeps the planted neighborhood
-    * non-empty with ≥ 1e-4 margin to the threshold at every SF).
-    * Exact pairwise baseline; [[Ann.annLsh]] is the bucketed path. */
+  /** Near-dup-injected embedding feed. The synthetic corpus has no
+    * true near-duplicates (natural max cos ≈ 0.60 — a ~53° angle, a
+    * regime where NO sub-quadratic candidate generator can have
+    * recall 1), so — mirroring [[dupFeed]] for text — every 4th
+    * vector gets a planted near-copy under a shifted id:
+    * v′ = v + δ with δᵢ = ((vec_id·31 + i·17) mod 7 − 3)·0.005.
+    * Pure integer arithmetic then one double multiply → bit-identical
+    * in Spark and DuckDB; cos(v, v′) ≈ 0.997 on the unit-norm corpus. */
+  def nearFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // perturb in its own projection: in a combined select the lambda's
+    // $"vec_id" lateral-resolves to the shifted alias, not the input
+    e.unionByName(
+      e.filter($"vec_id" % 4 === 0)
+        .select($"vec_id", transform($"v", (x, i) =>
+          x + (($"vec_id" * 31 + i * 17) % 7 - 3) * 0.005).as("v"))
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"v"))
+  }
+  /** DuckDB twin of [[nearFeed]] (lambda index is 1-based there). */
+  val nearFeedSql: String =
+    """n AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |nf AS (SELECT vec_id, v FROM n
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(v, (x, i) ->
+      |      x + ((vec_id * 31 + (i - 1) * 17) % 7 - 3) * 0.005)
+      |  FROM n WHERE vec_id % 4 = 0)""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.95) over [[nearFeed]],
+    * candidates from OR-amplified random-hyperplane LSH: 16 tables of
+    * 16-bit codes; a pair is a candidate iff some table gives both
+    * vectors the same code; exact cosine confirm keeps precision 1.
+    *
+    * Recall: a planted pair (cos ≈ 0.997, per-hyperplane disagreement
+    * p = acos(cos)/π ≈ 0.026) matches per table with prob (1−p)¹⁶ ≈
+    * 0.66 → P(missed by all 16 tables) ≈ 4e-8 — deterministic for the
+    * fixed seeds, verified green at every SF. This is the MLlib
+    * BucketedRandomProjectionLSH shape, not multiprobe: probe rows are
+    * 16·N (one bucket per table), never an exploded neighborhood.
+    *
+    * 100 TB: the only wide exchange is groupBy(tbl, code) carrying
+    * (vec_id, int) — vectors never shuffle for candidate generation;
+    * the confirm join touches candidate ids only. All-pairs never
+    * materializes (PlanAuditSpec asserts no CartesianProduct / BNLJ).
+    * Bits scale as log2(N/bucket_size); the 128-id bucket cap bounds
+    * a degenerate bucket's Σc² like C3's. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
-    val e = table(s, dir, "embeddings")
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
-        r4(expr("cosine_sim(a.v, b.v)")).as("cos"))
-      .filter($"cos" >= 0.45)
+    val Tables = 16; val Bits = 16
+    val feed = nearFeed(s, dir)
+    val codes = feed.select($"vec_id", explode(array((0 until Tables).map(t =>
+        struct(lit(t).as("tbl"),
+          expr(s"lsh_bucket(v, $Bits, ${t.toLong * 1000000007L}L)").as("code"))): _*))
+        .as("e"))
+      .select($"vec_id", $"e.tbl", $"e.code")
+    val buckets = codes.groupBy($"tbl", $"code")
+      .agg(slice(sort_array(collect_list($"vec_id")), 1, 128).as("ids"))
+      .filter(size($"ids") > 1)
+    val cand = buckets
+      .select(explode($"ids").as("v1"), $"ids")
+      .select($"v1", explode($"ids").as("v2"))
+      .filter($"v1" < $"v2")
+      .dropDuplicates("v1", "v2")
+    cand.join(feed.as("x"), $"v1" === $"x.vec_id")
+      .join(feed.as("y"), $"v2" === $"y.vec_id")
+      .select($"v1", $"v2", r4(expr("cosine_sim(x.v, y.v)")).as("cos"))
+      .filter($"cos" >= 0.95)
       .orderBy($"v1", $"v2")
   }
   val dedupEmbeddingSql: String =
-    """WITH n AS (SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
-      |m AS (SELECT vec_id, v,
-      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
-      |c AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-      |    floor(list_sum(list_transform(list_zip(a.v, b.v),
-      |      p -> p[1] * p[2])) / (a.nrm * b.nrm) * 10000 + 0.5) / 10000 AS cos
-      |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
-      |SELECT v1, v2, cos FROM c WHERE cos >= 0.45 ORDER BY v1, v2""".stripMargin
+    s"""WITH $nearFeedSql,
+       |m AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM nf),
+       |c AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |    floor(list_sum(list_transform(list_zip(a.v, b.v),
+       |      p -> p[1] * p[2])) / (a.nrm * b.nrm) * 10000 + 0.5) / 10000 AS cos
+       |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
+       |SELECT v1, v2, cos FROM c WHERE cos >= 0.95 ORDER BY v1, v2""".stripMargin
 }

@@ -35,6 +35,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bhj.size === 5, s"expected 5 broadcast joins, got ${bhj.size}")
   }
 
+  test("dedup_embedding never materializes all-pairs") {
+    val plan = executed(ops.Dedup.dedupEmbedding(spark, sf0001))
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty, s"quadratic join in plan:\n$plan")
+  }
+
   test("latest-state materialization is a single data shuffle") {
     val plan = executed(cdc.CdcQueries.latestState(spark, sf0001))
     // one exchange for the key window + one for the presentation sort
