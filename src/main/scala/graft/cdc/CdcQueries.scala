@@ -181,9 +181,7 @@ object CdcQueries {
   // ---------------------------------------------------------------- A8
   def streamWindowed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val events = rawEventStream(s, dir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), $"event_type", $"value")
-    CdcStream.runWindowedBounded(s, events)
+    CdcStream.runWindowedBounded(s, dir)
       .orderBy($"hour_start", $"event_type")
   }
 
@@ -313,49 +311,19 @@ object CdcQueries {
   // --------------------------------------------------------------- A13
   /** Streaming event-time session windows (30-min gap) per user.
     * `session_window` only supports APPEND output, which finalizes a
-    * session when the watermark passes it — so a bounded replay needs
-    * end-of-stream punctuation: the events file is batch 1, then a
-    * far-future sentinel event (user −1) arrives as batch 2, advancing
-    * the watermark past every real session. The same pattern closes
-    * windows on a real CDC feed via source heartbeats. */
+    * session when the watermark passes it — the bounded replay uses
+    * the end-of-stream punctuation of
+    * [[CdcStream.runPunctuatedAppend]]. */
   def streamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val inDir = java.nio.file.Files.createTempDirectory("graft_sess_in")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      inDir.resolve("00_events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val name = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val agg = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
-        $"user_id", $"value")
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
-      .agg(count(lit(1)).as("n_events"),
-        (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
-    CdcStream.withStatePartitions(s) {
-    val q = agg.writeStream
-      .outputMode("append").format("memory").queryName(name).start()
-    try {
-      q.processAllAvailable()
-      // end-of-stream punctuation: year-2100 sentinel advances the
-      // watermark so every real session finalizes and appends
-      val sent = Seq((-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      val sentDir = java.nio.file.Files.createTempDirectory("graft_sess_sent")
-      sent.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-      val part = java.nio.file.Files.list(sentDir).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, inDir.resolve("01_sentinel.parquet"))
-      q.processAllAvailable()
-    } finally q.stop()
+    CdcStream.runPunctuatedAppend(s, dir) { raw =>
+      raw.select(timestamp_micros(expr("ts div 1000")).as("ts"),
+          $"user_id", $"value")
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
     }
-    s.table(name)
       .filter($"user_id" >= 0)
       .select($"user_id",
         date_format($"session_window.start", tsFmt).as("session_start"),
@@ -456,23 +424,22 @@ object CdcQueries {
   // --------------------------------------------------------------- A18
   /** Streaming sliding-window aggregate: 1-hour windows sliding every
     * 15 minutes (each event lands in 4 overlapping windows) per
-    * event_type — complete mode keeps the bounded run equal to the
-    * batch oracle, which expands the 4 window memberships explicitly. */
+    * event_type. Watermark + APPEND with end-of-stream punctuation
+    * ([[CdcStream.runPunctuatedAppend]]): each of the 4 overlapping
+    * windows finalizes once the watermark passes its end, so state is
+    * bounded and nothing is rewritten per batch. The batch oracle
+    * expands the 4 window memberships explicitly. */
   def streamSliding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val name = "graft_slide_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val agg = rawEventStream(s, dir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
-        $"event_type", $"value")
-      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
-      .agg(count(lit(1)).as("n_events"),
-        (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
-    CdcStream.withStatePartitions(s) {
-      val q = agg.writeStream
-        .outputMode("complete").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+    CdcStream.runPunctuatedAppend(s, dir) { raw =>
+      raw.select(timestamp_micros(expr("ts div 1000")).as("ts"),
+          $"event_type", $"value")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
     }
-    s.table(name)
+      .filter($"event_type" =!= "sentinel")
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
         $"event_type", $"n_events", $"total_value")
       .orderBy($"win_start", $"event_type")

@@ -1,8 +1,11 @@
 package graft.cdc
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** One change-feed record in flight (micros instead of Timestamp keeps
   * the encoder simple and the state compact). */
@@ -155,23 +158,68 @@ object CdcStream {
     spark.table(name)
   }
 
-  /** Streaming tumbling-window aggregate (1h) per event_type, complete
-    * mode; with a real unbounded source this would carry
-    * `withWatermark` + append mode — complete mode keeps the bounded
-    * result equal to the batch oracle. */
-  def runWindowedBounded(spark: SparkSession, events: DataFrame): DataFrame = {
+  private val EventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Run a watermarked APPEND-mode streaming aggregation over the
+    * events file with end-of-stream punctuation: the events parquet is
+    * batch 1; a far-future sentinel event (user −1, year 2100) arrives
+    * as batch 2 and advances the watermark past every real window, so
+    * append mode finalizes and emits each window exactly once. This is
+    * the unbounded-safe pattern (state bounded by the watermark, no
+    * per-batch full-result rewrite); a real CDC feed closes windows the
+    * same way via source heartbeats. `build` maps the raw event stream
+    * (event_id, ts nanos, user_id, event_type, value, props) to the
+    * watermarked aggregation; callers filter the sentinel out of the
+    * result. */
+  def runPunctuatedAppend(spark: SparkSession, dir: String)
+      (build: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
-    val name = "graft_windows_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val agg = events
-      .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n_events"),
-        (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_punct_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      inDir.resolve("00_events.parquet"))
+    val name = "graft_punct_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val agg = build(spark.readStream.schema(EventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString))
     withStatePartitions(spark) {
       val q = agg.writeStream
-        .outputMode(OutputMode.Complete).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+        .outputMode(OutputMode.Append).format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        val sent = Seq((-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val sentDir = java.nio.file.Files.createTempDirectory("graft_punct_sent")
+        sent.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+        val part = java.nio.file.Files.list(sentDir).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(part, inDir.resolve("01_sentinel.parquet"))
+        q.processAllAvailable()
+      } finally q.stop()
     }
     spark.table(name)
+  }
+
+  /** Streaming tumbling-window aggregate (1h) per event_type:
+    * watermark + APPEND mode with end-of-stream punctuation
+    * ([[runPunctuatedAppend]]) — each window is emitted once when the
+    * watermark passes it, state is GC'd behind the watermark. The
+    * bounded result equals the batch oracle because the sentinel
+    * finalizes every real window. */
+  def runWindowedBounded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    runPunctuatedAppend(spark, dir) { raw =>
+      raw.select(timestamp_micros(expr("ts div 1000")).as("ts"),
+          $"event_type", $"value")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
+    }
+      .filter($"event_type" =!= "sentinel")
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         $"event_type", $"n_events", $"total_value")
   }

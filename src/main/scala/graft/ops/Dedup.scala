@@ -97,7 +97,9 @@ object Dedup {
     import s.implicits._
     val t = 0.8
     // four plan branches consume the shingles (freq, both join sides,
-    // verify) — persist so shingling runs once, not per branch
+    // verify) — persist so shingling runs once, not per branch; the
+    // returned frame is lazy, so lifetime is bounded by the caller
+    // (Verify/Bench clearCache after each query's action)
     val sh = shingled(s, dir).withColumn("n", size($"sh")).persist()
     val ex = sh.select($"doc_id", $"n", explode($"sh").as("s"))
     val freq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
