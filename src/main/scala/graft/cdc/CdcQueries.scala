@@ -497,7 +497,78 @@ object CdcQueries {
       .orderBy($"message_id")
   }
 
+  // --------------------------------------------------------------- A21
+  /** Typed per-OID column decode parity (the reference's
+    * Column.Decoder switch, main.go:475–565): a mixed-type wal2json
+    * row is text-encoded exactly as PG emits each type — bool 't'/'f',
+    * bytea \x-hex, scientific floats, uuid, tid '(block,row)', json,
+    * and 1-D array literals with full quoting — then
+    * [[graft.sources.ChangeEventFiles.pgTyped]] decodes every cell by
+    * its declared type name. The oracle derives the same typed values
+    * independently from the base columns, so an encode bug and a
+    * decode bug can't cancel out. All decode work is narrow per-row
+    * expressions in the scan stage; no shuffle. */
+  def typedDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ChangeEventFiles.pgTyped
+    PgOutputExpressions.register(s)
+    val base = graft.Tables.events(s, dir)
+      .withColumn("cents", floor($"value" * 100 + 0.5).cast("long"))
+    val cells = base.select($"event_id", struct(
+        when($"event_id" % 2 === 0, "t").otherwise("f").as("c_bool"),
+        ($"event_id" % 100).cast("string").as("c_int2"),
+        ($"event_id" % 100000).cast("string").as("c_int4"),
+        $"event_id".cast("string").as("c_int8"),
+        ($"event_id" + 3000000000L).cast("string").as("c_oid"), // > int32
+        concat($"cents".cast("string"), lit("e-2")).as("c_float4"),
+        concat($"cents".cast("string"), lit("e-2")).as("c_float8"),
+        concat(expr("cents DIV 100").cast("string"), lit("."),
+          lpad(($"cents" % 100).cast("string"), 2, "0")).as("c_numeric"),
+        date_format($"ts", "yyyy-MM-dd").as("c_date"),
+        date_format($"ts", tsFmt).as("c_ts"),
+        concat(date_format($"ts", tsFmt), lit("+00")).as("c_tstz"),
+        concat(lpad(hex($"event_id"), 8, "0"), lit("-0000-4000-8000-"),
+          lpad(hex($"user_id"), 12, "0")).as("c_uuid"),
+        concat(lit("\\x"), lower(hex($"event_type"))).as("c_bytea"),
+        $"props".as("c_json"),
+        concat(lit("("), ($"event_id" % 1000).cast("string"), lit(","),
+          ($"event_id" % 50).cast("string"), lit(")")).as("c_tid"),
+        concat(lit("{"), $"user_id".cast("string"), lit(","),
+          ($"event_id" % 7).cast("string"), lit(",NULL}")).as("c_int_arr"),
+        concat(lit("{\""), $"event_type",
+          lit("\",\"a,b\",NULL,\"c\\\"d\",\"e\\\\f\"}")).as("c_text_arr")
+      ).as("m"))
+    def c(name: String, t: String) = pgTyped($"m"(name), t)
+    cells.select($"event_id",
+        c("c_bool", "boolean").as("b"),
+        c("c_int2", "smallint").as("i2"),
+        c("c_int4", "integer").as("i4"),
+        c("c_int8", "bigint").as("i8"),
+        c("c_oid", "oid").as("oid"),
+        c("c_float4", "real").as("f4"),
+        c("c_float8", "double precision").as("f8"),
+        c("c_numeric", "numeric").cast("double").as("num"),
+        c("c_date", "date").as("d"),
+        date_format(c("c_ts", "timestamp"), tsFmt).as("ts_s"),
+        date_format(c("c_tstz", "timestamptz"), tsFmt).as("tstz_s"),
+        c("c_uuid", "uuid").as("uid"),
+        length(c("c_bytea", "bytea")).as("b_len"),
+        lower(hex(c("c_bytea", "bytea"))).as("b_hex"),
+        variant_get(c("c_json", "json"), "$.k", "bigint").as("k_val"),
+        c("c_tid", "tid").getField("block").as("tid_block"),
+        c("c_tid", "tid").getField("offset").as("tid_off"),
+        size(c("c_int_arr", "bigint[]")).as("ia_n"),
+        aggregate(filter(c("c_int_arr", "bigint[]"), x => x.isNotNull),
+          lit(0L), (acc, x) => acc + x).as("ia_sum"),
+        size(c("c_text_arr", "text[]")).as("ta_n"),
+        element_at(c("c_text_arr", "text[]"), 2).as("ta_e2"),
+        element_at(c("c_text_arr", "text[]"), 4).as("ta_e4"),
+        element_at(c("c_text_arr", "text[]"), 5).as("ta_e5"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_typed_decode" -> (typedDecode _),
     "cdc_resume_from_lsn" -> (resumeFromLsn _),
     "cdc_outbox_consume" -> (outboxConsume _),
     "cdc_stream_sliding" -> (streamSliding _),
@@ -539,6 +610,38 @@ object CdcQueries {
        |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // independent re-derivation from the base columns (never reparses
+    // the PG text forms) — a symmetric encode/decode bug can't hide
+    "cdc_typed_decode" ->
+      s"""WITH base AS (SELECT *, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events)
+         |SELECT event_id,
+         |  event_id % 2 = 0 AS b,
+         |  CAST(event_id % 100 AS SMALLINT) AS i2,
+         |  CAST(event_id % 100000 AS INTEGER) AS i4,
+         |  event_id AS i8,
+         |  event_id + 3000000000 AS oid,
+         |  CAST(concat(cents, 'e-2') AS REAL) AS f4,
+         |  CAST(concat(cents, 'e-2') AS DOUBLE) AS f8,
+         |  CAST(CAST(concat(cents // 100, '.', lpad(CAST(cents % 100 AS VARCHAR), 2, '0'))
+         |       AS DECIMAL(38,18)) AS DOUBLE) AS num,
+         |  CAST(ts AS DATE) AS d,
+         |  strftime(ts, '$tsFmtDuck') AS ts_s,
+         |  strftime(ts, '$tsFmtDuck') AS tstz_s,
+         |  lower(concat(lpad(hex(event_id), 8, '0'), '-0000-4000-8000-',
+         |    lpad(hex(user_id), 12, '0'))) AS uid,
+         |  CAST(length(event_type) AS INTEGER) AS b_len,
+         |  lower(hex(event_type)) AS b_hex,
+         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
+         |  event_id % 1000 AS tid_block,
+         |  CAST(event_id % 50 AS INTEGER) AS tid_off,
+         |  CAST(3 AS INTEGER) AS ia_n,
+         |  user_id + (event_id % 7) AS ia_sum,
+         |  CAST(5 AS INTEGER) AS ta_n,
+         |  'a,b' AS ta_e2,
+         |  'c"d' AS ta_e4,
+         |  'e\\f' AS ta_e5
+         |FROM base ORDER BY event_id""".stripMargin,
     "cdc_resume_from_lsn" ->
       s"""WITH $changesSql,
          |a AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS ack_lsn FROM changes),

@@ -119,6 +119,54 @@ object PgOutputExpressions {
       copy(child = c)
   }
 
+  /** PG 1-D array text literal → array<string>: full quoting semantics
+    * ("..." elements, backslash escapes, bare NULL → null element,
+    * '{}' → empty). The text-format twin of the reference's
+    * pgtype.*Array decoders (main.go:479–559); multidimensional
+    * literals (nested braces) are out of scope like the reference's
+    * 1-D pgtype arrays. */
+  def parsePgArray(s: UTF8String): GenericArrayData = {
+    val str = s.toString.trim
+    if (str.length < 2 || str.charAt(0) != '{' || str.charAt(str.length - 1) != '}')
+      throw new IllegalArgumentException(s"not a pg array literal: $str")
+    val body = str.substring(1, str.length - 1)
+    if (body.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val sb = new java.lang.StringBuilder
+    var quoted = false; var wasQuoted = false; var i = 0
+    def finish(): Unit = {
+      val v = sb.toString
+      out += (if (!wasQuoted && v == "NULL") null else UTF8String.fromString(v))
+      sb.setLength(0); wasQuoted = false
+    }
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (quoted) c match {
+        case '\\' => sb.append(body.charAt(i + 1)); i += 2
+        case '"' => quoted = false; i += 1
+        case _ => sb.append(c); i += 1
+      } else c match {
+        case '"' => quoted = true; wasQuoted = true; i += 1
+        case ',' => finish(); i += 1
+        case _ => sb.append(c); i += 1
+      }
+    }
+    finish()
+    new GenericArrayData(out.toArray)
+  }
+
+  case class PgArrayParse(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def nullSafeEval(input: Any): Any =
+      parsePgArray(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.cdc.PgOutputExpressions.parsePgArray($c)")
+    override protected def withNewChildInternal(c: Expression): PgArrayParse =
+      copy(child = c)
+  }
+
   /** Register as SQL functions once per session; returns helper names. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -126,5 +174,6 @@ object PgOutputExpressions {
     reg.createOrReplaceTempFunction("pg_decode_permissive",
       es => PgDecodePermissive(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pg_encode", es => PgEncode(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("pg_array", es => PgArrayParse(es.head), "scala_udf")
   }
 }

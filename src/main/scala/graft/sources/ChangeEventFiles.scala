@@ -44,19 +44,46 @@ object ChangeEventFiles {
 
   /** Typed projection of a text-encoded cell, per the wal2json declared
     * column type — the declarative twin of the reference's per-OID
-    * decoder switch (main.go:433-520). Unknown types stay string. */
-  def typedCell(m: Column, name: String, pgType: String): Column = {
-    val raw = m(name)
-    pgType match {
-      case "integer" | "int4" | "smallint" | "int2" => raw.cast("int")
-      case "bigint" | "int8" => raw.cast("long")
-      case "real" | "float4" => raw.cast("float")
-      case "double precision" | "float8" => raw.cast("double")
-      case "numeric" => raw.cast("decimal(38,18)")
-      case "boolean" => raw.cast("boolean")
-      case t if t.startsWith("timestamp") => raw.cast("timestamp")
-      case "date" => raw.cast("date")
-      case _ => raw
-    }
+    * decoder switch (main.go:475–565). Covers that switch's OID set:
+    * bool, bytea (PG hex form), int2/4/8, oid/xid/cid (unsigned 32-bit
+    * → long), float4/8, numeric, date, timestamp (→ ntz),
+    * timestamptz, uuid (canonical lowercase), json/jsonb,
+    * text/varchar/name, tid (→ struct(block, offset)), and the 1-D
+    * array form of any of them (`t[]` / `_t`, full PG quoting via
+    * [[graft.cdc.PgOutputExpressions.PgArrayParse]]). Like the
+    * reference, aclitem/inet/cidr/record/unknown stay text. */
+  def typedCell(m: Column, name: String, pgType: String): Column =
+    pgTyped(m(name), pgType)
+
+  def pgTyped(raw: Column, pgType: String): Column = pgType match {
+    // array path needs PgOutputExpressions.register(spark) first
+    case ArrayName(elem) =>
+      transform(call_function("pg_array", raw), e => pgTyped(e, elem))
+    case "boolean" | "bool" => raw.cast("boolean")
+    case "bytea" => unhex(substring(raw, 3, Int.MaxValue)) // \x<hex>
+    case "smallint" | "int2" => raw.cast("short")
+    case "integer" | "int4" => raw.cast("int")
+    case "bigint" | "int8" => raw.cast("long")
+    case "oid" | "xid" | "cid" => raw.cast("long")
+    case "real" | "float4" => raw.cast("float")
+    case "double precision" | "float8" => raw.cast("double")
+    case "numeric" | "decimal" => raw.cast("decimal(38,18)")
+    case "date" => raw.cast("date")
+    case "timestamptz" | "timestamp with time zone" => raw.cast("timestamp")
+    case t if t.startsWith("timestamp") => raw.cast("timestamp_ntz")
+    case "uuid" => lower(raw)
+    case "json" | "jsonb" => parse_json(raw)
+    case "tid" =>
+      struct(regexp_extract(raw, "\\((\\d+),(\\d+)\\)", 1).cast("long").as("block"),
+        regexp_extract(raw, "\\((\\d+),(\\d+)\\)", 2).cast("int").as("offset"))
+    case _ => raw // text/varchar/name/inet/cidr/aclitem/record/unknown
+  }
+
+  /** `integer[]` / `_int4` array type-name forms. */
+  private object ArrayName {
+    def unapply(t: String): Option[String] =
+      if (t.endsWith("[]")) Some(t.dropRight(2))
+      else if (t.startsWith("_")) Some(t.substring(1))
+      else None
   }
 }
