@@ -567,7 +567,76 @@ object CdcQueries {
       .orderBy($"event_id")
   }
 
+  // --------------------------------------------------------------- A22
+  /** File-backed replication source of BINARY pgoutput messages — the
+    * sandbox analogue of the reference's replication socket (main.go:
+    * 18–60 creates the slot; :101–135 consumes XLogData messages).
+    * Stage 1 writes the feed as length-prefix-framed binary segment
+    * files — framing stands in for XLogData's one-message envelope —
+    * from the EXECUTORS (mapPartitions, one segment per WAL chunk; on
+    * a cluster the same code targets a DFS path). Stage 2 is the
+    * consumer under test: a binaryFile STREAMING source reads segments,
+    * `pg_split_frames` recovers the messages, `pg_decode` runs in the
+    * scan stage, and the streaming upsert operator materializes
+    * latest-state. Unlike A1/A7 the bytes on disk ARE the wire format —
+    * the source, codec, and state machine are exercised end-to-end. */
+  def replicationSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgOutputExpressions.register(s)
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val wire = changes.select($"seq", struct(
+        when($"op" === "i", "I").when($"op" === "d", "D").otherwise("U").as("op"),
+        lit(1).as("relation_id"),
+        array($"key".cast("string"), $"seq".cast("string")).as("key_cells"),
+        when($"op" =!= "d",
+          array($"key".cast("string"), $"event_type", $"value".cast("string"),
+            expr("unix_micros(ts)").cast("string"), $"seq".cast("string")))
+          .as("cells")).as("m"))
+      .select($"seq", expr("pg_encode(m)").as("raw"))
+    val segDir = java.nio.file.Files.createTempDirectory("graft_replsrc").toString
+    wire.repartitionByRange(8, $"seq").sortWithinPartitions($"seq")
+      .select($"raw").as[Array[Byte]]
+      .mapPartitions { msgs =>
+        val bos = new java.io.ByteArrayOutputStream()
+        var n = 0
+        msgs.foreach { m =>
+          bos.write((m.length >>> 24) & 0xff); bos.write((m.length >>> 16) & 0xff)
+          bos.write((m.length >>> 8) & 0xff); bos.write(m.length & 0xff)
+          bos.write(m); n += 1
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(segDir,
+          f"seg_${org.apache.spark.TaskContext.getPartitionId()}%05d.bin"),
+          bos.toByteArray)
+        Iterator.single(n)
+      }.reduce(_ + _)
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val decoded = s.readStream.format("binaryFile")
+      .schema(binaryFileSchema).load(segDir)
+      .select(explode(expr("pg_split_frames(content)")).as("msg"))
+      .select(expr("pg_decode(msg)").as("d"))
+      .select(
+        // inserts carry no key tuple on the wire (pgoutput semantics)
+        when($"d.op" === "D", element_at($"d.key_cells", 1))
+          .otherwise(element_at($"d.cells", 1)).cast("long").as("key"),
+        when($"d.op" === "D", element_at($"d.key_cells", 2))
+          .otherwise(element_at($"d.cells", 5)).cast("long").as("seq"),
+        when($"d.op" === "I", "i").when($"d.op" === "D", "d")
+          .otherwise("u").as("op"),
+        coalesce(element_at($"d.cells", 2), lit("")).as("event_type"),
+        coalesce(element_at($"d.cells", 3).cast("double"), lit(0.0)).as("value"),
+        coalesce(element_at($"d.cells", 4).cast("long"), lit(0L)).as("tsMicros"))
+      .as[ChangeRecord]
+    CdcStream.runLatestStateBounded(s, decoded)
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        date_format(timestamp_micros($"tsMicros"), tsFmt).as("last_ts"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_replication_source" -> (replicationSource _),
     "cdc_typed_decode" -> (typedDecode _),
     "cdc_resume_from_lsn" -> (resumeFromLsn _),
     "cdc_outbox_consume" -> (outboxConsume _),
@@ -746,6 +815,9 @@ object CdcQueries {
     "cdc_debezium_parse" -> parsedOracle,
     "cdc_latest_state" -> latestOracle,
     "cdc_stream_upserts" -> latestOracle,
+    // same materialization contract as upserts — but fed from decoded
+    // binary segments, so codec/source bugs surface as state diffs
+    "cdc_replication_source" -> latestOracle,
     "cdc_scd2_history" -> scd2Oracle,
     "cdc_event_stats" ->
       s"""WITH $changesSql

@@ -34,7 +34,9 @@ class AnnSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"mean top-${Ann.K} IVF recall over ${Ann.QueryIds} queries: $mean%.3f")
-    assert(mean >= 0.35, f"mean recall $mean%.3f below floor")
+    // deterministic seeds+data: measured 0.863 (the SURVEY §2 claim);
+    // floor set just under it so a real regression fails
+    assert(mean >= 0.80, f"mean recall $mean%.3f below floor")
     // candidates carry exact cosines: any overlap with BF agrees
     for ((q, hits) <- ivf; (n, c) <- hits; bc <- bf(q).toMap.get(n))
       assert(c === bc, s"query $q neighbor $n")
@@ -50,6 +52,10 @@ class AnnSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"mean top-${Ann.K} recall over ${Ann.QueryIds} queries: $mean%.3f")
-    assert(mean >= 0.35, f"mean recall $mean%.3f below floor")
+    // measured 0.425: honest for 6-bit hyperplane codes probing to
+    // hamming 2 when the true top-10 sits at cos 0.3–0.5, where single
+    // hyperplanes barely discriminate — the recall/cost knob documented
+    // on annLsh; floor just under the deterministic measurement
+    assert(mean >= 0.40, f"mean recall $mean%.3f below floor")
   }
 }
