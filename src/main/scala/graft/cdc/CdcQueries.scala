@@ -242,7 +242,12 @@ object CdcQueries {
 
     // ---- the decoder: stream of (seq, subseq, raw) only from here on
     val wire = relMsgs.unionByName(dataMsgs)
+    // both consumers (registry, data rows) filter on the DECODED op, so
+    // neither filter can push below pg_decode — persist the decoded
+    // stream so the feed is encoded+decoded once, not once per branch
+    // (lifetime bounded by the harness clearCache, like C2/C3)
     val d = wire.select($"seq", $"subseq", expr("pg_decode(raw)").as("d"))
+      .persist()
     // registry = Relation messages with validity intervals (as-of)
     val wNext = org.apache.spark.sql.expressions.Window.orderBy($"valid_from")
     val registry = d.filter($"d.op" === "R")

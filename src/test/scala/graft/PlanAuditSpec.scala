@@ -35,6 +35,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bhj.size === 5, s"expected 5 broadcast joins, got ${bhj.size}")
   }
 
+  test("q_correlated_scalar scans lineitem once (window, not agg+rejoin)") {
+    val plan = executed(queries.Relational.qCorrelatedScalar(spark, sf0001))
+    val liScans = plan.collect { case s: FileSourceScanExec => s }
+      .count(_.metadata("Location").contains("lineitem"))
+    assert(liScans === 1, s"expected 1 lineitem scan, got $liScans")
+  }
+
   test("dedup_embedding never materializes all-pairs") {
     val plan = executed(ops.Dedup.dedupEmbedding(spark, sf0001))
     val bad = plan.collect {
