@@ -640,7 +640,60 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A23
+  /** Streaming wal2json FILE source end-to-end: executors write the
+    * feed as JSON-lines wal2json documents (`to_json` + `write.text` —
+    * the on-disk twin of a wal2json Kafka topic), then the consumer
+    * under test readStreams them through
+    * [[graft.sources.ChangeEventFiles.wal2jsonStream]], projects typed
+    * cells per the DECLARED column types (pgTyped), and materializes
+    * latest-state with the streaming upsert operator. Complements A22:
+    * same state contract, JSON wire instead of binary pgoutput. */
+  def wal2jsonStreamSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ChangeEventFiles
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val doc = changes.select(to_json(struct(array(struct(
+        when($"op" === "i", "insert").when($"op" === "d", "delete")
+          .otherwise("update").as("kind"),
+        lit("public").as("schema"), lit("users").as("table"),
+        when($"op" =!= "d", array(lit("user_id"), lit("event_type"),
+          lit("value"), lit("ts_us"), lit("event_id"))).as("columnnames"),
+        when($"op" =!= "d", array(lit("bigint"), lit("text"),
+          lit("double precision"), lit("bigint"), lit("bigint"))).as("columntypes"),
+        when($"op" =!= "d", array($"key".cast("string"), $"event_type",
+          $"value".cast("string"), expr("unix_micros(ts)").cast("string"),
+          $"seq".cast("string"))).as("columnvalues"),
+        when($"op" === "d", struct(
+          array(lit("user_id"), lit("event_id")).as("keynames"),
+          array(lit("bigint"), lit("bigint")).as("keytypes"),
+          array($"key".cast("string"), $"seq".cast("string")).as("keyvalues")))
+          .as("oldkeys"))).as("change"))).as("doc"))
+    val segDir = java.nio.file.Files.createTempDirectory("graft_w2js").toString
+    doc.coalesce(4).write.mode("overwrite").text(segDir)
+    val flat = ChangeEventFiles.wal2jsonStream(s, segDir)
+    val decoded = flat.select(
+        coalesce(ChangeEventFiles.typedCell($"after", "user_id", "bigint"),
+          $"old_keys"("user_id").cast("long")).as("key"),
+        coalesce(ChangeEventFiles.typedCell($"after", "event_id", "bigint"),
+          $"old_keys"("event_id").cast("long")).as("seq"),
+        when($"kind" === "insert", "i").when($"kind" === "delete", "d")
+          .otherwise("u").as("op"),
+        coalesce($"after"("event_type"), lit("")).as("event_type"),
+        coalesce(ChangeEventFiles.typedCell($"after", "value", "double precision"),
+          lit(0.0)).as("value"),
+        coalesce(ChangeEventFiles.typedCell($"after", "ts_us", "bigint"),
+          lit(0L)).as("tsMicros"))
+      .as[ChangeRecord]
+    CdcStream.runLatestStateBounded(s, decoded)
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        date_format(timestamp_micros($"tsMicros"), tsFmt).as("last_ts"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_wal2json_stream" -> (wal2jsonStreamSource _),
     "cdc_replication_source" -> (replicationSource _),
     "cdc_typed_decode" -> (typedDecode _),
     "cdc_resume_from_lsn" -> (resumeFromLsn _),
@@ -823,6 +876,7 @@ object CdcQueries {
     // same materialization contract as upserts — but fed from decoded
     // binary segments, so codec/source bugs surface as state diffs
     "cdc_replication_source" -> latestOracle,
+    "cdc_wal2json_stream" -> latestOracle,
     "cdc_scd2_history" -> scd2Oracle,
     "cdc_event_stats" ->
       s"""WITH $changesSql
