@@ -692,7 +692,30 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A24
+  /** Streaming AS-OF join ([[CdcStream.streamAsOf]]): purchases pick
+    * up the user's latest prior non-purchase state row, computed in a
+    * stream with per-user buffered state + event-time timeout instead
+    * of the batch merge-scan — must equal the A14 custom-operator
+    * result (same oracle). */
+  def streamAsofQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcStream.runPunctuatedAppend(s, dir) { raw =>
+      CdcStream.streamAsOf(
+        raw.select($"user_id", $"event_id".as("id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            expr("ts div 1000").as("tsUs"),
+            $"event_type".as("etype"), $"value")
+          .withWatermark("ts", "1 hour")
+          .as[CdcStream.AsOfEvent]).toDF()
+    }
+      .filter($"p_user" >= 0)
+      .select($"p_id", $"p_user", $"s_id", $"s_type", $"s_value")
+      .orderBy($"p_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stream_asof" -> (streamAsofQuery _),
     "cdc_wal2json_stream" -> (wal2jsonStreamSource _),
     "cdc_replication_source" -> (replicationSource _),
     "cdc_typed_decode" -> (typedDecode _),
@@ -736,7 +759,7 @@ object CdcQueries {
        |  valid_to IS NULL AS is_current
        |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private lazy val oraclesHead: Map[String, String] = Map(
     // independent re-derivation from the base columns (never reparses
     // the PG text forms) — a symmetric encode/decode bug can't hide
     "cdc_typed_decode" ->
@@ -816,7 +839,11 @@ object CdcQueries {
          |SELECT key AS user_id, event_type AS last_event_type,
          |  value AS last_value, seq AS last_seq
          |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
-    "cdc_asof_join" ->
+    // A24 must equal the A14 custom operator exactly
+    "cdc_stream_asof" -> asofOracle,
+    "cdc_asof_join" -> asofOracle)
+
+  private val asofOracle: String =
       """SELECT p.event_id AS p_id, p.user_id AS p_user,
         |  s.s_id, s.s_type, s.s_value
         |FROM events p
@@ -828,7 +855,8 @@ object CdcQueries {
         |    AND epoch_us(e2.ts) <= epoch_us(p.ts)
         |  ORDER BY epoch_us(e2.ts) DESC, e2.event_id DESC LIMIT 1) s ON true
         |WHERE p.event_type = 'purchase'
-        |ORDER BY p_id""".stripMargin,
+        |ORDER BY p_id""".stripMargin
+  private val restOracles: Map[String, String] = Map(
     "cdc_stream_scd2" -> scd2Oracle,
     "cdc_stream_sessions" ->
       s"""WITH g AS (SELECT user_id, ts, value,
@@ -890,4 +918,6 @@ object CdcQueries {
         |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
         |FROM events GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin)
+
+  lazy val oracles: Map[String, String] = oraclesHead ++ restOracles
 }

@@ -158,6 +158,61 @@ object CdcStream {
     spark.table(name)
   }
 
+  /** One event in the streaming as-of buffer (`ts` carries the
+    * watermark; `tsUs` is the exact microsecond join key). */
+  case class AsOfEvent(user_id: Long, id: Long, ts: java.sql.Timestamp,
+      tsUs: Long, etype: String, value: Double)
+  /** Per-user as-of state: the user's in-horizon history. */
+  case class AsOfBuf(rows: Seq[AsOfEvent])
+  /** Streaming as-of output (LEFT semantics — state side optional). */
+  case class AsOfOut(p_id: Long, p_user: Long, s_id: Option[Long],
+      s_type: Option[String], s_value: Option[Double])
+
+  /** Streaming AS-OF join via flatMapGroupsWithState + event-time
+    * timeout: per user, batches buffer both sides in state; when the
+    * watermark passes the group's timeout (end-of-stream punctuation
+    * advances it), the group emits every purchase joined to the
+    * latest state row at-or-before it (ties by highest id) — the
+    * streaming twin of [[graft.plans.AsOfJoinExec]]'s merge-scan, and
+    * the same "replay the table as of this position" primitive. The
+    * emission itself is the O(n+m) two-pointer merge over the sorted
+    * buffers. State is each user's in-horizon history; a production
+    * deployment bounds the horizon with the watermark exactly like
+    * stream-stream joins (rows behind it can be emitted + dropped). */
+  def streamAsOf(events: Dataset[AsOfEvent]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfBuf]) => {
+          if (state.hasTimedOut) {
+            val all = state.get.rows
+            state.remove()
+            val st = all.filter(_.etype != "purchase")
+              .sortBy(r => (r.tsUs, r.id))
+            val probes = all.filter(_.etype == "purchase")
+              .sortBy(r => (r.tsUs, r.id))
+            var i = 0
+            var best: Option[AsOfEvent] = None
+            probes.iterator.map { p =>
+              while (i < st.length && st(i).tsUs <= p.tsUs) {
+                // ascending (ts, id) scan keeps the tie rule: latest
+                // ts wins, then highest id
+                best = Some(st(i)); i += 1
+              }
+              AsOfOut(p.id, uid, best.map(_.id), best.map(_.etype),
+                best.map(_.value))
+            }
+          } else {
+            state.update(AsOfBuf(
+              state.getOption.map(_.rows).getOrElse(Seq.empty) ++ rows))
+            // fire once the watermark moves past everything seen so far
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
+          }
+        })
+  }
+
   private val EventSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
