@@ -371,7 +371,61 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- B20
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * `hll_sketch_agg`): per-type estimates AND the union of the
+    * per-type sketches must land within 5% of exact. At 100 TB a
+    * one-pass, constant-memory, mergeable sketch is how distincts are
+    * counted across partitions/days; the TOTAL row asserts exactly the
+    * merge property (union of per-group sketches estimates the global
+    * distinct). The oracle pins the exact counts and the 5%-contract
+    * booleans — an estimator drift flips a boolean and fails the hash. */
+  def qSketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+    val per = ev.groupBy($"event_type".as("scope"))
+      .agg(countDistinct($"user_id").as("n_exact"),
+        hll_sketch_agg($"user_id").as("sk"))
+    val totalRow = per.agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .crossJoin(ev.agg(countDistinct($"user_id").as("n_exact")))
+      .select(lit("TOTAL").as("scope"), $"n_exact",
+        (abs($"est" - $"n_exact") <= $"n_exact" * lit(0.05)).as("sketch_ok"))
+    per.select($"scope", $"n_exact",
+        (abs(hll_sketch_estimate($"sk") - $"n_exact") <=
+          $"n_exact" * lit(0.05)).as("sketch_ok"))
+      .unionByName(totalRow)
+      .orderBy($"scope")
+  }
+
+  // --------------------------------------------------------------- B21
+  /** Bounded-memory approximate percentiles (`percentile_approx`,
+    * GK-style sketch) asserted with the RANK-tolerance contract the
+    * sketch actually guarantees: the approx p50 must fall between the
+    * exact p45 and p55 values (p95 between p93/p97). Exact
+    * interpolated percentiles are the oracle columns (engine parity
+    * proven by B18); the booleans pin the contract. */
+  def qSketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        money(expr("percentile(o_totalprice, 0.5)")).as("p50_exact"),
+        money(expr("percentile(o_totalprice, 0.95)")).as("p95_exact"),
+        expr("percentile_approx(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("percentile_approx(o_totalprice, 0.95, 1000)").as("ap95"),
+        expr("percentile(o_totalprice, 0.45)").as("lo50"),
+        expr("percentile(o_totalprice, 0.55)").as("hi50"),
+        expr("percentile(o_totalprice, 0.93)").as("lo95"),
+        expr("percentile(o_totalprice, 0.97)").as("hi95"))
+      .select($"o_orderpriority", $"p50_exact", $"p95_exact",
+        ($"ap50" >= $"lo50" && $"ap50" <= $"hi50").as("p50_ok"),
+        ($"ap95" >= $"lo95" && $"ap95" <= $"hi95").as("p95_ok"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_distinct" -> (qSketchDistinct _),
+    "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_first_last" -> (qFirstLast _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_percentiles" -> (qPercentiles _),
@@ -393,6 +447,21 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_sketch_distinct" ->
+      """SELECT * FROM (
+        |  SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact,
+        |    TRUE AS sketch_ok
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'TOTAL', count(DISTINCT user_id), TRUE FROM events)
+        |ORDER BY scope""".stripMargin,
+    "q_sketch_quantiles" ->
+      """SELECT o_orderpriority,
+        |  floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50_exact,
+        |  floor(quantile_cont(o_totalprice, 0.95) * 100 + 0.5) / 100 AS p95_exact,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_first_last" ->
       """WITH w AS (SELECT user_id, event_id, ts, event_type,
         |    first_value(event_type) OVER fr AS first_type,
