@@ -714,7 +714,52 @@ object CdcQueries {
       .orderBy($"p_id")
   }
 
+  // --------------------------------------------------------------- A25
+  /** Streaming Debezium FILE source end-to-end: executors write the
+    * feed as JSON-lines Debezium envelopes (op/before/after/ts_ms/
+    * source — the topic-on-disk shape), the consumer readStreams them
+    * through [[graft.sources.ChangeEventFiles.debeziumStream]] with a
+    * TYPED row schema (ts carried as epoch micros) and materializes
+    * latest-state. Completes the wire trio: binary pgoutput (A22),
+    * wal2json (A23), Debezium (A25) — all held to the same state
+    * contract. */
+  def debeziumStreamSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.ChangeEventFiles
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val rowType = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("ts_us", LongType),
+      StructField("event_id", LongType)))
+    val row = struct($"key".as("user_id"), $"event_type", $"value",
+      expr("unix_micros(ts)").as("ts_us"), $"seq".as("event_id"))
+    val doc = changes.select(to_json(struct(
+      when($"op" === "i", "c").when($"op" === "d", "d").otherwise("u").as("op"),
+      expr("unix_micros(ts) div 1000").as("ts_ms"),
+      when($"op" === "d", row).as("before"),
+      when($"op" =!= "d", row).as("after"),
+      struct(lit("users").as("table"), $"seq".as("lsn")).as("source"))).as("doc"))
+    val segDir = java.nio.file.Files.createTempDirectory("graft_dbzs").toString
+    doc.coalesce(4).write.mode("overwrite").text(segDir)
+    val decoded = ChangeEventFiles.debeziumStream(s, segDir, rowType)
+      .select(
+        coalesce($"after.user_id", $"before.user_id").as("key"),
+        $"source.lsn".as("seq"),
+        when($"op" === "c", "i").when($"op" === "d", "d")
+          .otherwise("u").as("op"),
+        coalesce($"after.event_type", lit("")).as("event_type"),
+        coalesce($"after.value", lit(0.0)).as("value"),
+        coalesce($"after.ts_us", lit(0L)).as("tsMicros"))
+      .as[ChangeRecord]
+    CdcStream.runLatestStateBounded(s, decoded)
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        date_format(timestamp_micros($"tsMicros"), tsFmt).as("last_ts"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_debezium_stream" -> (debeziumStreamSource _),
     "cdc_stream_asof" -> (streamAsofQuery _),
     "cdc_wal2json_stream" -> (wal2jsonStreamSource _),
     "cdc_replication_source" -> (replicationSource _),
@@ -905,6 +950,7 @@ object CdcQueries {
     // binary segments, so codec/source bugs surface as state diffs
     "cdc_replication_source" -> latestOracle,
     "cdc_wal2json_stream" -> latestOracle,
+    "cdc_debezium_stream" -> latestOracle,
     "cdc_scd2_history" -> scd2Oracle,
     "cdc_event_stats" ->
       s"""WITH $changesSql
