@@ -169,6 +169,7 @@ object PipelineQueries {
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
+    "text_decontaminate" -> (TextOps.textDecontaminate _),
     "text_scrub" -> (TextOps.textScrub _),
     "text_repetition" -> (TextOps.textRepetition _),
     "mm_manifest" -> (Multimodal.mmManifest _),
@@ -185,6 +186,7 @@ object PipelineQueries {
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_bruteforce" -> Ann.annBruteforceSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
+    "text_decontaminate" -> TextOps.textDecontaminateSql,
     "text_langid" -> TextOps.textLangidSql,
     "text_quality" -> TextOps.textQualitySql,
     "text_tokens" -> TextOps.textTokensSql,

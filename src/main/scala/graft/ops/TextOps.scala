@@ -229,4 +229,47 @@ object TextOps {
        |SELECT a.doc_id AS d1, b.doc_id AS d2
        |FROM feed a JOIN feed b ON a.text = b.text AND a.doc_id < b.doc_id
        |ORDER BY d1, d2""".stripMargin
+
+  // --------------------------------------------------------------- C19
+  /** Benchmark decontamination: flag corpus docs sharing any exact
+    * 13-gram with a held-out benchmark set (every 7th doc stands in
+    * for an eval suite) — the standard leakage gate before training
+    * (GPT-3 Appendix C / Gopher-style n-gram overlap filtering).
+    *
+    * Plan: distinct 13-grams per doc, then a hash-keyed equi-join
+    * with a string-equality confirm — the join/shuffle key is the
+    * 64-bit xxhash (narrow, skew-resistant), the gram string rides
+    * once as payload so a hash collision can't flag a clean doc.
+    * 100 TB: both sides shuffle on the hash; the benchmark side is
+    * orders of magnitude smaller and AQE broadcasts it when it fits. */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size($"w") >= 13)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(0), size($"w") - 13),
+          i => concat_ws(" ", slice($"w", i + 1, lit(13)))))).as("g"))
+      .select($"doc_id", xxhash64($"g").as("h"), $"g")
+    val bench = grams.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("bench_doc"), $"h", $"g".as("bg"))
+    grams.filter($"doc_id" % 7 =!= 0)
+      .join(bench, "h")
+      .filter($"g" === $"bg") // hash-collision guard: exact semantics
+      .groupBy($"doc_id", $"bench_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id", $"bench_doc")
+  }
+  val textDecontaminateSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+12], ' ')
+      |         FOR i IN range(1, len(w) - 11)]) AS sh
+      |       FROM words WHERE len(w) >= 13),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |bench AS (SELECT * FROM ex WHERE doc_id % 7 = 0),
+      |corpus AS (SELECT * FROM ex WHERE doc_id % 7 <> 0)
+      |SELECT c.doc_id, b.doc_id AS bench_doc, count(*) AS n_shared
+      |FROM corpus c JOIN bench b ON c.s = b.s
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
