@@ -170,6 +170,8 @@ object PipelineQueries {
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_decontaminate" -> (TextOps.textDecontaminate _),
+    "text_chunk" -> (TextOps.textChunk _),
+    "pack_sequences" -> (TextOps.packSequences _),
     "text_scrub" -> (TextOps.textScrub _),
     "text_repetition" -> (TextOps.textRepetition _),
     "mm_manifest" -> (Multimodal.mmManifest _),
@@ -187,6 +189,8 @@ object PipelineQueries {
     "ann_bruteforce" -> Ann.annBruteforceSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_decontaminate" -> TextOps.textDecontaminateSql,
+    "text_chunk" -> TextOps.textChunkSql,
+    "pack_sequences" -> TextOps.packSequencesSql,
     "text_langid" -> TextOps.textLangidSql,
     "text_quality" -> TextOps.textQualitySql,
     "text_tokens" -> TextOps.textTokensSql,

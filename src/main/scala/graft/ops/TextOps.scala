@@ -272,4 +272,63 @@ object TextOps {
       |SELECT c.doc_id, b.doc_id AS bench_doc, count(*) AS n_shared
       |FROM corpus c JOIN bench b ON c.s = b.s
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- C20
+  /** Fixed-window chunking with overlap: 50-word windows at stride 40
+    * (10-word overlap), the split step before tokenize-and-pack. The
+    * md5 of each chunk's text proves byte-identical chunk boundaries
+    * across engines, not just matching counts. Narrow: sequence +
+    * slice per row at scan parallelism — no shuffle, no UDF. */
+  def textChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", $"w",
+        explode(sequence(lit(0), expr("(size(w) - 1) div 40"))).as("cid"))
+      .select($"doc_id", $"cid",
+        slice($"w", $"cid" * 40 + 1, lit(50)).as("cw"))
+      .select($"doc_id", $"cid",
+        size($"cw").cast("long").as("n_words"),
+        md5(concat_ws(" ", $"cw")).as("chunk_md5"))
+      .orderBy($"doc_id", $"cid")
+  }
+  val textChunkSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |st AS (SELECT doc_id, w, unnest(range(0, len(w), 40)) AS s FROM words),
+      |c AS (SELECT doc_id, s // 40 AS cid, w[s + 1:s + 50] AS cw FROM st)
+      |SELECT doc_id, cid, len(cw) AS n_words,
+      |  md5(array_to_string(cw, ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, cid""".stripMargin
+
+  // --------------------------------------------------------------- C21
+  /** Sequence packing (concat-then-split): chunks are laid end-to-end
+    * in deterministic (doc_id, cid) order within 8 shards and cut into
+    * 512-word training sequences by offset binning — the packing pass
+    * that turns a chunked corpus into fixed-length model inputs.
+    * Scale: packing is per-shard (hash of doc_id), so the only wide op
+    * is one window per shard partition, never a global sort; shard
+    * count scales with the corpus. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id", $"cid")
+    textChunk(s, dir)
+      .select($"doc_id", $"cid", $"n_words", ($"doc_id" % 8).as("shard"))
+      .withColumn("cum", sum($"n_words").over(w))
+      .withColumn("seq_id", (($"cum" - $"n_words") / 512).cast("long"))
+      .groupBy($"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_words").as("n_words_total"))
+      .orderBy($"shard", $"seq_id")
+  }
+  val packSequencesSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |st AS (SELECT doc_id, w, unnest(range(0, len(w), 40)) AS s FROM words),
+       |c AS (SELECT doc_id, s // 40 AS cid, len(w[s + 1:s + 50]) AS n_words,
+       |    doc_id % 8 AS shard FROM st),
+       |b AS (SELECT shard, doc_id, cid, n_words,
+       |    sum(n_words) OVER (PARTITION BY shard ORDER BY doc_id, cid
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM c)
+       |SELECT shard, CAST(floor((cum - n_words) / 512) AS BIGINT) AS seq_id,
+       |  count(*) AS n_chunks, sum(n_words) AS n_words_total
+       |FROM b GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
 }
