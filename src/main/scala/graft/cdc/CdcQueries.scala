@@ -758,7 +758,60 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A26
+  /** Time travel over the MVCC upsert sink: the feed streams through
+    * [[graft.sinks.MaterializedTable.upsertSink]] in two micro-batches
+    * (split at the median LSN), producing immutable snapshots v0 and
+    * v1 with an atomic pointer flip. The query then reads BOTH — the
+    * current state via the pointer, the v0 state via its version
+    * handle — and reports each live key's current row next to its
+    * as-of-v0 row (null if the key didn't exist yet). This is the
+    * reader's side of snapshot isolation: a v0 reader is undisturbed
+    * by the v1 write. The feed-split scalar is bounded-harness prep;
+    * the operator itself (snapshot write/read/join) is driver-free,
+    * one key shuffle per side. */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = ChangeFeed.fromEvents(s, dir)
+      .select($"key", $"seq", $"op", $"event_type", $"value",
+        expr("unix_micros(ts)").as("tsMicros"))
+    val cut = changes.agg(floor(max($"seq") / 2).cast("long")).as[Long].head()
+    val inDir = java.nio.file.Files.createTempDirectory("graft_tt_in")
+    Seq(("00", changes.filter($"seq" <= cut)),
+        ("01", changes.filter($"seq" > cut))).foreach { case (name, half) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_tt_$name")
+      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, inDir.resolve(s"$name.parquet"))
+    }
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("seq", LongType),
+      StructField("op", StringType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("tsMicros", LongType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .as[ChangeRecord]
+    val table = java.nio.file.Files.createTempDirectory("graft_tt_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tt_ck").toString
+    CdcStream.withStatePartitions(s) {
+      val q = graft.sinks.MaterializedTable.upsertSink(stream, table, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val vs = graft.sinks.MaterializedTable.versions(s, table)
+    val v0 = graft.sinks.MaterializedTable.readVersion(s, table, vs.head)
+      .filter($"op" =!= "d")
+    val cur = graft.sinks.MaterializedTable.readLatest(s, table)
+    cur.as("c").join(v0.as("o"), $"c.key" === $"o.key", "left")
+      .select($"c.key".as("user_id"), $"c.event_type".as("cur_event_type"),
+        $"c.value".as("cur_value"), $"c.seq".as("cur_seq"),
+        $"o.event_type".as("old_event_type"), $"o.value".as("old_value"),
+        $"o.seq".as("old_seq"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_time_travel" -> (timeTravel _),
     "cdc_debezium_stream" -> (debeziumStreamSource _),
     "cdc_stream_asof" -> (streamAsofQuery _),
     "cdc_wal2json_stream" -> (wal2jsonStreamSource _),
@@ -951,6 +1004,20 @@ object CdcQueries {
     "cdc_replication_source" -> latestOracle,
     "cdc_wal2json_stream" -> latestOracle,
     "cdc_debezium_stream" -> latestOracle,
+    "cdc_time_travel" ->
+      s"""WITH $changesSql,
+         |cut AS (SELECT CAST(floor(max(seq) / 2) AS BIGINT) AS c FROM changes),
+         |r1 AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+         |       FROM changes),
+         |v1 AS (SELECT * FROM r1 WHERE rn = 1 AND op <> 'd'),
+         |r0 AS (SELECT ch.*, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+         |       FROM changes ch, cut WHERE ch.seq <= cut.c),
+         |v0 AS (SELECT * FROM r0 WHERE rn = 1 AND op <> 'd')
+         |SELECT v1.key AS user_id, v1.event_type AS cur_event_type,
+         |  v1.value AS cur_value, v1.seq AS cur_seq,
+         |  v0.event_type AS old_event_type, v0.value AS old_value,
+         |  v0.seq AS old_seq
+         |FROM v1 LEFT JOIN v0 ON v1.key = v0.key ORDER BY user_id""".stripMargin,
     "cdc_scd2_history" -> scd2Oracle,
     "cdc_event_stats" ->
       s"""WITH $changesSql

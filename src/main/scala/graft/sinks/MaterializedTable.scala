@@ -81,16 +81,25 @@ object MaterializedTable {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Snapshot versions present, oldest → newest — the time-travel
+    * handles (`v{batchId}_{ts}` sorts by batch id). */
+  def versions(s: SparkSession, table: String): Seq[String] =
+    fs(s, table).listStatus(new Path(table)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .map(_.getPath.getName)
+      .sorted
+
+  /** Read a specific (immutable) snapshot — time travel. Includes
+    * tombstones; filter `op <> 'd'` for the visible state. */
+  def readVersion(s: SparkSession, table: String, version: String): DataFrame =
+    s.read.parquet(s"$table/$version")
+
   /** Delete all snapshots except the `keep` most recent (never the
     * current pointer target). Returns the deleted version names. */
   def vacuum(s: SparkSession, table: String, keep: Int = 2): Seq[String] = {
     val f = fs(s, table)
     val current = readPointer(s, table)
-    val versions = f.listStatus(new Path(table)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
-      .map(_.getPath.getName)
-      .sorted
-    val doomed = versions.dropRight(keep).filterNot(current.contains)
+    val doomed = versions(s, table).dropRight(keep).filterNot(current.contains)
     doomed.foreach(v => f.delete(new Path(table, v), true))
     doomed
   }
