@@ -527,8 +527,11 @@ object CdcQueries {
         ($"event_id" + 3000000000L).cast("string").as("c_oid"), // > int32
         concat($"cents".cast("string"), lit("e-2")).as("c_float4"),
         concat($"cents".cast("string"), lit("e-2")).as("c_float8"),
-        concat(expr("cents DIV 100").cast("string"), lit("."),
-          lpad(($"cents" % 100).cast("string"), 2, "0")).as("c_numeric"),
+        // sign-aware build: integer ops on |cents| so negative values
+        // don't mix truncating DIV with the oracle's flooring `//`
+        concat(when($"cents" < 0, "-").otherwise(""),
+          expr("abs(cents) DIV 100").cast("string"), lit("."),
+          lpad((abs($"cents") % 100).cast("string"), 2, "0")).as("c_numeric"),
         date_format($"ts", "yyyy-MM-dd").as("c_date"),
         date_format($"ts", tsFmt).as("c_ts"),
         concat(date_format($"ts", tsFmt), lit("+00")).as("c_tstz"),
@@ -598,7 +601,7 @@ object CdcQueries {
             expr("unix_micros(ts)").cast("string"), $"seq".cast("string")))
           .as("cells")).as("m"))
       .select($"seq", expr("pg_encode(m)").as("raw"))
-    val segDir = java.nio.file.Files.createTempDirectory("graft_replsrc").toString
+    val segDir = graft.Scratch.dir("graft_replsrc").toString
     wire.repartitionByRange(8, $"seq").sortWithinPartitions($"seq")
       .select($"raw").as[Array[Byte]]
       .mapPartitions { msgs =>
@@ -669,7 +672,7 @@ object CdcQueries {
           array(lit("bigint"), lit("bigint")).as("keytypes"),
           array($"key".cast("string"), $"seq".cast("string")).as("keyvalues")))
           .as("oldkeys"))).as("change"))).as("doc"))
-    val segDir = java.nio.file.Files.createTempDirectory("graft_w2js").toString
+    val segDir = graft.Scratch.dir("graft_w2js").toString
     doc.coalesce(4).write.mode("overwrite").text(segDir)
     val flat = ChangeEventFiles.wal2jsonStream(s, segDir)
     val decoded = flat.select(
@@ -739,7 +742,7 @@ object CdcQueries {
       when($"op" === "d", row).as("before"),
       when($"op" =!= "d", row).as("after"),
       struct(lit("users").as("table"), $"seq".as("lsn")).as("source"))).as("doc"))
-    val segDir = java.nio.file.Files.createTempDirectory("graft_dbzs").toString
+    val segDir = graft.Scratch.dir("graft_dbzs").toString
     doc.coalesce(4).write.mode("overwrite").text(segDir)
     val decoded = ChangeEventFiles.debeziumStream(s, segDir, rowType)
       .select(
@@ -776,10 +779,10 @@ object CdcQueries {
       .select($"key", $"seq", $"op", $"event_type", $"value",
         expr("unix_micros(ts)").as("tsMicros"))
     val cut = changes.agg(floor(max($"seq") / 2).cast("long")).as[Long].head()
-    val inDir = java.nio.file.Files.createTempDirectory("graft_tt_in")
+    val inDir = graft.Scratch.dir("graft_tt_in")
     Seq(("00", changes.filter($"seq" <= cut)),
         ("01", changes.filter($"seq" > cut))).foreach { case (name, half) =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_tt_$name")
+      val tmp = graft.Scratch.dir(s"graft_tt_$name")
       half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -792,8 +795,8 @@ object CdcQueries {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       .as[ChangeRecord]
-    val table = java.nio.file.Files.createTempDirectory("graft_tt_tbl").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_tt_ck").toString
+    val table = graft.Scratch.dir("graft_tt_tbl").toString
+    val ckpt = graft.Scratch.dir("graft_tt_ck").toString
     CdcStream.withStatePartitions(s) {
       val q = graft.sinks.MaterializedTable.upsertSink(stream, table, ckpt)
       try q.processAllAvailable() finally q.stop()
@@ -857,7 +860,23 @@ object CdcQueries {
        |  valid_to IS NULL AS is_current
        |FROM v WHERE op <> 'd' ORDER BY user_id, seq""".stripMargin
 
-  private lazy val oraclesHead: Map[String, String] = Map(
+  /** Shared by A14 (custom operator) and A24 (streaming): both must
+    * produce the identical as-of result. */
+  private val asofOracle: String =
+      """SELECT p.event_id AS p_id, p.user_id AS p_user,
+        |  s.s_id, s.s_type, s.s_value
+        |FROM events p
+        |LEFT JOIN LATERAL (
+        |  SELECT e2.event_id AS s_id, e2.event_type AS s_type,
+        |    e2.value AS s_value
+        |  FROM events e2
+        |  WHERE e2.user_id = p.user_id AND e2.event_type <> 'purchase'
+        |    AND epoch_us(e2.ts) <= epoch_us(p.ts)
+        |  ORDER BY epoch_us(e2.ts) DESC, e2.event_id DESC LIMIT 1) s ON true
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p_id""".stripMargin
+
+  private val oraclesHead: Map[String, String] = Map(
     // independent re-derivation from the base columns (never reparses
     // the PG text forms) — a symmetric encode/decode bug can't hide
     "cdc_typed_decode" ->
@@ -871,7 +890,9 @@ object CdcQueries {
          |  event_id + 3000000000 AS oid,
          |  CAST(concat(cents, 'e-2') AS REAL) AS f4,
          |  CAST(concat(cents, 'e-2') AS DOUBLE) AS f8,
-         |  CAST(CAST(concat(cents // 100, '.', lpad(CAST(cents % 100 AS VARCHAR), 2, '0'))
+         |  CAST(CAST(concat(CASE WHEN cents < 0 THEN '-' ELSE '' END,
+         |       abs(cents) // 100, '.',
+         |       lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0'))
          |       AS DECIMAL(38,18)) AS DOUBLE) AS num,
          |  CAST(ts AS DATE) AS d,
          |  strftime(ts, '$tsFmtDuck') AS ts_s,
@@ -937,23 +958,9 @@ object CdcQueries {
          |SELECT key AS user_id, event_type AS last_event_type,
          |  value AS last_value, seq AS last_seq
          |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
-    // A24 must equal the A14 custom operator exactly
     "cdc_stream_asof" -> asofOracle,
     "cdc_asof_join" -> asofOracle)
 
-  private val asofOracle: String =
-      """SELECT p.event_id AS p_id, p.user_id AS p_user,
-        |  s.s_id, s.s_type, s.s_value
-        |FROM events p
-        |LEFT JOIN LATERAL (
-        |  SELECT e2.event_id AS s_id, e2.event_type AS s_type,
-        |    e2.value AS s_value
-        |  FROM events e2
-        |  WHERE e2.user_id = p.user_id AND e2.event_type <> 'purchase'
-        |    AND epoch_us(e2.ts) <= epoch_us(p.ts)
-        |  ORDER BY epoch_us(e2.ts) DESC, e2.event_id DESC LIMIT 1) s ON true
-        |WHERE p.event_type = 'purchase'
-        |ORDER BY p_id""".stripMargin
   private val restOracles: Map[String, String] = Map(
     "cdc_stream_scd2" -> scd2Oracle,
     "cdc_stream_sessions" ->
@@ -1032,5 +1039,5 @@ object CdcQueries {
         |FROM events GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin)
 
-  lazy val oracles: Map[String, String] = oraclesHead ++ restOracles
+  val oracles: Map[String, String] = oraclesHead ++ restOracles
 }

@@ -233,7 +233,7 @@ object CdcStream {
       (build: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val inDir = java.nio.file.Files.createTempDirectory("graft_punct_in")
+    val inDir = graft.Scratch.dir("graft_punct_in")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, "events.parquet"),
       inDir.resolve("00_events.parquet"))
@@ -247,7 +247,7 @@ object CdcStream {
         q.processAllAvailable()
         val sent = Seq((-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        val sentDir = java.nio.file.Files.createTempDirectory("graft_punct_sent")
+        val sentDir = graft.Scratch.dir("graft_punct_sent")
         sent.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
         val part = java.nio.file.Files.list(sentDir).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get

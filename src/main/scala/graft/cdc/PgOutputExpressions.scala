@@ -139,13 +139,20 @@ object PgOutputExpressions {
       out += (if (!wasQuoted && v == "NULL") null else UTF8String.fromString(v))
       sb.setLength(0); wasQuoted = false
     }
+    def escNext(): Unit = {
+      if (i + 1 >= body.length)
+        throw new IllegalArgumentException(s"dangling escape in: $str")
+      sb.append(body.charAt(i + 1)); i += 2
+    }
     while (i < body.length) {
       val c = body.charAt(i)
       if (quoted) c match {
-        case '\\' => sb.append(body.charAt(i + 1)); i += 2
+        case '\\' => escNext()
         case '"' => quoted = false; i += 1
         case _ => sb.append(c); i += 1
       } else c match {
+        // PG input syntax allows backslash escapes outside quotes too
+        case '\\' => escNext()
         case '"' => quoted = true; wasQuoted = true; i += 1
         case ',' => finish(); i += 1
         case _ => sb.append(c); i += 1

@@ -268,8 +268,14 @@ object Dedup {
           expr(s"lsh_bucket(v, $Bits, ${t.toLong * 1000000007L}L)").as("code"))): _*))
         .as("e"))
       .select($"vec_id", $"e.tbl", $"e.code")
+    // cap overfull buckets with a HASH-ordered sample: an ascending-id
+    // cap would preferentially drop the highest ids — exactly where
+    // nearFeed plants the near-copies — biasing recall in a dense
+    // bucket; hash order keeps the sample unbiased and deterministic
     val buckets = codes.groupBy($"tbl", $"code")
-      .agg(slice(sort_array(collect_list($"vec_id")), 1, 128).as("ids"))
+      .agg(slice(transform(
+        array_sort(collect_list(struct(xxhash64($"vec_id").as("hk"),
+          $"vec_id".as("v")))), e => e("v")), 1, 128).as("ids"))
       .filter(size($"ids") > 1)
     val cand = buckets
       .select(explode($"ids").as("v1"), $"ids")

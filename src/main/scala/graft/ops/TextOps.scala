@@ -252,6 +252,9 @@ object TextOps {
         transform(sequence(lit(0), size($"w") - 13),
           i => concat_ws(" ", slice($"w", i + 1, lit(13)))))).as("g"))
       .select($"doc_id", xxhash64($"g").as("h"), $"g")
+      // both join branches (corpus, bench) consume the grams — persist
+      // so the split+explode runs once (harness clearCache bounds it)
+      .persist()
     val bench = grams.filter($"doc_id" % 7 === 0)
       .select($"doc_id".as("bench_doc"), $"h", $"g".as("bg"))
     grams.filter($"doc_id" % 7 =!= 0)

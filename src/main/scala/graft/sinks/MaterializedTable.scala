@@ -82,12 +82,16 @@ object MaterializedTable {
   }
 
   /** Snapshot versions present, oldest → newest — the time-travel
-    * handles (`v{batchId}_{ts}` sorts by batch id). */
+    * handles. Sorted NUMERICALLY by batch id (lexicographic order
+    * would put v10 before v2 and make vacuum delete the newest). */
   def versions(s: SparkSession, table: String): Seq[String] =
     fs(s, table).listStatus(new Path(table)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
       .map(_.getPath.getName)
-      .sorted
+      .sortBy { v =>
+        val digits = v.drop(1).takeWhile(_.isDigit)
+        (if (digits.isEmpty) Long.MaxValue else digits.toLong, v)
+      }
 
   /** Read a specific (immutable) snapshot — time travel. Includes
     * tombstones; filter `op <> 'd'` for the visible state. */

@@ -76,6 +76,11 @@ for name, sql in sorted(oracles.items()):
             if ta != tb:
                 mism.append((c, f"tz spark={ta}", f"oracle={tb}", -1))
                 continue
+            # tz-aware -> naive first: astype('datetime64[us]') raises
+            # TypeError on tz-aware series in pandas 2.x
+            if ta is not None:
+                a = a.dt.tz_convert("UTC").dt.tz_localize(None)
+                b = b.dt.tz_convert("UTC").dt.tz_localize(None)
             a = a.astype("datetime64[us]").astype(str)
             b = b.astype("datetime64[us]").astype(str)
         elif {a.dtype.kind, b.dtype.kind} == {"f", "i"} or \
