@@ -332,6 +332,6 @@ object TextOps {
        |    sum(n_words) OVER (PARTITION BY shard ORDER BY doc_id, cid
        |      ROWS UNBOUNDED PRECEDING) AS cum FROM c)
        |SELECT shard, CAST(floor((cum - n_words) / 512) AS BIGINT) AS seq_id,
-       |  count(*) AS n_chunks, sum(n_words) AS n_words_total
+       |  count(*) AS n_chunks, CAST(sum(n_words) AS BIGINT) AS n_words_total
        |FROM b GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
 }
