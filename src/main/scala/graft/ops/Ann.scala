@@ -136,6 +136,51 @@ object Ann {
       .orderBy($"query_id", $"rank")
   }
 
+  // ------------------------------------------------- C7/C7b driver gate
+  /** Recall-contract audit of an approximate ANN operator vs the exact
+    * baseline — the driver-gate face of C7/C7b (the sketch pattern of
+    * B20/B21: the oracle pins exact facts plus contract booleans; an
+    * estimator regression flips a boolean and fails the hash).
+    *
+    * Per query: `recall_ok` = |approx top-K ∩ exact top-K| ≥ `minHits`;
+    * the TOTAL row (query_id −1) asserts the mean-recall floor. Floors
+    * sit below the measured per-SF values (RecallProbe: LSH min-hits
+    * 2–9 / mean 0.43–0.63, IVF min-hits 7–10 / mean 0.85–1.0 across
+    * sf0.001/0.01/0.1), so they fail only on a genuine regression.
+    * Neighbor-level detail stays spec-checked in AnnSpec. */
+  private def recallAudit(s: SparkSession, dir: String,
+      approx: DataFrame, minHits: Int, meanFloor: Double): DataFrame = {
+    import s.implicits._
+    val exact = annBruteforce(s, dir).select($"query_id", $"neighbor_id")
+    val hits = approx.select($"query_id", $"neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    // left join from the deterministic query-id list: a query with an
+    // empty approximate result surfaces as n_hits 0 → FALSE, not as a
+    // silently missing row
+    val per = corpus(s, dir).filter($"vec_id" < QueryIds)
+      .select($"vec_id".as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+    val total = per.agg(
+        (sum($"n_hits") >= lit((meanFloor * K * QueryIds).round)).as("recall_ok"))
+      .select(lit(-1L).as("query_id"), $"recall_ok")
+    per.select($"query_id", ($"n_hits" >= minHits).as("recall_ok"))
+      .unionByName(total)
+      .orderBy($"query_id")
+  }
+  def annLshAudit(s: SparkSession, dir: String): DataFrame =
+    recallAudit(s, dir, annLsh(s, dir), minHits = 1, meanFloor = 0.35)
+  def annIvfAudit(s: SparkSession, dir: String): DataFrame =
+    recallAudit(s, dir, annIvf(s, dir), minHits = 5, meanFloor = 0.75)
+  /** Oracle: the contract must hold for every query and in total. */
+  val annAuditSql: String =
+    s"""SELECT query_id, TRUE AS recall_ok FROM (
+       |  SELECT CAST(-1 AS BIGINT) AS query_id
+       |  UNION ALL
+       |  SELECT vec_id FROM embeddings WHERE vec_id < $QueryIds)
+       |ORDER BY query_id""".stripMargin
+
   // ---------------------------------------------------------------- C7
   /** Approximate NN: random-hyperplane codes; a query probes its own
     * bucket plus all single-bit-flip buckets (multiprobe), exact cosine

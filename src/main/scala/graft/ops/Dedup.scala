@@ -183,10 +183,16 @@ object Dedup {
     * found by 16-bit-chunk blocking + exact popcount confirm.
     * Not SQL-expressible (needs the same 64-bit token hash on both
     * sides) → rows-only here, recomputation spec in DedupSpec. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(s, table(s, dir, "documents"))
+
+  /** Hamming ≤ 3 SimHash pair mining over an arbitrary (doc_id, text)
+    * feed — the shared engine behind [[dedupSimhash]] (natural corpus,
+    * spec-measured sensitivity) and [[dedupSimhashAudit]] (driver gate). */
+  def simhashPairs(s: SparkSession, feed: DataFrame): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
-    val fp = table(s, dir, "documents")
+    val fp = feed
       .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", expr("simhash64(split(text, ' '))").as("sim"))
     val chunks = fp.select($"doc_id", $"sim",
@@ -206,6 +212,26 @@ object Dedup {
       .filter($"hamming" <= 3)
       .orderBy($"d1", $"d2")
   }
+
+  /** Driver-gate face of C4 (identity contract): over [[dupFeed]], each
+    * injected exact copy (d, d+1000000) MUST come back through the full
+    * fingerprint → chunk-block → popcount path at hamming 0 — identical
+    * token lists hash identically, equal chunks guarantee the blocking
+    * join emits the pair, so the output is closed-form and the oracle
+    * recomputes it without re-implementing the 64-bit token hash.
+    * A broken expression, chunk join, or popcount drops/changes rows →
+    * hash fail. Near-dup *sensitivity* (hamming ≤ 3 pairs on the
+    * natural corpus) is algorithm-dependent and stays spec-measured
+    * (DedupSpec recomputation + pair-count floor). */
+  def dedupSimhashAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashPairs(s, dupFeed(s, dir))
+      .filter($"d2" === $"d1" + 1000000L)
+      .orderBy($"d1")
+  }
+  val dedupSimhashAuditSql: String =
+    """SELECT doc_id AS d1, doc_id + 1000000 AS d2, 0 AS hamming
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY d1""".stripMargin
 
   // ---------------------------------------------------------------- C5
   /** Near-dup-injected embedding feed. The synthetic corpus has no

@@ -160,11 +160,11 @@ object PipelineQueries {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
-    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhashAudit _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
-    "ann_lsh" -> (Ann.annLsh _),
-    "ann_ivf" -> (Ann.annIvf _),
+    "ann_lsh" -> (Ann.annLshAudit _),
+    "ann_ivf" -> (Ann.annIvfAudit _),
     "text_langid" -> (TextOps.textLangid _),
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -185,8 +185,11 @@ object PipelineQueries {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,
+    "dedup_simhash" -> Dedup.dedupSimhashAuditSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_bruteforce" -> Ann.annBruteforceSql,
+    "ann_lsh" -> Ann.annAuditSql,
+    "ann_ivf" -> Ann.annAuditSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_decontaminate" -> TextOps.textDecontaminateSql,
     "text_chunk" -> TextOps.textChunkSql,

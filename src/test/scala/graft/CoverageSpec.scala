@@ -30,9 +30,8 @@ class CoverageSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
-  test("rows-only queries are the documented hash-based exceptions") {
+  test("every registered query has an oracle (no rows-only rows left)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("dedup_simhash", "ann_lsh", "ann_ivf"),
-      s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 }
