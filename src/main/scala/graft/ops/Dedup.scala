@@ -233,6 +233,90 @@ object Dedup {
     """SELECT doc_id AS d1, doc_id + 1000000 AS d2, 0 AS hamming
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY d1""".stripMargin
 
+  // --------------------------------------------------------------- C22
+  /** Duplicate-cluster resolution: pair mining (C1 exact groups over
+    * the dup-injected feed ∪ C3 MinHash-confirmed near-dup pairs) says
+    * which docs match; training-data dedup needs the TRANSITIVE
+    * closure — one canonical id per connected component, so "keep one
+    * per cluster" drops chains like a≈b≈c even when (a,c) was never
+    * mined directly.
+    *
+    * Components via iterative min-label propagation on the edge list:
+    * each round is one O(E) shuffle (labels join edges, min per
+    * vertex), rounds bounded by component diameter — dedup clusters
+    * are shallow (stars + short chains), so this converges in 2–4
+    * rounds here and stays a handful at corpus scale; the documented
+    * upgrade path for adversarially long chains is star-contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * which is the same join shape alternated large-star/small-star for
+    * O(log n) rounds. Only (id, id) pairs ever shuffle — never text.
+    *
+    * Driver loop = the convergence check (one count per round), the
+    * legitimate iterative-algorithm driver pattern (same as IVF's
+    * Lloyd rounds), not per-row driver work. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val near = dedupMinhashLsh(s, dir).select($"d1", $"d2")
+    // exact-dup star edges (min-id hub per md5 group) from the engine's
+    // own hash-group pass — not from the closed form the oracle uses
+    val exactE = dupFeed(s, dir)
+      .groupBy(md5($"text").as("h"))
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(element_at($"ids", 1).as("d1"), explode($"ids").as("d2"))
+      .filter($"d1" =!= $"d2")
+    val e = near.unionByName(exactE).dropDuplicates("d1", "d2")
+    val und = e.select($"d1".as("u"), $"d2".as("v"))
+      .unionByName(e.select($"d2".as("u"), $"d1".as("v")))
+      .persist()
+    var labels = und.select($"u").distinct().select($"u", $"u".as("l")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nb = und.join(labels.select($"u".as("v"), $"l".as("nl")), "v")
+        .groupBy($"u").agg(min($"nl").as("nl"))
+      val next = labels.join(nb, Seq("u"), "left")
+        .select($"u", least($"l", coalesce($"nl", $"l")).as("l"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("l", "old"), "u")
+        .filter($"l" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select($"u".as("doc_id"), $"l".as("canonical_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"canonical_id")))
+      .orderBy($"canonical_id", $"doc_id")
+  }
+  /** Oracle: recursive min-reachability over the same edge set (C2's
+    * exact pair derivation ∪ the closed-form injected exact dups). */
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $shingledSql,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |near AS (SELECT d1, d2 FROM co
+       |         JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |         WHERE floor(inter * 1.0 / (x.n + y.n - inter) * 10000 + 0.5)
+       |               / 10000 >= 0.8),
+       |exct AS (SELECT doc_id AS d1, doc_id + 1000000 AS d2
+       |         FROM documents WHERE doc_id % 10 = 0),
+       |e AS (SELECT d1, d2 FROM near UNION SELECT d1, d2 FROM exct),
+       |und AS (SELECT d1 AS u, d2 AS v FROM e
+       |        UNION SELECT d2, d1 FROM e),
+       |reach (u, l) AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT und.u, reach.l FROM und JOIN reach ON reach.u = und.v),
+       |lbl AS (SELECT u AS doc_id, least(u, min(l)) AS canonical_id
+       |        FROM reach GROUP BY u)
+       |SELECT doc_id, canonical_id,
+       |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |FROM lbl ORDER BY canonical_id, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- C5
   /** Near-dup-injected embedding feed. The synthetic corpus has no
     * true near-duplicates (natural max cos ≈ 0.60 — a ~53° angle, a

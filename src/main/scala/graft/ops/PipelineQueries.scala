@@ -161,6 +161,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhashAudit _),
+    "dedup_cluster" -> (Dedup.dedupCluster _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLshAudit _),
@@ -186,6 +187,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashAuditSql,
+    "dedup_cluster" -> Dedup.dedupClusterSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_bruteforce" -> Ann.annBruteforceSql,
     "ann_lsh" -> Ann.annAuditSql,

@@ -37,6 +37,33 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("dedup_cluster equals brute-force union-find components") {
+    import spark.implicits._
+    // reference components: union-find over the same edge set
+    val near = Dedup.dedupNgramJaccard(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val docs = graft.Tables.table(spark, sf0001, "documents")
+      .select($"doc_id").as[Long].collect()
+    val exact = docs.filter(_ % 10 == 0).map(d => (d, d + 1000000L))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- near ++ exact) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = (near ++ exact).flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.map(m => (m, find(m))).toMap
+    val sizes = want.values.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val got = Dedup.dedupCluster(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toMap === want)
+    assert(got.forall(r => sizes(r._2) == r._3))
+    assert(got.exists(_._3 >= 3), "transitive chain should form a >=3 cluster")
+  }
+
   test("dedup_exact keeps one canonical row per text") {
     import spark.implicits._
     val out = Dedup.dedupExact(spark, sf0001)
