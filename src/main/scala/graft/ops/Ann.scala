@@ -181,6 +181,52 @@ object Ann {
        |  SELECT vec_id FROM embeddings WHERE vec_id < $QueryIds)
        |ORDER BY query_id""".stripMargin
 
+  // --------------------------------------------------------------- C23
+  /** Nearest-centroid assignment (the labeling pass of embedding-space
+    * clustering, and IVF's cell-assignment step as a first-class op):
+    * every corpus vector is assigned to its nearest of 8 fixed
+    * centroids (the vec_id < 8 embeddings — deterministic, so the
+    * oracle can recompute the argmax). Ranking argmax uses the ROUNDED
+    * cosine + centroid-id tie-break, the cross-engine-reproducible
+    * ordering proven in C6.
+    *
+    * 100 TB: centroids broadcast (a few KB), the corpus streams through
+    * one scan with a fused codegen cosine per centroid — no shuffle at
+    * all until the final presentation sort; assignment output is the
+    * natural partition key for downstream per-cluster processing. */
+  def embClusterAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val c = corpus(s, dir)
+    val cent = c.filter($"vec_id" < QueryIds)
+      .select($"vec_id".as("cluster"), $"v".as("cv"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")
+    c.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cluster", r4(expr("cosine_sim(v, cv)")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cluster", $"cos")
+      .orderBy($"vec_id")
+  }
+  val embClusterAssignSql: String =
+    s"""WITH n AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+       |q AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn
+       |      FROM m WHERE vec_id < $QueryIds),
+       |sc AS (SELECT m.vec_id, q.cluster,
+       |    floor(list_sum(list_transform(list_zip(m.v, q.cv),
+       |      p -> p[1] * p[2])) / (m.nrm * q.cn) * 10000 + 0.5) / 10000 AS cos
+       |  FROM m CROSS JOIN q),
+       |r AS (SELECT vec_id, cluster, cos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos DESC, cluster) AS rn
+       |  FROM sc)
+       |SELECT vec_id, cluster, cos FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- C7
   /** Approximate NN: random-hyperplane codes; a query probes its own
     * bucket plus all single-bit-flip buckets (multiprobe), exact cosine

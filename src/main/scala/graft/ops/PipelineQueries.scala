@@ -166,6 +166,7 @@ object PipelineQueries {
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLshAudit _),
     "ann_ivf" -> (Ann.annIvfAudit _),
+    "emb_cluster_assign" -> (Ann.embClusterAssign _),
     "text_langid" -> (TextOps.textLangid _),
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -192,6 +193,7 @@ object PipelineQueries {
     "ann_bruteforce" -> Ann.annBruteforceSql,
     "ann_lsh" -> Ann.annAuditSql,
     "ann_ivf" -> Ann.annAuditSql,
+    "emb_cluster_assign" -> Ann.embClusterAssignSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_decontaminate" -> TextOps.textDecontaminateSql,
     "text_chunk" -> TextOps.textChunkSql,

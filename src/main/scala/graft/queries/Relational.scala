@@ -423,7 +423,68 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  // --------------------------------------------------------------- B22
+  /** Time-based RANGE window frame: per user, trailing-1-hour event
+    * count and value total at every event — the "activity in the last
+    * hour" feature primitive. Differs from B8's ROWS frame: the frame
+    * is bounded by the ORDER-BY *value* (event time), so peers and
+    * gaps behave by time, not by row position.
+    * Values sum as exact cents (BIGINT) — a sliding double sum would
+    * be addition-order-sensitive across engines.
+    * 100 TB: one shuffle on user_id; frames never materialize (running
+    * frame evaluation), state per partition is the 1-hour tail. */
+  def qTimeWindowFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+      .rangeBetween(-3600000000L, 0L)
+    graft.Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_hour"),
+        sum($"cents").over(w).as("cents_hour"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  // --------------------------------------------------------------- B23
+  /** Band (range) join done scalably: each signup event is joined to
+    * every purchase event within ±5 minutes — a non-equi time-band
+    * join. The naive plan is a BroadcastNestedLoopJoin / O(n·m)
+    * comparison; here both sides bucket to 5-minute epochs and the
+    * build side replicates to its 3 covering buckets, turning the band
+    * predicate into an equi-join on bucket + an exact |Δt| confirm —
+    * the standard interval-join decomposition (Flink/Trino interval
+    * joins do the same). PlanAuditSpec asserts no BNLJ/cartesian.
+    * 100 TB: shuffle keyed on 5-min buckets (time-uniform → no skew);
+    * replication factor is a constant 3; AQE splits any hot bucket. */
+  def qBandRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val BandUs = 300000000L // 5 minutes in microseconds
+    val ev = graft.Tables.events(s, dir)
+      .select($"event_id", $"event_type", unix_micros($"ts").as("tus"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("s_id"), $"tus".as("s_tus"),
+        ($"tus" - ($"tus" % BandUs)).as("bucket"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"tus".as("p_tus"), $"cents",
+        explode(array((-1 to 1).map(d =>
+          $"tus" - ($"tus" % BandUs) + lit(d * BandUs)): _*)).as("bucket"))
+    val matched = signups.join(purchases, Seq("bucket"))
+      .filter(abs($"p_tus" - $"s_tus") <= BandUs)
+      .groupBy($"s_id")
+      .agg(count(lit(1)).as("n_near"), sum($"cents").as("cents_near"))
+    // left join back so band-empty signups surface as zeros, not as
+    // silently missing rows
+    signups.select($"s_id").join(matched, Seq("s_id"), "left")
+      .select($"s_id", coalesce($"n_near", lit(0L)).as("n_near"),
+        coalesce($"cents_near", lit(0L)).as("cents_near"))
+      .orderBy($"s_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_window_frame" -> (qTimeWindowFrame _),
+    "q_band_range_join" -> (qBandRangeJoin _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_first_last" -> (qFirstLast _),
@@ -447,6 +508,29 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_time_window_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_hour,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_hour
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_band_range_join" ->
+      """WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS tus,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT event_id AS s_id, tus AS s_tus FROM ev
+        |      WHERE event_type = 'signup'),
+        |p AS (SELECT event_id AS p_id, tus AS p_tus, cents FROM ev
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT s_id, count(p_id) AS n_near,
+        |        coalesce(sum(cents), 0) AS cents_near
+        |      FROM s LEFT JOIN p ON abs(p_tus - s_tus) <= 300000000
+        |      GROUP BY s_id)
+        |SELECT s_id, n_near, CAST(cents_near AS BIGINT) AS cents_near
+        |FROM m ORDER BY s_id""".stripMargin,
     "q_sketch_distinct" ->
       """SELECT * FROM (
         |  SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact,

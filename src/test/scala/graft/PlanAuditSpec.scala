@@ -51,6 +51,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"quadratic join in plan:\n$plan")
   }
 
+  test("q_band_range_join stays an equi-join (no BNLJ/cartesian)") {
+    val plan = executed(queries.Relational.qBandRangeJoin(spark, sf0001))
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty, s"non-equi join materialized as quadratic plan:\n$plan")
+  }
+
+  test("emb_cluster_assign shuffles only for the window + final sort") {
+    val plan = executed(ops.Ann.embClusterAssign(spark, sf0001))
+    // centroids broadcast (8 rows replicated — the intended cross join);
+    // the corpus itself must shuffle exactly twice: argmax window + sort
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$plan")
+  }
+
   test("latest-state materialization is a single data shuffle") {
     val plan = executed(cdc.CdcQueries.latestState(spark, sf0001))
     // one exchange for the key window + one for the presentation sort
