@@ -773,16 +773,20 @@ object CdcQueries {
     * by the v1 write. The feed-split scalar is bounded-harness prep;
     * the operator itself (snapshot write/read/join) is driver-free,
     * one key shuffle per side. */
-  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+  /** Split the batch change feed into two seq-halves written as two
+    * parquet files under one scratch dir — a deterministic 2-micro-batch
+    * stream when read with maxFilesPerTrigger=1 (shared by A26/A27). */
+  private def twoBatchChangeStream(s: SparkSession, dir: String,
+      tag: String): Dataset[ChangeRecord] = {
     import s.implicits._
     val changes = ChangeFeed.fromEvents(s, dir)
       .select($"key", $"seq", $"op", $"event_type", $"value",
         expr("unix_micros(ts)").as("tsMicros"))
     val cut = changes.agg(floor(max($"seq") / 2).cast("long")).as[Long].head()
-    val inDir = graft.Scratch.dir("graft_tt_in")
+    val inDir = graft.Scratch.dir(s"graft_${tag}_in")
     Seq(("00", changes.filter($"seq" <= cut)),
         ("01", changes.filter($"seq" > cut))).foreach { case (name, half) =>
-      val tmp = graft.Scratch.dir(s"graft_tt_$name")
+      val tmp = graft.Scratch.dir(s"graft_${tag}_$name")
       half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -792,9 +796,14 @@ object CdcQueries {
       StructField("key", LongType), StructField("seq", LongType),
       StructField("op", StringType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("tsMicros", LongType)))
-    val stream = s.readStream.schema(schema)
+    s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       .as[ChangeRecord]
+  }
+
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = twoBatchChangeStream(s, dir, "tt")
     val table = graft.Scratch.dir("graft_tt_tbl").toString
     val ckpt = graft.Scratch.dir("graft_tt_ck").toString
     CdcStream.withStatePartitions(s) {
@@ -813,7 +822,39 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A27
+  /** Incremental partitioned materialization + compaction over the
+    * bucket-partitioned MVCC sink ([[graft.sinks.PartitionedTable]]):
+    * the 2-batch change stream upserts into 64 hash buckets (each batch
+    * rewrites only the buckets its keys touch; untouched buckets carry
+    * forward by manifest reference), then `compact` drops delete
+    * tombstones at or below the fully-acked seq horizon and merges each
+    * bucket's files. The query returns the post-compaction state, which
+    * must equal the plain latest-state window oracle — compaction is
+    * semantics-neutral by construction. Incremental-rewrite and
+    * tombstone-GC mechanics are asserted in PartitionedTableSpec. */
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Buckets = 64
+    val stream = twoBatchChangeStream(s, dir, "cpt")
+    val table = graft.Scratch.dir("graft_cpt_tbl").toString
+    val ckpt = graft.Scratch.dir("graft_cpt_ck").toString
+    CdcStream.withStatePartitions(s) {
+      val q = graft.sinks.PartitionedTable.upsertSink(stream, table, ckpt, Buckets)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val horizon = ChangeFeed.fromEvents(s, dir)
+      .agg(max($"seq")).as[Long].head()
+    graft.sinks.PartitionedTable.compact(s, table, Buckets, horizon)
+    graft.sinks.PartitionedTable.readLatest(s, table, Buckets)
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        date_format(timestamp_micros($"tsMicros"), tsFmt).as("last_ts"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_compaction" -> (compaction _),
     "cdc_time_travel" -> (timeTravel _),
     "cdc_debezium_stream" -> (debeziumStreamSource _),
     "cdc_stream_asof" -> (streamAsofQuery _),
@@ -1006,6 +1047,7 @@ object CdcQueries {
     "cdc_debezium_parse" -> parsedOracle,
     "cdc_latest_state" -> latestOracle,
     "cdc_stream_upserts" -> latestOracle,
+    "cdc_compaction" -> latestOracle,
     // same materialization contract as upserts — but fed from decoded
     // binary segments, so codec/source bugs surface as state diffs
     "cdc_replication_source" -> latestOracle,

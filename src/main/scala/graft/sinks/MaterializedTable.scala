@@ -32,12 +32,12 @@ import graft.cdc.ChangeRecord
   */
 object MaterializedTable {
 
-  private def fs(s: SparkSession, p: String): FileSystem =
+  private[sinks] def fs(s: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   private def pointerPath(table: String) = new Path(table, "_LATEST")
 
-  private def readPointer(s: SparkSession, table: String): Option[String] = {
+  private[sinks] def readPointer(s: SparkSession, table: String): Option[String] = {
     val f = fs(s, table)
     val p = pointerPath(table)
     if (!f.exists(p)) None
@@ -51,7 +51,7 @@ object MaterializedTable {
     }
   }
 
-  private def writePointer(s: SparkSession, table: String, version: String): Unit = {
+  private[sinks] def writePointer(s: SparkSession, table: String, version: String): Unit = {
     val f = fs(s, table)
     val tmp = new Path(table, s"_LATEST.tmp")
     val out = f.create(tmp, true)
@@ -75,7 +75,7 @@ object MaterializedTable {
       .getOrElse(throw new IllegalStateException(s"no snapshot at $table"))
 
   /** Latest row per key, KEEPING delete tombstones. */
-  private def latestWithTombstones(changes: DataFrame): DataFrame = {
+  private[sinks] def latestWithTombstones(changes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
     changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -1,0 +1,94 @@
+package graft.sinks
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture.spark
+import graft.cdc.ChangeRecord
+
+/** Mechanics of the bucket-partitioned incremental sink: touched-bucket
+  * rewrite, untouched-bucket carry-forward, tombstone GC at the horizon,
+  * file merge, and state preservation across compaction. */
+class PartitionedTableSpec extends AnyFunSuite {
+
+  private val Buckets = 16
+
+  private def rec(key: Long, seq: Long, op: String): ChangeRecord =
+    ChangeRecord(key, seq, op, s"t$seq", seq * 1.0, seq * 1000L)
+
+  private def runTwoBatches(tag: String,
+      b1: Seq[ChangeRecord], b2: Seq[ChangeRecord]): String = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val table = graft.Scratch.dir(s"pt_${tag}_tbl").toString
+    val ckpt = graft.Scratch.dir(s"pt_${tag}_ck").toString
+    val mem = MemoryStream[ChangeRecord]
+    val q = PartitionedTable.upsertSink(mem.toDS(), table, ckpt, Buckets)
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    table
+  }
+
+  test("untouched buckets carry forward by manifest reference") {
+    val b1 = (0L until 100L).map(k => rec(k, k + 1, "i"))
+    val b2 = Seq(rec(0L, 1000L, "u")) // touches exactly one bucket
+    val table = runTwoBatches("carry", b1, b2)
+    val manifest = PartitionedTable.readManifest(spark, table)
+    val dirs = manifest.values.toSet
+    assert(dirs.size === 2, s"expected carry-forward + rewrite, got $dirs")
+    val newDir = dirs.filter(_.startsWith("v1")).head
+    // only key 0's bucket points at the batch-1 version
+    val rewritten = manifest.filter(_._2 == newDir).keys.toSet
+    val bucketOf0 = manifest.keys.toSeq.sorted
+      .find { b =>
+        spark.read.parquet(s"$table/${manifest(b)}/__b=$b")
+          .filter(org.apache.spark.sql.functions.col("key") === 0L)
+          .count() > 0
+      }.get
+    assert(rewritten === Set(bucketOf0), s"rewrote $rewritten")
+    // the carried-forward state is still complete and correct
+    val state = PartitionedTable.readLatest(spark, table, Buckets)
+    assert(state.count() === 100)
+    import spark.implicits._
+    val k0 = state.filter($"key" === 0L).as[ChangeRecord].head()
+    assert(k0.seq === 1000L)
+  }
+
+  test("compaction drops horizon-acked tombstones, merges files, keeps state") {
+    import spark.implicits._
+    val b1 = (0L until 50L).map(k => rec(k, k + 1, "i"))
+    val b2 = Seq(rec(7L, 200L, "d"), rec(8L, 201L, "u"))
+    val table = runTwoBatches("gc", b1, b2)
+    val before = PartitionedTable.readLatest(spark, table, Buckets)
+      .as[ChangeRecord].collect().sortBy(_.key)
+    assert(!before.map(_.key).contains(7L)) // delete already hidden
+    // tombstone is physically present pre-compaction
+    val rawBefore = PartitionedTable.readSnapshot(spark, table, Buckets).get
+    assert(rawBefore.filter($"op" === "d").count() === 1)
+
+    PartitionedTable.compact(spark, table, Buckets, horizon = 500L)
+
+    val rawAfter = PartitionedTable.readSnapshot(spark, table, Buckets).get
+    assert(rawAfter.filter($"op" === "d").count() === 0, "tombstone not GC'd")
+    val manifest = PartitionedTable.readManifest(spark, table)
+    assert(manifest.values.toSet.size === 1, "compaction publishes one version")
+    assert(manifest.values.head.startsWith("vc_"))
+    val after = PartitionedTable.readLatest(spark, table, Buckets)
+      .as[ChangeRecord].collect().sortBy(_.key)
+    assert(after.toSeq === before.toSeq, "compaction changed visible state")
+  }
+
+  test("tombstones above the horizon are retained") {
+    import spark.implicits._
+    val b1 = (0L until 20L).map(k => rec(k, k + 1, "i"))
+    val b2 = Seq(rec(3L, 900L, "d"))
+    val table = runTwoBatches("keep", b1, b2)
+    PartitionedTable.compact(spark, table, Buckets, horizon = 100L)
+    val raw = PartitionedTable.readSnapshot(spark, table, Buckets).get
+    // seq 900 > horizon 100: a lower-seq straggler could still arrive,
+    // so the tombstone must survive compaction
+    assert(raw.filter($"op" === "d").count() === 1)
+  }
+}
