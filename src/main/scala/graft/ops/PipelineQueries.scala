@@ -176,6 +176,7 @@ object PipelineQueries {
     "pack_sequences" -> (TextOps.packSequences _),
     "text_scrub" -> (TextOps.textScrub _),
     "text_repetition" -> (TextOps.textRepetition _),
+    "text_idf_rarity" -> (TextOps.textIdfRarity _),
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frames" -> (Multimodal.mmFrames _))
 
@@ -203,6 +204,7 @@ object PipelineQueries {
     "text_tokens" -> TextOps.textTokensSql,
     "text_scrub" -> TextOps.textScrubSql,
     "text_repetition" -> TextOps.textRepetitionSql,
+    "text_idf_rarity" -> TextOps.textIdfRaritySql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "mm_frames" -> Multimodal.mmFramesSql)
 }

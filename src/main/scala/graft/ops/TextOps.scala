@@ -303,6 +303,65 @@ object TextOps {
       |  md5(array_to_string(cw, ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, cid""".stripMargin
 
+  // --------------------------------------------------------------- C24
+  /** Corpus-IDF rarity scoring: per doc, its distinct-word count, its
+    * rare-word count (document frequency ≤ 2), and the mean IDF of its
+    * vocabulary — the "unusual vocabulary" quality signal (a rarity
+    * spike marks OCR garbage / codes / spam; a rarity floor marks
+    * boilerplate). Needs corpus-global state (the DF table), unlike the
+    * doc-local C9/C18 scores.
+    *
+    * Determinism: per-word IDF is fixed-pointed to 1e-6 (floor) and
+    * summed as BIGINT — double sums would be addition-order-sensitive
+    * across engines/partitionings; the one division at the end is a
+    * single IEEE op both engines share.
+    *
+    * 100 TB: two shuffles, both keyed on the word hash (DF count, then
+    * DF-join back); stopword-class hot words skew the join — at scale
+    * the standard fix is broadcasting the head of the DF table (it is
+    * Zipfian: the top 10k words cover most tokens) and shuffling only
+    * the tail. */
+  def textIdfRarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select($"doc_id", array_distinct(split($"text", " ")).as("w"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val ex = docs.select($"doc_id", explode($"w").as("word"))
+    val df = ex.groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    ex.join(df, "word")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"df",
+        floor(log($"n" * lit(1.0) / $"df") * 1000000 + 0.5)
+          .cast("long").as("idf_fp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when($"df" <= 2, 1L).otherwise(0L)).as("n_rare"),
+        sum($"idf_fp").as("sfp"))
+      .select($"doc_id", $"n_distinct", $"n_rare",
+        r4($"sfp".cast("double") /
+          (lit(1000000L) * $"n_distinct").cast("double")).as("idf_score"))
+      .orderBy($"doc_id")
+  }
+  val textIdfRaritySql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_distinct(string_split(text, ' ')) AS w FROM documents),
+      |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
+      |df AS (SELECT word, count(*) AS df FROM ex GROUP BY word),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |j AS (SELECT doc_id, df.df,
+      |    CAST(floor(ln(n.n * 1.0 / df.df) * 1000000 + 0.5) AS BIGINT)
+      |      AS idf_fp
+      |  FROM ex JOIN df USING (word) CROSS JOIN n),
+      |g AS (SELECT doc_id, count(*) AS n_distinct,
+      |    CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |    CAST(sum(idf_fp) AS BIGINT) AS sfp
+      |  FROM j GROUP BY doc_id)
+      |SELECT doc_id, n_distinct, n_rare,
+      |  floor(CAST(sfp AS DOUBLE) / CAST(1000000 * n_distinct AS DOUBLE)
+      |    * 10000 + 0.5) / 10000 AS idf_score
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C21
   /** Sequence packing (concat-then-split): chunks are laid end-to-end
     * in deterministic (doc_id, cid) order within 8 shards and cut into
