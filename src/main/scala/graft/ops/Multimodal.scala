@@ -99,6 +99,33 @@ object Multimodal {
       .orderBy($"doc_id", $"f")
   }
 
+  /** C25 — binary-content exact dedup: group assets by md5(payload),
+    * keep the lowest doc_id per content group — the image/audio "same
+    * bytes, different row" dedup. The shuffle carries only the 128-bit
+    * digest + id, never the payload (at 100 TB the payload column
+    * stays columnar-pruned out of the exchange entirely).
+    *
+    * Oracle honesty: DuckDB can't run md5 over the generated payload,
+    * but the fake-payload spec makes content equality ≡ equal
+    * (doc_id % 256, n_chars) — the oracle groups by that closed form,
+    * so a wrong payload, a wrong digest, or a collision-merged group
+    * breaks the match. */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    manifest(s, dir).toDF()
+      .groupBy(md5($"payload").as("payload_md5"))
+      .agg(min($"doc_id").as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(length($"payload")).cast("long").as("payload_len"))
+      .select($"keep_doc_id", $"n_copies", $"payload_len")
+      .orderBy($"keep_doc_id")
+  }
+  val mmDedupSql: String =
+    """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+      |  min(n_chars) AS payload_len
+      |FROM documents GROUP BY doc_id % 256, n_chars
+      |ORDER BY keep_doc_id""".stripMargin
+
   /** Oracle: T(d, n) = Σ_{i<n} (d+i) % 256 in closed form (full cycles
     * + wrap-split tail); frame sum = T(d, hi) − T(d, lo). */
   val mmFramesSql: String =

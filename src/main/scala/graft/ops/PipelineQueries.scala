@@ -178,7 +178,8 @@ object PipelineQueries {
     "text_repetition" -> (TextOps.textRepetition _),
     "text_idf_rarity" -> (TextOps.textIdfRarity _),
     "mm_manifest" -> (Multimodal.mmManifest _),
-    "mm_frames" -> (Multimodal.mmFrames _))
+    "mm_frames" -> (Multimodal.mmFrames _),
+    "mm_dedup" -> (Multimodal.mmDedup _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
@@ -206,5 +207,6 @@ object PipelineQueries {
     "text_repetition" -> TextOps.textRepetitionSql,
     "text_idf_rarity" -> TextOps.textIdfRaritySql,
     "mm_manifest" -> Multimodal.mmManifestSql,
-    "mm_frames" -> Multimodal.mmFramesSql)
+    "mm_frames" -> Multimodal.mmFramesSql,
+    "mm_dedup" -> Multimodal.mmDedupSql)
 }
