@@ -602,7 +602,11 @@ object CdcQueries {
           .as("cells")).as("m"))
       .select($"seq", expr("pg_encode(m)").as("raw"))
     val segDir = graft.Scratch.dir("graft_replsrc").toString
-    wire.repartitionByRange(8, $"seq").sortWithinPartitions($"seq")
+    // one segment per core: encode, write, and (binaryFile reads one
+    // split per file) decode all run at full parallelism — a WAL is
+    // many segments anyway
+    val nSeg = s.sparkContext.defaultParallelism
+    wire.repartitionByRange(nSeg, $"seq").sortWithinPartitions($"seq")
       .select($"raw").as[Array[Byte]]
       .mapPartitions { msgs =>
         val bos = new java.io.ByteArrayOutputStream()
@@ -673,7 +677,10 @@ object CdcQueries {
           array($"key".cast("string"), $"seq".cast("string")).as("keyvalues")))
           .as("oldkeys"))).as("change"))).as("doc"))
     val segDir = graft.Scratch.dir("graft_w2js").toString
-    doc.coalesce(4).write.mode("overwrite").text(segDir)
+    // one JSON-lines file per core: the file source assigns one split
+    // per small text file, so file count caps parse parallelism
+    doc.repartition(s.sparkContext.defaultParallelism)
+      .write.mode("overwrite").text(segDir)
     val flat = ChangeEventFiles.wal2jsonStream(s, segDir)
     val decoded = flat.select(
         coalesce(ChangeEventFiles.typedCell($"after", "user_id", "bigint"),
@@ -822,6 +829,53 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A28
+  /** Incremental view maintenance from change deltas — the canonical
+    * "turn the database inside out" downstream: a per-group aggregate
+    * view (live-row count + value total per event_type) is maintained
+    * purely from ±delta contributions, never by re-scanning the base
+    * table. Each change contributes "remove the previous live version,
+    * add the new live version" (the delta-query formulation of IVM à
+    * la DBToaster/Materialize); before-images are reconstructed with a
+    * per-key lag window (what Debezium's REPLICA IDENTITY FULL would
+    * carry on the wire). Per key the deltas telescope, so folding the
+    * whole feed from an empty base MUST equal recomputing the view
+    * from the materialized latest state — which is exactly the oracle.
+    *
+    * Values fold as exact cents; groups whose live count reaches zero
+    * are dropped (they don't exist in the recomputed view).
+    *
+    * 100 TB: one key-window shuffle + one group aggregation, both
+    * map-side-combined; in production the same fold merges a day's
+    * deltas into yesterday's base (associative + commutative by
+    * construction), so view refresh cost tracks change volume. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"seq")
+    val withPrev = ChangeFeed.fromEvents(s, dir)
+      .select($"key", $"seq", $"op", $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .select($"key", $"op", $"event_type", $"cents",
+        lag($"op", 1).over(w).as("p_op"),
+        lag($"event_type", 1).over(w).as("p_type"),
+        lag($"cents", 1).over(w).as("p_cents"))
+    val deltas = withPrev.select(explode(array(
+        struct(
+          when($"p_op".isNotNull && $"p_op" =!= "d", lit(-1L))
+            .otherwise(lit(0L)).as("dn"),
+          $"p_type".as("g"), (-$"p_cents").as("dc")),
+        struct(
+          when($"op" =!= "d", lit(1L)).otherwise(lit(0L)).as("dn"),
+          $"event_type".as("g"), $"cents".as("dc")))).as("d"))
+      .select($"d.dn", $"d.g", $"d.dc")
+      .filter($"dn" =!= 0)
+    deltas.groupBy($"g".as("event_type"))
+      .agg(sum($"dn").as("n_live"), sum($"dc").as("cents_total"))
+      .filter($"n_live" > 0)
+      .orderBy($"event_type")
+  }
+
   // --------------------------------------------------------------- A27
   /** Incremental partitioned materialization + compaction over the
     * bucket-partitioned MVCC sink ([[graft.sinks.PartitionedTable]]):
@@ -854,6 +908,7 @@ object CdcQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_incremental_agg" -> (incrementalAgg _),
     "cdc_compaction" -> (compaction _),
     "cdc_time_travel" -> (timeTravel _),
     "cdc_debezium_stream" -> (debeziumStreamSource _),
@@ -1048,6 +1103,16 @@ object CdcQueries {
     "cdc_latest_state" -> latestOracle,
     "cdc_stream_upserts" -> latestOracle,
     "cdc_compaction" -> latestOracle,
+    "cdc_incremental_agg" ->
+      s"""WITH $changesSql,
+         |r AS (SELECT key, seq, op, event_type,
+         |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         |        row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+         |      FROM changes)
+         |SELECT event_type, count(*) AS n_live,
+         |  CAST(sum(cents) AS BIGINT) AS cents_total
+         |FROM r WHERE rn = 1 AND op <> 'd'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same materialization contract as upserts — but fed from decoded
     // binary segments, so codec/source bugs surface as state diffs
     "cdc_replication_source" -> latestOracle,
