@@ -889,7 +889,9 @@ object CdcQueries {
     * tombstone-GC mechanics are asserted in PartitionedTableSpec. */
   def compaction(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val Buckets = 64
+    // bucket count sizes to KEY volume (file-churn vs rewrite-granularity
+    // trade: ~executor-sized buckets at scale); 16 at test SF
+    val Buckets = 16
     val stream = twoBatchChangeStream(s, dir, "cpt")
     val table = graft.Scratch.dir("graft_cpt_tbl").toString
     val ckpt = graft.Scratch.dir("graft_cpt_ck").toString

@@ -266,22 +266,39 @@ object Dedup {
       .select(element_at($"ids", 1).as("d1"), explode($"ids").as("d2"))
       .filter($"d1" =!= $"d2")
     val e = near.unionByName(exactE).dropDuplicates("d1", "d2")
+    // size the loop's shuffles to the EDGE volume, not the session
+    // default: label tables are |V| rows — at test SF a handful of
+    // partitions, at corpus scale it grows past the session default
+    // (≈1 partition per 250k edges)
     val und = e.select($"d1".as("u"), $"d2".as("v"))
       .unionByName(e.select($"d2".as("u"), $"d1".as("v")))
       .persist()
-    var labels = und.select($"u").distinct().select($"u", $"u".as("l")).persist()
+    val nEdges = und.count()
+    val parts = math.max(1, math.min(10000, (nEdges / 250000L).toInt + 1))
+    // localCheckpoint (not persist) on the per-round frames: an
+    // iterative loop's logical plan otherwise grows by one join per
+    // round and Catalyst re-analyzes the whole history each time —
+    // measured 0.9 s → 3.3 s per round by round 3 at sf0.1; with the
+    // lineage cut each round stays flat
+    val undP = und.repartition(parts, $"u").localCheckpoint()
+    und.unpersist()
+    var labels = undP.select($"u").distinct()
+      .select($"u", $"u".as("l")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
-      val nb = und.join(labels.select($"u".as("v"), $"l".as("nl")), "v")
+      val nb = undP.join(labels.select($"u".as("v"), $"l".as("nl")), "v")
         .groupBy($"u").agg(min($"nl").as("nl"))
-      val next = labels.join(nb, Seq("u"), "left")
-        .select($"u", least($"l", coalesce($"nl", $"l")).as("l"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("l", "old"), "u")
-        .filter($"l" =!= $"old").count()
-      labels.unpersist()
-      labels = next
+      // min-label is monotone, so "changed" ⟺ the new label is
+      // strictly smaller — folded into the same job as the update (no
+      // separate compare join)
+      val step = labels.join(nb, Seq("u"), "left")
+        .select($"u", least($"l", coalesce($"nl", $"l")).as("l"),
+          (coalesce($"nl", $"l") < $"l").as("moved"))
+        .repartition(parts, $"u")
+        .localCheckpoint()
+      changed = step.filter($"moved").count()
+      labels = step.select($"u", $"l")
       rounds += 1
     }
     labels.select($"u".as("doc_id"), $"l".as("canonical_id"))
