@@ -482,7 +482,55 @@ object Relational {
       .orderBy($"s_id")
   }
 
+  // --------------------------------------------------------------- B24
+  /** Salted JOIN under key skew: events map to a merchant id where
+    * ~80% of rows hit one hot merchant (synthesized deterministically),
+    * then join to a per-merchant dim. A plain hash join puts the hot
+    * key's whole volume in ONE task; salting replicates each dim row
+    * `Salt` ways and spreads the probe side by a row-hash salt, so the
+    * hot key fans out across `Salt` tasks — the manual, portable form
+    * of what AQE skew-join does adaptively (and the only form that
+    * works when the skew is in a stateful/streaming join).
+    * The spec asserts equality with the unsalted join; the oracle is
+    * the plain join. */
+  def qSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Salt = 16
+    val ev = graft.Tables.events(s, dir)
+      .select($"event_id", $"user_id",
+        when($"user_id" % 5 < 4, lit(7L)).otherwise($"user_id" % 150)
+          .as("merchant_id"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("salt", pmod(hash($"event_id"), lit(Salt)))
+    val dim = t(s, dir, "customer").filter($"c_custkey" < 150)
+      .select($"c_custkey".as("merchant_id"), $"c_mktsegment".as("segment"))
+      .withColumn("salt", explode(array((0 until Salt).map(lit): _*)))
+    ev.join(dim, Seq("merchant_id", "salt"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents_total"))
+      .orderBy($"segment")
+  }
+
+  // --------------------------------------------------------------- B25
+  /** Schema-on-read over the semi-structured `props` JSON column:
+    * extract a typed field per event without a declared schema
+    * (`get_json_object`), aggregate per event_type. The scan stays
+    * narrow (doc-local parse, codegen'd); no shuffle before the final
+    * group — the "JSON column in a 100 TB event table" reality. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.events(s, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"), sum($"k").as("k_total"),
+        min($"k").as("k_min"), max($"k").as("k_max"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_join" -> (qSkewSaltedJoin _),
+    "q_json_extract" -> (qJsonExtract _),
     "q_time_window_frame" -> (qTimeWindowFrame _),
     "q_band_range_join" -> (qBandRangeJoin _),
     "q_sketch_distinct" -> (qSketchDistinct _),
@@ -508,6 +556,26 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_skew_salted_join" ->
+      """WITH ev AS (SELECT event_id,
+        |    CASE WHEN user_id % 5 < 4 THEN 7 ELSE user_id % 150 END
+        |      AS merchant_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |dim AS (SELECT c_custkey AS merchant_id, c_mktsegment AS segment
+        |        FROM customer WHERE c_custkey < 150)
+        |SELECT segment, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total
+        |FROM ev JOIN dim USING (merchant_id)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS k_total,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_time_window_frame" ->
       """SELECT user_id, event_id,
         |  count(*) OVER w AS n_hour,

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture.{spark, sf0001}
+
+/** Semantics checks for the round-4 relational additions. */
+class RelationalSpec extends AnyFunSuite {
+
+  test("q_skew_salted_join equals the unsalted join") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(
+        when($"user_id" % 5 < 4, lit(7L)).otherwise($"user_id" % 150)
+          .as("merchant_id"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    val dim = spark.read.parquet(s"$sf0001/customer.parquet")
+      .filter($"c_custkey" < 150)
+      .select($"c_custkey".as("merchant_id"), $"c_mktsegment".as("segment"))
+    val plain = ev.join(dim, "merchant_id")
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents_total"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val salted = Relational.queries("q_skew_salted_join")(spark, sf0001)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(salted.toSeq === plain.toSeq)
+    // the synthesized skew is real: the hot merchant dominates
+    val hot = ev.filter($"merchant_id" === 7L).count().toDouble / ev.count()
+    assert(hot > 0.7, f"hot-key share $hot%.2f")
+  }
+
+  test("q_band_range_join matches a brute-force band join") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", unix_micros($"ts").as("tus"),
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .collect()
+    val signups = ev.filter(_.getString(1) == "signup")
+    val purchases = ev.filter(_.getString(1) == "purchase")
+    val want = signups.map { s =>
+      val near = purchases.filter(p =>
+        math.abs(p.getLong(2) - s.getLong(2)) <= 300000000L)
+      (s.getLong(0), near.length.toLong, near.map(_.getLong(3)).sum)
+    }.sortBy(_._1)
+    val got = Relational.queries("q_band_range_join")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+  }
+}
