@@ -829,6 +829,60 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A29
+  /** Multi-relation routing — the reference's RelationSet core: ONE
+    * wire stream interleaves changes for several tables (relation_id
+    * tags each message, reference main.go RelationSet registry); the
+    * consumer decodes once and fans out per relation, materializing
+    * each table under its own key semantics. Here the feed is encoded
+    * with relation 1 ("users": latest state per user key) and
+    * relation 2 ("audit": latest state per event key) by seq parity,
+    * round-tripped through the real binary codec, then routed and
+    * materialized per table in one plan (single decode pass, groupBy
+    * (table, key) — routing adds no extra scan or shuffle).
+    * 100 TB: one shuffle keyed (relation, key); per-table writers
+    * would just partitionBy the routing column. */
+  def tableRouting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PgOutputExpressions.register(s)
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val wire = changes.select(struct(
+        when($"op" === "i", "I").when($"op" === "d", "D").otherwise("U").as("op"),
+        (lit(1) + ($"seq" % 2).cast("int")).as("relation_id"),
+        array($"key".cast("string"), $"seq".cast("string")).as("key_cells"),
+        when($"op" =!= "d",
+          array($"key".cast("string"), $"event_type", $"value".cast("string"),
+            $"seq".cast("string"))).as("cells")).as("m"))
+      .select(expr("pg_encode(m)").as("raw"))
+    val decoded = wire.select(expr("pg_decode(raw)").as("d"))
+      .select($"d.relation_id".as("rid"),
+        when($"d.op" === "D", element_at($"d.key_cells", 1))
+          .otherwise(element_at($"d.cells", 1)).cast("long").as("key"),
+        when($"d.op" === "D", element_at($"d.key_cells", 2))
+          .otherwise(element_at($"d.cells", 4)).cast("long").as("seq"),
+        $"d.op".as("op"),
+        element_at($"d.cells", 2).as("event_type"),
+        element_at($"d.cells", 3).cast("double").as("value"))
+    // route: relation 1 keys by user (SCD1 upsert), relation 2 keys by
+    // the event itself (append-like audit: every seq is its own key)
+    val routed = decoded.select(
+      when($"rid" === 1, "users").otherwise("audit").as("tbl"),
+      when($"rid" === 1, $"key").otherwise($"seq").as("route_key"),
+      $"seq",
+      // wire ops are uppercase I/U/D; normalize back to feed form
+      when($"op" === "I", "i").when($"op" === "D", "d")
+        .otherwise("u").as("op"),
+      $"event_type", $"value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"tbl", $"route_key").orderBy($"seq".desc)
+    routed.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1 && $"op" =!= "d")
+      .select($"tbl", $"route_key", $"seq".as("last_seq"),
+        $"event_type".as("last_event_type"),
+        (floor($"value" * 100 + 0.5) / 100).as("last_value"))
+      .orderBy($"tbl", $"route_key")
+  }
+
   // --------------------------------------------------------------- A28
   /** Incremental view maintenance from change deltas — the canonical
     * "turn the database inside out" downstream: a per-group aggregate
@@ -910,6 +964,7 @@ object CdcQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_table_routing" -> (tableRouting _),
     "cdc_incremental_agg" -> (incrementalAgg _),
     "cdc_compaction" -> (compaction _),
     "cdc_time_travel" -> (timeTravel _),
@@ -1105,6 +1160,22 @@ object CdcQueries {
     "cdc_latest_state" -> latestOracle,
     "cdc_stream_upserts" -> latestOracle,
     "cdc_compaction" -> latestOracle,
+    "cdc_table_routing" ->
+      s"""WITH $changesSql,
+         |r AS (SELECT
+         |        CASE WHEN seq % 2 = 0 THEN 'users' ELSE 'audit' END AS tbl,
+         |        CASE WHEN seq % 2 = 0 THEN key ELSE seq END AS route_key,
+         |        seq, op, event_type, value,
+         |        row_number() OVER (
+         |          PARTITION BY seq % 2,
+         |            CASE WHEN seq % 2 = 0 THEN key ELSE seq END
+         |          ORDER BY seq DESC) AS rn
+         |      FROM changes)
+         |SELECT tbl, route_key, seq AS last_seq,
+         |  event_type AS last_event_type,
+         |  floor(value * 100 + 0.5) / 100 AS last_value
+         |FROM r WHERE rn = 1 AND op <> 'd'
+         |ORDER BY tbl, route_key""".stripMargin,
     "cdc_incremental_agg" ->
       s"""WITH $changesSql,
          |r AS (SELECT key, seq, op, event_type,

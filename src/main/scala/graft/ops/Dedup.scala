@@ -306,10 +306,12 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy($"canonical_id")))
       .orderBy($"canonical_id", $"doc_id")
   }
-  /** Oracle: recursive min-reachability over the same edge set (C2's
-    * exact pair derivation ∪ the closed-form injected exact dups). */
-  val dedupClusterSql: String =
-    s"""WITH RECURSIVE $shingledSql,
+  /** Shared CTE chain: edges (C2's exact pair derivation ∪ closed-form
+    * injected exact dups) → recursive min-reachability → `lbl`
+    * (doc_id, canonical_id). Reused by the C22 oracle and the C27
+    * canonical-corpus oracle. */
+  val clusterLabelCtes: String =
+    s"""$shingledSql,
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -329,7 +331,11 @@ object Dedup {
        |  UNION
        |  SELECT und.u, reach.l FROM und JOIN reach ON reach.u = und.v),
        |lbl AS (SELECT u AS doc_id, least(u, min(l)) AS canonical_id
-       |        FROM reach GROUP BY u)
+       |        FROM reach GROUP BY u)""".stripMargin
+
+  /** Oracle: recursive min-reachability over the same edge set. */
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $clusterLabelCtes
        |SELECT doc_id, canonical_id,
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM lbl ORDER BY canonical_id, doc_id""".stripMargin

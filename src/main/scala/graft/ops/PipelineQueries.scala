@@ -152,7 +152,77 @@ object PipelineQueries {
       |  floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- C26
+  /** Training-shard export: the final writer stage. Every document is
+    * assigned a shard by a deterministic md5 coin (first hex nibble →
+    * 16 shards — RNG-free, stable under corpus growth, same trick as
+    * C17's sampling coin), physically written `partitionBy("shard")`,
+    * and the manifest (docs / whitespace tokens / chars per shard) is
+    * computed FROM THE WRITTEN FILES — so the oracle checks the real
+    * export layout end-to-end, not just a would-be plan.
+    * 100 TB: one partitioned write (shard = the output partition
+    * column), manifest = one scan of the written table; md5-sharding
+    * balances within ~√n like any uniform hash. */
+  def pipelineShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = graft.Scratch.dir("graft_shards").toString
+    graft.Tables.table(s, dir, "documents")
+      .withColumn("shard",
+        substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))), 1, 1))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"shard".cast("string").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+        sum($"n_chars").as("n_chars_total"))
+      .orderBy($"shard")
+  }
+  val pipelineShardManifestSql: String =
+    """SELECT substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)
+      |    AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+      |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // --------------------------------------------------------------- C27
+  /** Canonical-corpus materialization — C22 APPLIED: every connected
+    * component keeps only its canonical (min-id) member; the rest are
+    * dropped via a left-anti join on the cluster labels. This is the
+    * step that actually shrinks the corpus after pair mining + cluster
+    * resolution; output is the per-source keep/drop accounting a
+    * dataset card reports. Cost = C22 + one broadcast-sized anti join
+    * (the drop list is |dup members|, tiny relative to the corpus). */
+  def pipelineCanonicalCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val drop = Dedup.dedupCluster(s, dir)
+      .filter($"doc_id" =!= $"canonical_id" && $"doc_id" < 1000000L)
+      .select($"doc_id", lit(true).as("is_dup"))
+    graft.Tables.table(s, dir, "documents")
+      .join(drop, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(sum(when($"is_dup".isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"is_dup".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"is_dup".isNull, $"n_chars").otherwise(0L)).as("chars_kept"))
+      .orderBy($"source")
+  }
+  val pipelineCanonicalCorpusSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterLabelCtes},
+       |drp AS (SELECT doc_id FROM lbl
+       |        WHERE doc_id <> canonical_id AND doc_id < 1000000)
+       |SELECT d.source,
+       |  CAST(sum(CASE WHEN drp.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN drp.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(sum(CASE WHEN drp.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+       |    AS BIGINT) AS chars_kept
+       |FROM documents d LEFT JOIN drp ON d.doc_id = drp.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shard_manifest" -> (pipelineShardManifest _),
+    "pipeline_canonical_corpus" -> (pipelineCanonicalCorpus _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "corpus_stats" -> (corpusStats _),
     "emb_quantize" -> (embQuantize _),
@@ -182,6 +252,8 @@ object PipelineQueries {
     "mm_dedup" -> (Multimodal.mmDedup _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_shard_manifest" -> pipelineShardManifestSql,
+    "pipeline_canonical_corpus" -> pipelineCanonicalCorpusSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "corpus_stats" -> corpusStatsSql,
     "emb_quantize" -> embQuantizeSql,
