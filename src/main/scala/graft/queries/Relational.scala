@@ -528,7 +528,59 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------------------------- B26
+  /** TPC-H Q13 shape — two-level aggregation: left-join customers to
+    * their (non-urgent) orders, count orders per customer INCLUDING
+    * zero-order customers, then histogram customers by order count.
+    * The left join keeps the empty group; the second aggregation is a
+    * re-shuffle on the first's output (tiny: one row per customer).
+    * 100 TB: shuffle 1 on custkey (join + count fused), shuffle 2 on
+    * c_count over |customers| rows — the histogram is never wider than
+    * the max order count. */
+  def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer").select($"c_custkey")
+    val o = t(s, dir, "orders")
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_custkey", $"o_orderkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  // --------------------------------------------------------------- B27
+  /** TPC-H Q22 shape — global-scalar filter + anti join: customers
+    * whose balance beats the average POSITIVE balance (a one-row
+    * aggregate, broadcast into the filter) and who have no orders at
+    * all (left-anti), rolled up per nation. The scalar is the
+    * "compare each row against a global statistic" primitive; the
+    * anti join is the "never transacted" primitive.
+    * 100 TB: scalar = one tiny agg broadcast; anti join shuffles on
+    * custkey (or broadcasts the distinct custkeys of the smaller
+    * side); rollup is a 25-group agg. */
+  def q22GlobalScalarAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val avgBal = cust.filter($"c_acctbal" > 0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    val withOrders = t(s, dir, "orders").select($"o_custkey").distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(withOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(t(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"),
+        money(sum($"c_acctbal")).as("totacctbal"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> (q13Custdist _),
+    "q22_global_scalar_anti" -> (q22GlobalScalarAnti _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q_json_extract" -> (qJsonExtract _),
     "q_time_window_frame" -> (qTimeWindowFrame _),
