@@ -301,6 +301,15 @@ object Dedup {
       labels = step.select($"u", $"l")
       rounds += 1
     }
+    // the cap is a runaway guard, not an accuracy knob: labels that are
+    // still moving mean components wider than 20 hops, and returning
+    // them would yield silently wrong canonical_id/cluster_size — fail
+    // instead (upgrade path for legit deep graphs: star-contraction,
+    // see Scaladoc above)
+    if (changed > 0) throw new IllegalStateException(
+      s"dedupCluster: min-label propagation not converged after $rounds " +
+        s"rounds ($changed labels still moving); component diameter " +
+        "exceeds the cap — raise it or switch to star-contraction")
     labels.select($"u".as("doc_id"), $"l".as("canonical_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy($"canonical_id")))

@@ -554,10 +554,13 @@ object Relational {
   // --------------------------------------------------------------- B27
   /** TPC-H Q22 shape — global-scalar filter + anti join: customers
     * whose balance beats the average POSITIVE balance (a one-row
-    * aggregate, broadcast into the filter) and who have no orders at
-    * all (left-anti), rolled up per nation. The scalar is the
-    * "compare each row against a global statistic" primitive; the
-    * anti join is the "never transacted" primitive.
+    * aggregate, broadcast into the filter) and who have never placed
+    * an URGENT-priority order (left-anti), rolled up per nation. The
+    * scalar is the "compare each row against a global statistic"
+    * primitive; the anti join is the "never did X" primitive. (The
+    * anti side is priority-filtered — in this synthetic feed every
+    * customer has *some* order, so "no orders at all" is vacuous;
+    * Q22Spec pins a nonzero row count.)
     * 100 TB: scalar = one tiny agg broadcast; anti join shuffles on
     * custkey (or broadcasts the distinct custkeys of the smaller
     * side); rollup is a 25-group agg. */
@@ -566,10 +569,12 @@ object Relational {
     val cust = t(s, dir, "customer")
     val avgBal = cust.filter($"c_acctbal" > 0)
       .agg(avg($"c_acctbal").as("avg_bal"))
-    val withOrders = t(s, dir, "orders").select($"o_custkey").distinct()
+    val urgent = t(s, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct()
     cust.crossJoin(broadcast(avgBal))
       .filter($"c_acctbal" > $"avg_bal")
-      .join(withOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
       .join(broadcast(t(s, dir, "nation")),
         $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
@@ -608,6 +613,25 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON c.c_custkey = o.o_custkey
+        |       AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q22_global_scalar_anti" ->
+      """SELECT n_name, count(*) AS numcust,
+        |  floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+        |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_skew_salted_join" ->
       """WITH ev AS (SELECT event_id,
         |    CASE WHEN user_id % 5 < 4 THEN 7 ELSE user_id % 150 END

@@ -131,14 +131,26 @@ object PartitionedTable {
       .getOrElse(throw new IllegalStateException(s"no snapshot at $table"))
     val kept = snap.filter(!(col("op") === "d" && col("seq") <= horizon))
     val version = s"vc_${System.currentTimeMillis()}"
-    kept.repartition(buckets, col("__b")).write.partitionBy("__b")
-      .mode("overwrite").parquet(s"$table/$version")
-    // manifest lists only buckets that still hold rows (a bucket whose
-    // every row was a dropped tombstone writes no dir)
-    val present = s.read.parquet(s"$table/$version")
-      .select("__b").distinct().collect().map(_.getInt(0))
-    writeManifest(s, table, s"mc_${System.currentTimeMillis()}",
-      present.map(_ -> version).toMap)
+    if (kept.isEmpty) {
+      // every surviving row was a GC-able tombstone: partitionBy writes
+      // no data files for an empty frame (read-back would fail schema
+      // inference) and an empty manifest reads as "no snapshot". Publish
+      // one schema-bearing empty bucket instead, so readLatest returns a
+      // legitimately empty table.
+      kept.drop("__b").repartition(1)
+        .write.mode("overwrite").parquet(s"$table/$version/__b=0")
+      writeManifest(s, table, s"mc_${System.currentTimeMillis()}",
+        Map(0 -> version))
+    } else {
+      kept.repartition(buckets, col("__b")).write.partitionBy("__b")
+        .mode("overwrite").parquet(s"$table/$version")
+      // manifest lists only buckets that still hold rows (a bucket whose
+      // every row was a dropped tombstone writes no dir)
+      val present = s.read.parquet(s"$table/$version")
+        .select("__b").distinct().collect().map(_.getInt(0))
+      writeManifest(s, table, s"mc_${System.currentTimeMillis()}",
+        present.map(_ -> version).toMap)
+    }
     version
   }
 }

@@ -30,6 +30,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(hot > 0.7, f"hot-key share $hot%.2f")
   }
 
+  test("q22_global_scalar_anti is non-vacuous and matches brute force") {
+    import spark.implicits._
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey", $"c_acctbal", $"c_nationkey").collect()
+    val urgent = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").as[Long].collect().toSet
+    val pos = cust.map(_.getDouble(1)).filter(_ > 0)
+    val avgBal = pos.sum / pos.length
+    val qualifying = cust.filter(r =>
+      r.getDouble(1) > avgBal && !urgent.contains(r.getLong(0)))
+    assert(qualifying.nonEmpty, "anti join is vacuous at sf0.001")
+    val got = Relational.queries("q22_global_scalar_anti")(spark, sf0001)
+    assert(got.agg(sum($"numcust")).as[Long].head() === qualifying.length)
+  }
+
+  test("q13_custdist conserves customers across the histogram") {
+    import spark.implicits._
+    val got = Relational.queries("q13_custdist")(spark, sf0001)
+    val nCust = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(got.agg(sum($"custdist")).as[Long].head() === nCust)
+  }
+
   test("q_band_range_join matches a brute-force band join") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf0001)

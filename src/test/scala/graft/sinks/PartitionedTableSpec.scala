@@ -80,6 +80,23 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(after.toSeq === before.toSeq, "compaction changed visible state")
   }
 
+  test("compacting a fully-deleted table yields an empty readable snapshot") {
+    import spark.implicits._
+    // every row deleted, every tombstone at/below the horizon: the
+    // surviving set is empty, but the table must stay readable as
+    // "legitimately empty", not throw "no snapshot"
+    val b1 = (0L until 10L).map(k => rec(k, k + 1, "i"))
+    val b2 = (0L until 10L).map(k => rec(k, 100L + k, "d"))
+    val table = runTwoBatches("empty", b1, b2)
+    PartitionedTable.compact(spark, table, Buckets, horizon = 500L)
+    val raw = PartitionedTable.readSnapshot(spark, table, Buckets)
+    assert(raw.isDefined, "empty table lost its snapshot")
+    assert(raw.get.count() === 0)
+    val state = PartitionedTable.readLatest(spark, table, Buckets)
+    assert(state.count() === 0)
+    assert(state.columns.contains("key"), "schema lost on empty compaction")
+  }
+
   test("tombstones above the horizon are retained") {
     import spark.implicits._
     val b1 = (0L until 20L).map(k => rec(k, k + 1, "i"))
