@@ -49,9 +49,14 @@ object Dedup {
     * relative to maxPartitionBytes), but shingling is CPU-heavy per
     * row — repartition first so it runs at full core parallelism
     * instead of serializing on the scan's partition count. */
-  def shingled(s: SparkSession, dir: String): DataFrame = {
+  def shingled(s: SparkSession, dir: String): DataFrame =
+    shingleDocs(s, table(s, dir, "documents"))
+
+  /** Shingling over any (doc_id, text) frame — shared by the
+    * documents-table path and C28's fragment-injected feed. */
+  private def shingleDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents")
+    docs
       .select($"doc_id", split($"text", " ").as("w"))
       .repartition(s.sparkContext.defaultParallelism)
       .filter(size($"w") >= 3)
@@ -139,6 +144,87 @@ object Dedup {
        |        floor(inter * 1.0 / (x.n + y.n - inter) * 10000 + 0.5) / 10000 AS jac
        |      FROM co JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2)
        |SELECT d1, d2, jac FROM j WHERE jac >= 0.8 ORDER BY d1, d2""".stripMargin
+
+  // --------------------------------------------------------------- C28
+  /** Fragment-injected feed for the containment join: every 9th doc
+    * re-appears truncated to its first half under a shifted id — a
+    * prefix fragment whose shingle set is a strict subset of its
+    * source's, so containment ≈ 1 while symmetric Jaccard ≈ 0.5
+    * (invisible to C2/C3 by design). Oracle mirrors the truncation
+    * closed-form. */
+  def fragFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents").select($"doc_id", $"text")
+    val frag = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter($"doc_id" % 9 === 0 && size($"w") >= 8)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat_ws(" ", slice($"w", lit(1), (size($"w") / 2).cast("int")))
+          .as("text"))
+    docs.unionByName(frag)
+  }
+
+  /** Asymmetric containment near-dup: ordered pairs (d1, d2) with
+    * C(d1→d2) = |sh(d1) ∩ sh(d2)| / |sh(d1)| ≥ 0.9 — the
+    * quote-inclusion / fragment-dup detector that symmetric Jaccard
+    * (C2/C3) structurally misses when lengths differ (J ≤ |A|/|B|).
+    *
+    * Scale path: the prefix filter applies to the CONTAINED side only
+    * (containment has no length filter — d2 may be arbitrarily large):
+    * C(A→B) ≥ t forces overlap ≥ ⌈t·|A|⌉, so A's |A| − ⌈t·|A|⌉ + 1
+    * globally-rarest shingles must hit B somewhere — A's prefix joins
+    * the full inverted index, never prefix×prefix. Cost ∝ document
+    * frequency of *rare* shingles (rarest-first ordering keeps hot
+    * shingles out of every prefix), exactly the asymmetric variant of
+    * C2's PPJoin argument. ⌈t·n⌉ as the overlap bound is exact for
+    * n ≤ ~2000 shingles under the r4-rounded compare (a rounded-up
+    * pass below the exact threshold needs n ≥ 1/(4-dp half-ulp)). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = 0.9
+    val sh = shingleDocs(s, fragFeed(s, dir))
+      .withColumn("n", size($"sh")).persist()
+    val ex = sh.select($"doc_id", $"n", explode($"sh").as("s"))
+    val freq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"s")
+    val prefix = ex.join(freq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= $"n" - ceil(lit(t) * $"n") + 1)
+      .select($"doc_id".as("d1"), $"s")
+    val cand = prefix
+      .join(ex.select($"doc_id".as("d2"), $"s"), "s")
+      .filter($"d1" =!= $"d2")
+      .select($"d1", $"d2").dropDuplicates("d1", "d2")
+    val full = sh.select($"doc_id", $"sh")
+    cand.join(full.as("x"), $"d1" === $"x.doc_id")
+      .join(full.as("y"), $"d2" === $"y.doc_id")
+      .select($"d1", $"d2",
+        r4(size(array_intersect($"x.sh", $"y.sh")).cast("double") /
+           size($"x.sh")).as("cont"))
+      .filter($"cont" >= t)
+      .orderBy($"d1", $"d2")
+  }
+  val dedupContainmentSql: String =
+    """WITH fwords AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |ffeed AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, array_to_string(w[1:len(w)//2], ' ')
+      |  FROM fwords WHERE doc_id % 9 = 0 AND len(w) >= 8),
+      |words2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM ffeed),
+      |fsh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+      |          FOR i IN range(1, len(w) - 1)]) AS sh
+      |        FROM words2 WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM fsh),
+      |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |       GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM fsh)
+      |SELECT d1, d2,
+      |  floor(inter * 1.0 / x.n * 10000 + 0.5) / 10000 AS cont
+      |FROM co JOIN sz x ON x.doc_id = d1
+      |WHERE floor(inter * 1.0 / x.n * 10000 + 0.5) / 10000 >= 0.9
+      |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------- C3
   /** MinHash(128) + LSH banding (16 bands × 8 rows) → candidate pairs

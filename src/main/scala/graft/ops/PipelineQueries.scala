@@ -232,6 +232,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhashAudit _),
     "dedup_cluster" -> (Dedup.dedupCluster _),
+    "dedup_containment" -> (Dedup.dedupContainment _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLshAudit _),
@@ -263,6 +264,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashAuditSql,
     "dedup_cluster" -> Dedup.dedupClusterSql,
+    "dedup_containment" -> Dedup.dedupContainmentSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_bruteforce" -> Ann.annBruteforceSql,
     "ann_lsh" -> Ann.annAuditSql,

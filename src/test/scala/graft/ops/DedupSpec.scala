@@ -64,6 +64,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._3 >= 3), "transitive chain should form a >=3 cluster")
   }
 
+  test("dedup_containment finds every injected fragment; jaccard misses them") {
+    import spark.implicits._
+    val got = Dedup.dedupContainment(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+    // every injected fragment (id shifted +2000000) is a shingle-subset
+    // of its source, so it must surface with containment exactly 1.0
+    val nFrags = graft.Tables.table(spark, sf0001, "documents")
+      .filter($"doc_id" % 9 === 0 &&
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")) >= 8).count()
+    val fragHits = got.filter(p => p._1 >= 2000000L && p._2 == p._1 - 2000000L)
+    assert(fragHits.length === nFrags, "an injected fragment was missed")
+    assert(fragHits.forall(_._3 == 1.0))
+    // the same (fragment, source) pairs are invisible to symmetric
+    // Jaccard at 0.8 — that asymmetry is this operator's reason to exist
+    val jac = Dedup.dedupNgramJaccard(spark, sf0001)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(fragHits.forall(p => !jac.contains((p._2, p._1)) &&
+      !jac.contains((p._1, p._2))))
+  }
+
   test("dedup_exact keeps one canonical row per text") {
     import spark.implicits._
     val out = Dedup.dedupExact(spark, sf0001)
