@@ -248,6 +248,7 @@ object PipelineQueries {
     "text_scrub" -> (TextOps.textScrub _),
     "text_repetition" -> (TextOps.textRepetition _),
     "text_idf_rarity" -> (TextOps.textIdfRarity _),
+    "text_lm_score" -> (TextOps.textLmScore _),
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frames" -> (Multimodal.mmFrames _),
     "mm_dedup" -> (Multimodal.mmDedup _))
@@ -280,6 +281,7 @@ object PipelineQueries {
     "text_scrub" -> TextOps.textScrubSql,
     "text_repetition" -> TextOps.textRepetitionSql,
     "text_idf_rarity" -> TextOps.textIdfRaritySql,
+    "text_lm_score" -> TextOps.textLmScoreSql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     "mm_dedup" -> Multimodal.mmDedupSql)

@@ -393,4 +393,67 @@ object TextOps {
        |SELECT shard, CAST(floor((cum - n_words) / 512) AS BIGINT) AS seq_id,
        |  count(*) AS n_chunks, CAST(sum(n_words) AS BIGINT) AS n_words_total
        |FROM b GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
+
+  // --------------------------------------------------------------- C29
+  /** Unigram-LM quality scoring — the CCNet/KenLM perplexity gate as a
+    * first-class op: fit a corpus-wide unigram model (token frequency
+    * over total tokens) and score each document by its mean token
+    * negative log-likelihood, -Σ ln p(wᵢ) / n. High nll = vocabulary
+    * the corpus LM finds surprising (garbage/spam), low nll =
+    * boilerplate; train-data teams gate on both tails. Differs from
+    * C24: token-level probability mass (multiplicity counts), not
+    * document frequency.
+    *
+    * Determinism: per-token nll is fixed-pointed to 1e-6 (floor) and
+    * summed as BIGINT (addition-order-free); one shared IEEE division
+    * at the end (see C24).
+    *
+    * 100 TB: the token→tf join is Zipf-skewed — the few hottest words
+    * carry most tokens and would hot-spot a hash join. The head/tail
+    * split below is the standard fix, implemented (not just noted):
+    * the top-1k words by tf resolve via broadcast map-side (no
+    * shuffle for most of the token volume); only the Zipf tail — rare
+    * words, uniform-ish keys — shuffles. Equality with the plain join
+    * is exactly what the oracle checks. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = table(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val tf = ex.groupBy($"word").agg(count(lit(1)).as("tf"))
+    val tot = ex.agg(count(lit(1)).as("t"))
+    // Zipf head: tiny top-k by construction → TakeOrderedAndProject,
+    // then broadcast; the tail join's keys are the rare words only
+    val head = broadcast(tf.orderBy($"tf".desc, $"word").limit(1000)
+      .withColumnRenamed("tf", "tf_h"))
+    val tailed = ex.join(head, Seq("word"), "left")
+    val resolved = tailed.filter($"tf_h".isNotNull)
+      .select($"doc_id", $"tf_h".as("tf"))
+      .unionByName(tailed.filter($"tf_h".isNull).select($"doc_id", $"word")
+        .join(tf, "word").select($"doc_id", $"tf"))
+    resolved.crossJoin(broadcast(tot))
+      .select($"doc_id",
+        floor(log($"t" * lit(1.0) / $"tf") * 1000000 + 0.5)
+          .cast("long").as("nll_fp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"nll_fp").as("sfp"))
+      .select($"doc_id", $"n_tokens",
+        r4($"sfp".cast("double") /
+          (lit(1000000L) * $"n_tokens").cast("double")).as("nll_score"))
+      .orderBy($"doc_id")
+  }
+  val textLmScoreSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tf AS (SELECT word, count(*) AS tf FROM tok GROUP BY word),
+      |tot AS (SELECT count(*) AS t FROM tok),
+      |j AS (SELECT doc_id,
+      |    CAST(floor(ln(t * 1.0 / tf) * 1000000 + 0.5) AS BIGINT) AS nll_fp
+      |  FROM tok JOIN tf USING (word) CROSS JOIN tot),
+      |g AS (SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(nll_fp) AS BIGINT) AS sfp FROM j GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  floor(CAST(sfp AS DOUBLE) / CAST(1000000 * n_tokens AS DOUBLE)
+      |    * 10000 + 0.5) / 10000 AS nll_score
+      |FROM g ORDER BY doc_id""".stripMargin
 }
