@@ -220,7 +220,77 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN drp ON d.doc_id = drp.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // --------------------------------------------------------------- C30
+  /** Corpus-quantile quality gate: keep documents whose score sits
+    * inside the corpus's exact [p10, p90] band — the "trim both tails"
+    * filter every curation pipeline applies, with the threshold coming
+    * from a corpus-global order statistic rather than a constant.
+    * Score = mean token length (chars/words — cheap, deterministic,
+    * continuous); the gate pattern is the point, the score is
+    * pluggable.
+    *
+    * Determinism: score is one shared IEEE division; both score and
+    * thresholds are 4-dp fixed-pointed before comparison, so the band
+    * test is bit-identical across engines (q_percentiles already pins
+    * exact-percentile parity with DuckDB's quantile_cont).
+    *
+    * 100 TB: pass 1 = one exact-percentile aggregate to a ONE-ROW
+    * frame (Spark's percentile buffers per-partition and merges — no
+    * global sort); pass 2 = broadcast that row and band-classify at
+    * scan parallelism; the only shuffle is the final per-source
+    * accounting rollup. At extreme scale the exact percentile swaps
+    * for B21's mergeable approx sketch — same plan shape. */
+  def pipelineQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r4 = (c: org.apache.spark.sql.Column) => floor(c * 10000 + 0.5) / 10000
+    val base = graft.Tables.table(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars",
+        (length($"text") * lit(1.0) / size(split($"text", " ")))
+          .as("score"))
+    val th = base.agg(
+      expr("percentile(score, 0.1)").as("p10"),
+      expr("percentile(score, 0.9)").as("p90"))
+    base.crossJoin(broadcast(th))
+      .select($"source", $"n_chars",
+        when(r4($"score") < r4($"p10"), "low")
+          .when(r4($"score") > r4($"p90"), "high")
+          .otherwise("keep").as("band"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"band" === "keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"band" === "low", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"band" === "high", 1L).otherwise(0L)).as("n_high"),
+        sum(when($"band" === "keep", $"n_chars").otherwise(0L))
+          .as("kept_chars"))
+      .orderBy($"source")
+  }
+  val pipelineQualityGateSql: String =
+    """WITH base AS (SELECT doc_id, source, n_chars,
+      |    len(text) * 1.0 / len(string_split(text, ' ')) AS score
+      |  FROM documents),
+      |th AS (SELECT quantile_cont(score, 0.1) AS p10,
+      |    quantile_cont(score, 0.9) AS p90 FROM base),
+      |b AS (SELECT source, n_chars,
+      |    CASE
+      |      WHEN floor(score * 10000 + 0.5) / 10000 <
+      |           floor(p10 * 10000 + 0.5) / 10000 THEN 'low'
+      |      WHEN floor(score * 10000 + 0.5) / 10000 >
+      |           floor(p90 * 10000 + 0.5) / 10000 THEN 'high'
+      |      ELSE 'keep' END AS band
+      |  FROM base CROSS JOIN th)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN band = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN band = 'low' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  CAST(sum(CASE WHEN band = 'high' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high,
+      |  CAST(sum(CASE WHEN band = 'keep' THEN n_chars ELSE 0 END)
+      |    AS BIGINT) AS kept_chars
+      |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_shard_manifest" -> (pipelineShardManifest _),
     "pipeline_canonical_corpus" -> (pipelineCanonicalCorpus _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -254,6 +324,7 @@ object PipelineQueries {
     "mm_dedup" -> (Multimodal.mmDedup _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_shard_manifest" -> pipelineShardManifestSql,
     "pipeline_canonical_corpus" -> pipelineCanonicalCorpusSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
