@@ -263,4 +263,65 @@ object Ann {
       .select($"query_id", $"rank", $"neighbor_id", $"cos")
       .orderBy($"query_id", $"rank")
   }
+
+  // --------------------------------------------------------------- C31
+  /** Johnson–Lindenstrauss signed random projection 64d → 16d — the
+    * dimensionality-reduction step before shipping embeddings to an
+    * index at corpus scale (Achlioptas, "Database-friendly random
+    * projections": ±1 entries preserve dot products in expectation,
+    * E[⟨Ra,Rb⟩] = k·⟨a,b⟩). The sign matrix derives from md5("rp:k:i")
+    * — a seedable, code-free random source both engines can replay, in
+    * the same spirit as C17's md5 coin.
+    *
+    * Determinism: each term x·s is 1e-6 fixed-pointed (floor) BEFORE
+    * the sum, so the 64-term reduction is BIGINT addition —
+    * order-free across partitions and engines.
+    *
+    * 100 TB: fully narrow — 16 codegen'd fold expressions per row at
+    * scan parallelism, zero shuffles, no UDF; output is 16 doubles per
+    * vector (4× compression before any index build touches it). */
+  val RpOutDims = 16
+  val RpInDims = 64
+  /** signs(k)(i) ∈ {+1.0, −1.0} from the first hex char of md5. */
+  lazy val rpSigns: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until RpOutDims).map { k =>
+      (0 until RpInDims).map { i =>
+        val hex = md.digest(s"rp:$k:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) < '8') 1.0 else -1.0
+      }
+    }
+  }
+
+  def embRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = (0 until RpOutDims).map { k =>
+      val sgn = array(rpSigns(k).map(lit): _*)
+      val fp = aggregate(
+        zip_with($"v", sgn, (x, sg) =>
+          floor(x * sg * 1000000 + 0.5).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      r4(fp.cast("double") / 1000000).as(f"p$k%02d")
+    }
+    corpus(s, dir)
+      .select($"vec_id" +: cols: _*)
+      .orderBy($"vec_id")
+  }
+  val embRandomProjectionSql: String = {
+    val terms = (0 until RpOutDims).map { k =>
+      val sgnList = rpSigns(k).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      f"""floor(CAST(list_sum(list_transform(list_zip(v, $sgnList),
+         |    p -> CAST(floor(p[1] * p[2] * 1000000 + 0.5) AS BIGINT)))
+         |  AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS p$k%02d"""
+        .stripMargin
+    }.mkString(",\n  ")
+    s"""WITH n AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  $terms
+       |FROM n ORDER BY vec_id""".stripMargin
+  }
 }

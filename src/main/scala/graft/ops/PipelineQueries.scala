@@ -308,6 +308,7 @@ object PipelineQueries {
     "ann_lsh" -> (Ann.annLshAudit _),
     "ann_ivf" -> (Ann.annIvfAudit _),
     "emb_cluster_assign" -> (Ann.embClusterAssign _),
+    "emb_random_projection" -> (Ann.embRandomProjection _),
     "text_langid" -> (TextOps.textLangid _),
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -342,6 +343,7 @@ object PipelineQueries {
     "ann_lsh" -> Ann.annAuditSql,
     "ann_ivf" -> Ann.annAuditSql,
     "emb_cluster_assign" -> Ann.embClusterAssignSql,
+    "emb_random_projection" -> Ann.embRandomProjectionSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_decontaminate" -> TextOps.textDecontaminateSql,
     "text_chunk" -> TextOps.textChunkSql,
