@@ -327,15 +327,13 @@ object Dedup {
     * per cluster" drops chains like a≈b≈c even when (a,c) was never
     * mined directly.
     *
-    * Components via iterative min-label propagation on the edge list:
-    * each round is one O(E) shuffle (labels join edges, min per
-    * vertex), rounds bounded by component diameter — dedup clusters
-    * are shallow (stars + short chains), so this converges in 2–4
-    * rounds here and stays a handful at corpus scale; the documented
-    * upgrade path for adversarially long chains is star-contraction
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-    * which is the same join shape alternated large-star/small-star for
-    * O(log n) rounds. Only (id, id) pairs ever shuffle — never text.
+    * Components via alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round is two O(E) shuffles and the edge set contracts toward
+    * per-component stars in O(log n) rounds — unlike plain min-label
+    * propagation (rounds = component diameter), a crawl-data duplicate
+    * chain thousands of hops deep still resolves in ~a dozen rounds.
+    * Only (id, id) pairs ever shuffle — never text.
     *
     * Driver loop = the convergence check (one count per round), the
     * legitimate iterative-algorithm driver pattern (same as IVF's
@@ -353,53 +351,88 @@ object Dedup {
       .filter($"d1" =!= $"d2")
     val e = near.unionByName(exactE).dropDuplicates("d1", "d2")
     // size the loop's shuffles to the EDGE volume, not the session
-    // default: label tables are |V| rows — at test SF a handful of
-    // partitions, at corpus scale it grows past the session default
-    // (≈1 partition per 250k edges)
-    val und = e.select($"d1".as("u"), $"d2".as("v"))
-      .unionByName(e.select($"d2".as("u"), $"d1".as("v")))
-      .persist()
-    val nEdges = und.count()
+    // default: at test SF a handful of partitions, at corpus scale it
+    // grows past the session default (≈1 partition per 250k edges)
+    val eP = e.persist()
+    val nEdges = eP.count()
     val parts = math.max(1, math.min(10000, (nEdges / 250000L).toInt + 1))
-    // localCheckpoint (not persist) on the per-round frames: an
-    // iterative loop's logical plan otherwise grows by one join per
-    // round and Catalyst re-analyzes the whole history each time —
-    // measured 0.9 s → 3.3 s per round by round 3 at sf0.1; with the
-    // lineage cut each round stays flat
-    val undP = und.repartition(parts, $"u").localCheckpoint()
-    und.unpersist()
-    var labels = undP.select($"u").distinct()
-      .select($"u", $"u".as("l")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val nb = undP.join(labels.select($"u".as("v"), $"l".as("nl")), "v")
-        .groupBy($"u").agg(min($"nl").as("nl"))
-      // min-label is monotone, so "changed" ⟺ the new label is
-      // strictly smaller — folded into the same job as the update (no
-      // separate compare join)
-      val step = labels.join(nb, Seq("u"), "left")
-        .select($"u", least($"l", coalesce($"nl", $"l")).as("l"),
-          (coalesce($"nl", $"l") < $"l").as("moved"))
-        .repartition(parts, $"u")
-        .localCheckpoint()
-      changed = step.filter($"moved").count()
-      labels = step.select($"u", $"l")
-      rounds += 1
-    }
-    // the cap is a runaway guard, not an accuracy knob: labels that are
-    // still moving mean components wider than 20 hops, and returning
-    // them would yield silently wrong canonical_id/cluster_size — fail
-    // instead (upgrade path for legit deep graphs: star-contraction,
-    // see Scaladoc above)
-    if (changed > 0) throw new IllegalStateException(
-      s"dedupCluster: min-label propagation not converged after $rounds " +
-        s"rounds ($changed labels still moving); component diameter " +
-        "exceeds the cap — raise it or switch to star-contraction")
+    val (labels, _) =
+      starContract(eP.select($"d1".as("u"), $"d2".as("v")), parts)
+    eP.unpersist()
     labels.select($"u".as("doc_id"), $"l".as("canonical_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy($"canonical_id")))
       .orderBy($"canonical_id", $"doc_id")
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Input: directed pair frame (u, v); output: ((u, l) labels for
+    * every endpoint with l = component minimum, rounds taken).
+    *
+    * Each round:
+    *  - LARGE-STAR: every node links its *larger* neighbors to its
+    *    minimum neighbor (incl. itself) — long chains fold in half;
+    *  - SMALL-STAR: every node links its *smaller* neighbors (and
+    *    itself) to its minimum neighbor — stars flatten to depth 1.
+    *
+    * Both steps preserve connectivity and strictly orient edges
+    * big→small, so the fixpoint is one depth-1 star per component
+    * rooted at its minimum id. Convergence is O(log n) rounds (vs
+    * rounds = diameter for min-label propagation); each round is two
+    * partitionBy-u window shuffles over the edge list — (id, id)
+    * pairs only, so a round's shuffle volume is O(E) ids.
+    *
+    * localCheckpoint per round: an iterative loop's logical plan
+    * otherwise grows by one join per round and Catalyst re-analyzes
+    * the whole history each time — measured 0.9 s → 3.3 s per round
+    * at sf0.1; with the lineage cut each round stays flat. */
+  def starContract(edges0: DataFrame, parts: Int): (DataFrame, Int) = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val verts = edges0.select($"u")
+      .unionByName(edges0.select($"v".as("u")))
+      .distinct().localCheckpoint()
+    var edges = edges0.filter($"u" =!= $"v")
+      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .distinct().repartition(parts, $"u").localCheckpoint()
+    var rounds = 0
+    var converged = edges.isEmpty
+    // 50-round guard is a runaway backstop, not an accuracy knob:
+    // log2 of any physically possible vertex count is < 50, so hitting
+    // it means a bug — fail loudly rather than return wrong labels.
+    while (!converged && rounds < 50) {
+      // large-star over the symmetrized neighborhood; min().over(w) is
+      // a group-min broadcast within the partition key, no join needed
+      val nbrs = edges.unionByName(edges.select($"v".as("u"), $"u".as("v")))
+      val wl = Window.partitionBy($"u")
+      val ls = nbrs
+        .withColumn("m", least(min($"v").over(wl), $"u"))
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .distinct()
+      // small-star: ls edges are all big→small already, so the
+      // neighborhood of u is exactly its smaller neighbors
+      val sm = ls.withColumn("m", min($"v").over(Window.partitionBy($"u")))
+      val next = sm.select($"v".as("u"), $"m".as("v"))
+        .unionByName(sm.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+        .repartition(parts, $"u").localCheckpoint()
+      // fixpoint test: both sides are distinct sets, so equal counts +
+      // empty one-sided difference ⟺ set equality
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"starContract: not converged after $rounds rounds — " +
+        "this exceeds the O(log n) bound and indicates a bug")
+    // at fixpoint every non-root has exactly one edge (u → root);
+    // roots and singleton vertices label themselves
+    val labels = verts.join(edges, Seq("u"), "left")
+      .select($"u", coalesce($"v", $"u").as("l"))
+    (labels, rounds)
   }
   /** Shared CTE chain: edges (C2's exact pair derivation ∪ closed-form
     * injected exact dups) → recursive min-reachability → `lbl`

@@ -289,8 +289,54 @@ object PipelineQueries {
       |    AS BIGINT) AS kept_chars
       |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- C32
+  /** The documented 100 TB swap for C30, proven green: thresholds from
+    * `percentile_approx` (GK-style mergeable sketch, bounded memory
+    * per partition) instead of exact `percentile` (buffers all values
+    * in the agg). Asserted B21-style with the RANK-tolerance contract
+    * the sketch actually guarantees: the approx p10 must fall between
+    * the exact p05 and p15 values (p90 between p85/p95). Exact
+    * percentiles are the oracle columns (engine parity pinned by B18/
+    * C30); the booleans pin the contract per source.
+    *
+    * 100 TB: one map-side-combined sketch agg per source — partial
+    * sketches merge, nothing buffers the full value list; the same
+    * broadcast-then-classify plan as C30 hangs off the sketch row. */
+  def pipelineQualityGateApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r4 = (c: org.apache.spark.sql.Column) => floor(c * 10000 + 0.5) / 10000
+    graft.Tables.table(s, dir, "documents")
+      .select($"source",
+        (length($"text") * lit(1.0) / size(split($"text", " ")))
+          .as("score"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(expr("percentile(score, 0.1)")).as("p10_exact"),
+        r4(expr("percentile(score, 0.9)")).as("p90_exact"),
+        expr("percentile_approx(score, 0.1, 1000)").as("ap10"),
+        expr("percentile_approx(score, 0.9, 1000)").as("ap90"),
+        expr("percentile(score, 0.05)").as("lo10"),
+        expr("percentile(score, 0.15)").as("hi10"),
+        expr("percentile(score, 0.85)").as("lo90"),
+        expr("percentile(score, 0.95)").as("hi90"))
+      .select($"source", $"n_docs", $"p10_exact", $"p90_exact",
+        ($"ap10" >= $"lo10" && $"ap10" <= $"hi10").as("p10_ok"),
+        ($"ap90" >= $"lo90" && $"ap90" <= $"hi90").as("p90_ok"))
+      .orderBy($"source")
+  }
+  val pipelineQualityGateApproxSql: String =
+    """WITH base AS (SELECT source,
+      |    len(text) * 1.0 / len(string_split(text, ' ')) AS score
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  floor(quantile_cont(score, 0.1) * 10000 + 0.5) / 10000 AS p10_exact,
+      |  floor(quantile_cont(score, 0.9) * 10000 + 0.5) / 10000 AS p90_exact,
+      |  TRUE AS p10_ok, TRUE AS p90_ok
+      |FROM base GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_quality_gate" -> (pipelineQualityGate _),
+    "pipeline_quality_gate_approx" -> (pipelineQualityGateApprox _),
     "pipeline_shard_manifest" -> (pipelineShardManifest _),
     "pipeline_canonical_corpus" -> (pipelineCanonicalCorpus _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -326,6 +372,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_quality_gate" -> pipelineQualityGateSql,
+    "pipeline_quality_gate_approx" -> pipelineQualityGateApproxSql,
     "pipeline_shard_manifest" -> pipelineShardManifestSql,
     "pipeline_canonical_corpus" -> pipelineCanonicalCorpusSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,

@@ -316,11 +316,12 @@ object TextOps {
     * across engines/partitionings; the one division at the end is a
     * single IEEE op both engines share.
     *
-    * 100 TB: two shuffles, both keyed on the word hash (DF count, then
-    * DF-join back); stopword-class hot words skew the join — at scale
-    * the standard fix is broadcasting the head of the DF table (it is
-    * Zipfian: the top 10k words cover most tokens) and shuffling only
-    * the tail. */
+    * 100 TB: the DF-join back is Zipf-skewed — stopword-class hot
+    * words would hot-spot a hash join. Same head/tail split as C29:
+    * the top-1k words by DF resolve via broadcast map-side (no
+    * shuffle for most of the word volume); only the rare tail —
+    * uniform-ish keys — shuffles. Equality with the plain join is
+    * exactly what the oracle checks. */
   def textIdfRarity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = table(s, dir, "documents")
@@ -329,8 +330,16 @@ object TextOps {
     val ex = docs.select($"doc_id", explode($"w").as("word"))
     val df = ex.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    ex.join(df, "word")
-      .crossJoin(broadcast(n))
+    // Zipf head: tiny top-k by construction → TakeOrderedAndProject,
+    // then broadcast; the tail join's keys are the rare words only
+    val head = broadcast(df.orderBy($"df".desc, $"word").limit(1000)
+      .withColumnRenamed("df", "df_h"))
+    val tailed = ex.join(head, Seq("word"), "left")
+    val resolved = tailed.filter($"df_h".isNotNull)
+      .select($"doc_id", $"df_h".as("df"))
+      .unionByName(tailed.filter($"df_h".isNull).select($"doc_id", $"word")
+        .join(df, "word").select($"doc_id", $"df"))
+    resolved.crossJoin(broadcast(n))
       .select($"doc_id", $"df",
         floor(log($"n" * lit(1.0) / $"df") * 1000000 + 0.5)
           .cast("long").as("idf_fp"))

@@ -85,6 +85,26 @@ class DedupSpec extends AnyFunSuite {
       !jac.contains((p._1, p._2))))
   }
 
+  test("star-contraction resolves a 200-deep chain in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph of diameter 199 — min-label propagation (the old
+    // implementation) needed one round per hop and threw past its
+    // 20-round cap on exactly this shape; star-contraction folds the
+    // chain in half each round
+    val chain = (0L until 199L).map(i => (i + 1, i)).toDF("u", "v")
+    val (labels, rounds) = Dedup.starContract(chain, 4)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size === 200)
+    assert(got.values.forall(_ == 0L), "every node labels to the chain min")
+    assert(rounds <= 12, s"expected ~log2(200) rounds, got $rounds")
+    // multi-component + singleton sanity on the same code path
+    val multi = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("u", "v")
+    val (l2, _) = Dedup.starContract(multi, 2)
+    val m2 = l2.as[(Long, Long)].collect().toMap
+    assert(m2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("dedup_exact keeps one canonical row per text") {
     import spark.implicits._
     val out = Dedup.dedupExact(spark, sf0001)
