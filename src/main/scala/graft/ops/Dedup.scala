@@ -379,9 +379,18 @@ object Dedup {
     * Both steps preserve connectivity and strictly orient edges
     * big→small, so the fixpoint is one depth-1 star per component
     * rooted at its minimum id. Convergence is O(log n) rounds (vs
-    * rounds = diameter for min-label propagation); each round is two
-    * partitionBy-u window shuffles over the edge list — (id, id)
-    * pairs only, so a round's shuffle volume is O(E) ids.
+    * rounds = diameter for min-label propagation); each round is
+    * three O(E) shuffles of (id, id) pairs only — two partitionBy-u
+    * windows and one groupBy-u dedup (collect_set, which both
+    * canonicalizes the edge set for the fixpoint test and leaves it
+    * partitioned by u; intra-round duplicate emissions are harmless
+    * to the window mins, so no mid-round distinct).
+    *
+    * `parts` sizes the loop's shuffles to edge volume by raising the
+    * session shuffle-partition count for the loop's duration (windows
+    * and groupBy take partition counts from the session, not from a
+    * preceding repartition; AQE coalesces back down when partitions
+    * run small) — restored on exit.
     *
     * localCheckpoint per round: an iterative loop's logical plan
     * otherwise grows by one join per round and Catalyst re-analyzes
@@ -393,46 +402,56 @@ object Dedup {
     val verts = edges0.select($"u")
       .unionByName(edges0.select($"v".as("u")))
       .distinct().localCheckpoint()
-    var edges = edges0.filter($"u" =!= $"v")
-      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
-      .distinct().repartition(parts, $"u").localCheckpoint()
-    var rounds = 0
-    var converged = edges.isEmpty
-    // 50-round guard is a runaway backstop, not an accuracy knob:
-    // log2 of any physically possible vertex count is < 50, so hitting
-    // it means a bug — fail loudly rather than return wrong labels.
-    while (!converged && rounds < 50) {
-      // large-star over the symmetrized neighborhood; min().over(w) is
-      // a group-min broadcast within the partition key, no join needed
-      val nbrs = edges.unionByName(edges.select($"v".as("u"), $"u".as("v")))
+    // one-shuffle canonicalize: dedup (u, v) and land partitioned by u
+    def canon(df: DataFrame): DataFrame = df
+      .groupBy($"u").agg(collect_set($"v").as("vs"))
+      .select($"u", explode($"vs").as("v"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    if (parts > prevParts.toInt)
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      var edges = canon(edges0.filter($"u" =!= $"v")
+        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v")))
+        .localCheckpoint()
+      var rounds = 0
+      var converged = edges.isEmpty
       val wl = Window.partitionBy($"u")
-      val ls = nbrs
-        .withColumn("m", least(min($"v").over(wl), $"u"))
-        .filter($"v" > $"u")
-        .select($"v".as("u"), $"m".as("v"))
-        .distinct()
-      // small-star: ls edges are all big→small already, so the
-      // neighborhood of u is exactly its smaller neighbors
-      val sm = ls.withColumn("m", min($"v").over(Window.partitionBy($"u")))
-      val next = sm.select($"v".as("u"), $"m".as("v"))
-        .unionByName(sm.select($"u", $"m".as("v")))
-        .filter($"u" =!= $"v").distinct()
-        .repartition(parts, $"u").localCheckpoint()
-      // fixpoint test: both sides are distinct sets, so equal counts +
-      // empty one-sided difference ⟺ set equality
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
-      edges = next
-      rounds += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"starContract: not converged after $rounds rounds — " +
-        "this exceeds the O(log n) bound and indicates a bug")
-    // at fixpoint every non-root has exactly one edge (u → root);
-    // roots and singleton vertices label themselves
-    val labels = verts.join(edges, Seq("u"), "left")
-      .select($"u", coalesce($"v", $"u").as("l"))
-    (labels, rounds)
+      // 50-round guard is a runaway backstop, not an accuracy knob:
+      // log2 of any physically possible vertex count is < 50, so
+      // hitting it means a bug — fail loudly rather than return wrong
+      // labels.
+      while (!converged && rounds < 50) {
+        // large-star over the symmetrized neighborhood; min().over(w)
+        // is a group-min broadcast within the partition key, no join
+        val nbrs = edges.unionByName(edges.select($"v".as("u"), $"u".as("v")))
+        val ls = nbrs
+          .withColumn("m", least(min($"v").over(wl), $"u"))
+          .filter($"v" > $"u")
+          .select($"v".as("u"), $"m".as("v"))
+        // small-star: ls edges are all big→small already, so the
+        // neighborhood of u is exactly its smaller neighbors
+        val sm = ls.withColumn("m", min($"v").over(wl))
+        val next = canon(sm.select($"v".as("u"), $"m".as("v"))
+          .unionByName(sm.select($"u", $"m".as("v")))
+          .filter($"u" =!= $"v"))
+          .localCheckpoint()
+        // fixpoint test: both sides are distinct sets, so equal counts
+        // + empty one-sided difference ⟺ set equality
+        converged = next.count() == edges.count() &&
+          next.exceptAll(edges).isEmpty
+        edges = next
+        rounds += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"starContract: not converged after $rounds rounds — " +
+          "this exceeds the O(log n) bound and indicates a bug")
+      // at fixpoint every non-root has exactly one edge (u → root);
+      // roots and singleton vertices label themselves
+      val labels = verts.join(edges, Seq("u"), "left")
+        .select($"u", coalesce($"v", $"u").as("l"))
+        .localCheckpoint()
+      (labels, rounds)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
   /** Shared CTE chain: edges (C2's exact pair derivation ∪ closed-form
     * injected exact dups) → recursive min-reachability → `lbl`
