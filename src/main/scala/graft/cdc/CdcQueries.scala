@@ -583,11 +583,14 @@ object CdcQueries {
     * files — framing stands in for XLogData's one-message envelope —
     * from the EXECUTORS (mapPartitions, one segment per WAL chunk; on
     * a cluster the same code targets a DFS path). Stage 2 is the
-    * consumer under test: a binaryFile STREAMING source reads segments,
-    * `pg_split_frames` recovers the messages, `pg_decode` runs in the
-    * scan stage, and the streaming upsert operator materializes
-    * latest-state. Unlike A1/A7 the bytes on disk ARE the wire format —
-    * the source, codec, and state machine are exercised end-to-end. */
+    * consumer under test: the `format("pgoutput")` DataSource V2
+    * reader ([[graft.sources.v2.PgOutputFileSource]]) streams the
+    * segments and recovers one row per wire message (frame splitting
+    * is source logic now, as in the reference's client loop),
+    * `pg_decode` runs in the scan stage, and the streaming upsert
+    * operator materializes latest-state. Unlike A1/A7 the bytes on
+    * disk ARE the wire format — the source, codec, and state machine
+    * are exercised end-to-end. */
   def replicationSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     PgOutputExpressions.register(s)
@@ -621,12 +624,7 @@ object CdcQueries {
           bos.toByteArray)
         Iterator.single(n)
       }.reduce(_ + _)
-    val binaryFileSchema = StructType(Seq(
-      StructField("path", StringType), StructField("modificationTime", TimestampType),
-      StructField("length", LongType), StructField("content", BinaryType)))
-    val decoded = s.readStream.format("binaryFile")
-      .schema(binaryFileSchema).load(segDir)
-      .select(explode(expr("pg_split_frames(content)")).as("msg"))
+    val decoded = s.readStream.format("pgoutput").load(segDir)
       .select(expr("pg_decode(msg)").as("d"))
       .select(
         // inserts carry no key tuple on the wire (pgoutput semantics)

@@ -28,9 +28,15 @@ object ChangeEventFiles {
       docs.select(explode(col("change")).as("change")), "change")
   }
 
-  /** Streaming variant over a directory of JSON-lines change docs. */
+  /** Streaming variant over a directory of JSON-lines change docs,
+    * via the `format("wal2json")` DataSource V2 reader
+    * ([[graft.sources.v2.Wal2JsonFileSource]]): the source yields one
+    * document per line with file-count offsets (a resumable wire
+    * position); the parse stays a codegen'd `from_json` projection. */
   def wal2jsonStream(s: SparkSession, path: String): DataFrame = {
-    val docs = s.readStream.schema(JsonParsers.wal2jsonSchema).json(path)
+    val docs = s.readStream.format("wal2json").load(path)
+      .select(from_json(col("doc"), JsonParsers.wal2jsonSchema).as("w"))
+      .select("w.*")
     JsonParsers.wal2jsonFlatten(
       docs.select(explode(col("change")).as("change")), "change")
   }
@@ -39,8 +45,13 @@ object ChangeEventFiles {
   def debezium(s: SparkSession, path: String, rowType: StructType): DataFrame =
     s.read.schema(JsonParsers.debeziumSchema(rowType)).json(path)
 
+  /** Streaming Debezium envelopes via `format("debezium")`
+    * ([[graft.sources.v2.DebeziumFileSource]]); same line-framed wire
+    * contract as wal2json with the envelope schema applied after. */
   def debeziumStream(s: SparkSession, path: String, rowType: StructType): DataFrame =
-    s.readStream.schema(JsonParsers.debeziumSchema(rowType)).json(path)
+    s.readStream.format("debezium").load(path)
+      .select(from_json(col("doc"), JsonParsers.debeziumSchema(rowType)).as("e"))
+      .select("e.*")
 
   /** Typed projection of a text-encoded cell, per the wal2json declared
     * column type — the declarative twin of the reference's per-OID

@@ -1,0 +1,211 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 readers for the CDC wire formats — the `format(...)`
+  * API parity layer over the file-backed replication feeds (the
+  * sandbox stand-in for the reference's live replication socket,
+  * main.go:18–60/101–135):
+  *
+  *  - `format("pgoutput")`  — length-prefix-framed binary pgoutput
+  *    segment files (XLogData envelope stand-in) → one row per wire
+  *    message: (seg_path, frame_idx, msg binary). Decode stays a
+  *    downstream `pg_decode` projection, codegen'd in the scan stage.
+  *  - `format("wal2json")` / `format("debezium")` — JSON-lines change
+  *    documents → one row per line: (seg_path, frame_idx, doc string).
+  *    Parsing stays a downstream `from_json`, ditto.
+  *
+  * Batch and micro-batch reads share one partition planner: one input
+  * partition per segment file (a WAL is many segments — file count is
+  * the parallelism, same contract the binaryFile chain had). Streaming
+  * offsets are "number of files consumed" over the name-sorted
+  * listing, the same monotone progress contract as Spark's file
+  * source: segment names are written in LSN order, so the offset IS a
+  * resumable WAL position.
+  *
+  * Scale notes: listing is one driver-side RPC per micro-batch (no
+  * data moves); each reader streams ONE segment file — segment size is
+  * the producer's rotation knob, so reader memory is bounded by it.
+  * Frames are split eagerly per 64 KiB read buffer, not per byte.
+  */
+abstract class FramedFileProvider extends TableProvider with DataSourceRegister {
+  def frameSchema: StructType
+  def binaryFrames: Boolean
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = frameSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(s"$shortName source requires .load(path)"))
+    new FramedFileTable(shortName, path, frameSchema, binaryFrames)
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+/** Binary pgoutput wire segments: big-endian 4-byte length prefix per
+  * message (graft.cdc.PgOutput frame contract). */
+class PgOutputFileSource extends FramedFileProvider {
+  override def shortName(): String = "pgoutput"
+  override val frameSchema: StructType = StructType(Seq(
+    StructField("seg_path", StringType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("msg", BinaryType, nullable = false)))
+  override val binaryFrames: Boolean = true
+}
+
+/** wal2json JSON-lines documents, one change doc per line. */
+class Wal2JsonFileSource extends FramedFileProvider {
+  override def shortName(): String = "wal2json"
+  override val frameSchema: StructType = StructType(Seq(
+    StructField("seg_path", StringType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("doc", StringType, nullable = false)))
+  override val binaryFrames: Boolean = false
+}
+
+/** Debezium envelope JSON-lines, one envelope per line. */
+class DebeziumFileSource extends FramedFileProvider {
+  override def shortName(): String = "debezium"
+  override val frameSchema: StructType = StructType(Seq(
+    StructField("seg_path", StringType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("doc", StringType, nullable = false)))
+  override val binaryFrames: Boolean = false
+}
+
+class FramedFileTable(sourceName: String, path: String, tblSchema: StructType,
+    binaryFrames: Boolean) extends Table with SupportsRead {
+  override def name(): String = s"$sourceName:$path"
+  override def schema(): StructType = tblSchema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new FramedFileScan(path, tblSchema, binaryFrames)
+    }
+}
+
+class FramedFileScan(path: String, tblSchema: StructType, binaryFrames: Boolean)
+    extends Scan {
+  override def readSchema(): StructType = tblSchema
+  override def description(): String = s"FramedFileScan($path)"
+
+  private def listSegments(): Seq[String] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.toString)
+      .filterNot(f => f.contains("/_") || f.contains("/."))
+      .sorted.toSeq
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      listSegments().map(f => SegmentPartition(f, binaryFrames): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory = SegmentReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      // snapshot the listing per latestOffset call: a micro-batch plans
+      // against a stable file set even if the producer is appending
+      private var cached: Seq[String] = Seq.empty
+      private def segments(): Seq[String] = { cached = listSegments(); cached }
+
+      override def initialOffset(): Offset = FileCountOffset(0)
+      override def latestOffset(): Offset = FileCountOffset(segments().size)
+      override def deserializeOffset(json: String): Offset =
+        FileCountOffset(json.trim.toInt)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val (s, e) = (start.asInstanceOf[FileCountOffset].n,
+          end.asInstanceOf[FileCountOffset].n)
+        val files = if (cached.size >= e) cached else listSegments()
+        files.slice(s, e)
+          .map(f => SegmentPartition(f, binaryFrames): InputPartition).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory = SegmentReaderFactory
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
+}
+
+/** Offset = count of name-sorted segment files consumed (segments are
+  * produced in LSN order, so this is a WAL position). */
+case class FileCountOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+case class SegmentPartition(file: String, binaryFrames: Boolean) extends InputPartition
+
+object SegmentReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SegmentPartition]
+    if (p.binaryFrames) new BinaryFrameReader(p.file) else new LineFrameReader(p.file)
+  }
+}
+
+/** Streams one segment, yielding length-prefixed frames. Memory bound:
+  * one frame at a time plus the 64 KiB read buffer. */
+class BinaryFrameReader(file: String) extends PartitionReader[InternalRow] {
+  private val in = {
+    val hp = new HPath(file)
+    new java.io.DataInputStream(new java.io.BufferedInputStream(
+      hp.getFileSystem(new Configuration()).open(hp), 65536))
+  }
+  private val pathUtf = UTF8String.fromString(file)
+  private var idx = -1L
+  private var current: Array[Byte] = _
+
+  override def next(): Boolean = {
+    val b0 = in.read()
+    if (b0 < 0) { false } else {
+      val len = (b0 << 24) | (in.readUnsignedByte() << 16) |
+        (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+      if (len < 0) throw new java.io.IOException(
+        s"corrupt frame length $len in $file after frame $idx")
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      current = buf; idx += 1; true
+    }
+  }
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](pathUtf, idx, current))
+  override def close(): Unit = in.close()
+}
+
+/** Streams one JSON-lines segment, one document per line; skips blank
+  * lines (trailing newline). */
+class LineFrameReader(file: String) extends PartitionReader[InternalRow] {
+  private val hp = new HPath(file)
+  private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+    hp.getFileSystem(new Configuration()).open(hp),
+    java.nio.charset.StandardCharsets.UTF_8), 65536)
+  private val pathUtf = UTF8String.fromString(file)
+  private var idx = -1L
+  private var current: String = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null && line.isEmpty) line = reader.readLine()
+    if (line == null) false else { current = line; idx += 1; true }
+  }
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](pathUtf, idx, UTF8String.fromString(current)))
+  override def close(): Unit = reader.close()
+}
