@@ -97,6 +97,35 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(state.columns.contains("key"), "schema lost on empty compaction")
   }
 
+  test("crash between version write and pointer flip leaves readers on the old snapshot") {
+    import spark.implicits._
+    val b1 = (0L until 50L).map(k => rec(k, k + 1, "i"))
+    val b2 = Seq(rec(1L, 500L, "u"))
+    val table = runTwoBatches("crash", b1, b2)
+    val goodManifest = PartitionedTable.readManifest(spark, table)
+    val goodState = PartitionedTable.readLatest(spark, table, Buckets)
+      .as[ChangeRecord].collect().sortBy(_.key).toSeq
+    // simulate a writer that died mid-publish: a full version dir is on
+    // disk, and even its manifest file — but the _LATEST pointer (the
+    // single commit point) never flipped
+    val staleVer = "v9_9999999999999"
+    (0 until Buckets).foreach { b =>
+      Seq(rec(999L, 9999L, "i")).toDS().toDF()
+        .write.mode("overwrite").parquet(s"$table/$staleVer/__b=$b")
+    }
+    val staleManifest = s"m9_9999999999999"
+    val f = java.nio.file.Paths.get(table, staleManifest)
+    java.nio.file.Files.write(f,
+      (0 until Buckets).map(b => s"$b\t$staleVer").mkString("\n").getBytes("UTF-8"))
+    // readers resolve pointer → manifest → dirs: the stale version and
+    // orphan manifest are invisible
+    assert(PartitionedTable.readManifest(spark, table) === goodManifest)
+    val after = PartitionedTable.readLatest(spark, table, Buckets)
+      .as[ChangeRecord].collect().sortBy(_.key).toSeq
+    assert(after === goodState)
+    assert(!after.exists(_.key == 999L), "phantom row from uncommitted version")
+  }
+
   test("tombstones above the horizon are retained") {
     import spark.implicits._
     val b1 = (0L until 20L).map(k => rec(k, k + 1, "i"))
