@@ -324,4 +324,94 @@ object Ann {
        |  $terms
        |FROM n ORDER BY vec_id""".stripMargin
   }
+
+  // --------------------------------------------------------------- C34
+  /** Product quantization encode (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search"): 64d → 8 subspaces × 8d, each
+    * subvector mapped to its nearest of 16 codebook centroids → an
+    * 8-byte code per vector (32× compression), plus the total
+    * quantization error — the memory-bounded vector representation
+    * IVF-PQ indexes store at billion scale. Codebooks here are
+    * md5-seeded constants shared verbatim with the oracle (training
+    * them is per-subspace Lloyd — the distributed iteration C7b's IVF
+    * build already demonstrates); encode is the scale-critical pass,
+    * running narrow at scan parallelism over the full corpus.
+    *
+    * Determinism: per-dim squared residuals are exact IEEE ops on
+    * identical doubles (4-dp codebook literals parse identically in
+    * both engines), fixed-pointed to 1e-6 and summed as BIGINT;
+    * argmin ties break to the lowest centroid index in both engines
+    * (array_position / min-k-at-min-dist).
+    *
+    * 100 TB: zero shuffles — 8 × 16 fold expressions per row, codegen,
+    * at scan parallelism; output is 8 BIGINT codes + one error per
+    * row. */
+  val PqSub = 8
+  val PqK = 16
+  val PqDim = 8
+  /** codebooks(s)(k)(i) ∈ [-1, 1] at 4 dp, from md5("pq:s:k:i"). */
+  lazy val pqCodebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until PqSub).map { sub =>
+      (0 until PqK).map { k =>
+        (0 until PqDim).map { i =>
+          val hex = md.digest(s"pq:$sub:$k:$i".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          val u = java.lang.Long.parseLong(hex, 16).toDouble / 0xffffffffL.toDouble
+          math.floor((u * 2 - 1) * 10000 + 0.5) / 10000
+        }
+      }
+    }
+  }
+
+  def embPqEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val subCols = (0 until PqSub).map { sub =>
+      val sv = slice($"v", sub * PqDim + 1, PqDim)
+      val dists = array((0 until PqK).map { k =>
+        val cen = array(pqCodebooks(sub)(k).map(lit): _*)
+        aggregate(
+          zip_with(sv, cen, (x, c) =>
+            floor((x - c) * (x - c) * 1000000 + 0.5).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+      }: _*)
+      (array_position(dists, array_min(dists)).as(s"c$sub"),
+        array_min(dists))
+    }
+    val errFp = subCols.map(_._2).reduce(_ + _)
+    corpus(s, dir)
+      .select($"vec_id" +: subCols.map(_._1) :+
+        r4(errFp.cast("double") / 1000000).as("pq_err"): _*)
+      .orderBy($"vec_id")
+  }
+  val embPqEncodeSql: String = {
+    val cbRows = (for {
+      sub <- 0 until PqSub
+      k <- 0 until PqK
+    } yield {
+      val cen = pqCodebooks(sub)(k).map(v => f"$v%.4f").mkString("[", ", ", "]")
+      s"($sub, ${k + 1}, $cen)"
+    }).mkString(",\n    ")
+    val codeCols = (0 until PqSub)
+      .map(sub => s"max(CASE WHEN s = $sub THEN code END) AS c$sub")
+      .mkString(",\n  ")
+    s"""WITH cb(s, k, cen) AS (VALUES
+       |    $cbRows),
+       |n AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |d AS (SELECT vec_id, s, k,
+       |    list_sum([CAST(floor((v[s * 8 + i] - cen[i]) * (v[s * 8 + i] - cen[i])
+       |        * 1000000 + 0.5) AS BIGINT) FOR i IN range(1, 9)]) AS dist
+       |  FROM n CROSS JOIN cb),
+       |m AS (SELECT vec_id, s, min(dist) AS md FROM d GROUP BY 1, 2),
+       |c AS (SELECT d.vec_id, d.s, min(d.k) AS code, min(m.md) AS md
+       |  FROM d JOIN m ON d.vec_id = m.vec_id AND d.s = m.s AND d.dist = m.md
+       |  GROUP BY 1, 2)
+       |SELECT vec_id,
+       |  $codeCols,
+       |  floor(CAST(sum(md) AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+       |    AS pq_err
+       |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 }

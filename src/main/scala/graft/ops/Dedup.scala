@@ -226,6 +226,78 @@ object Dedup {
       |WHERE floor(inter * 1.0 / x.n * 10000 + 0.5) / 10000 >= 0.9
       |ORDER BY d1, d2""".stripMargin
 
+  // --------------------------------------------------------------- C33
+  /** Exact k-token substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): pairs sharing ≥ 5
+    * distinct 20-token windows, with the share of d1's windows that d2
+    * also carries — the repeated-passage detector that works at
+    * SUBSTRING granularity (licence boilerplate, quoted paragraphs,
+    * syndicated intros) where doc-level Jaccard (C2/C3) and even
+    * containment (C28) go blind once the shared passage is a small
+    * fraction of both docs. Runs over the fragment-injected feed; a
+    * fragment shares every window with its source by construction.
+    *
+    * Windows hash to md5 at the scan (the shuffle carries 32-byte
+    * digests, never 20-token strings), and corpus-boilerplate windows
+    * — df > 100, hot by definition — are dropped from candidate
+    * generation, the same cluster cap Lee et al. apply; the oracle
+    * mirrors the cap so semantics stay deterministic.
+    *
+    * 100 TB: two digest-keyed shuffles (df count, pair join); shuffle
+    * volume ∝ token count, pair volume ∝ true shared-passage mass with
+    * any one bucket bounded at df-cap² — never all-pairs. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 20
+    val DfCap = 100L
+    val MinShared = 5L
+    // three plan branches consume the window sets (df, join sides,
+    // coverage) — persist; lifetime bounded by the caller's clearCache
+    val grams = fragFeed(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size($"w") >= K)
+      .select($"doc_id", array_distinct(
+        transform(sequence(lit(0), size($"w") - K),
+          i => md5(concat_ws(" ", slice($"w", i + 1, lit(K)))))).as("g"))
+      .withColumn("n", size($"g")).persist()
+    val ex = grams.select($"doc_id", explode($"g").as("gh"))
+    val keep = ex.groupBy($"gh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= DfCap)
+    val exF = ex.join(keep.select($"gh"), "gh")
+    val shared = exF.as("a")
+      .join(exF.as("b"), $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= MinShared)
+    shared.join(grams.select($"doc_id".as("d1"), $"n"), "d1")
+      .select($"d1", $"d2", $"n_shared",
+        r4($"n_shared".cast("double") / $"n").as("cov1"))
+      .orderBy($"d1", $"d2")
+  }
+  val dedupSubstringSql: String =
+    """WITH fwords AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |ffeed AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, array_to_string(w[1:len(w)//2], ' ')
+      |  FROM fwords WHERE doc_id % 9 = 0 AND len(w) >= 8),
+      |words2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM ffeed),
+      |g AS (SELECT doc_id, list_distinct([md5(array_to_string(w[i:i+19], ' '))
+      |        FOR i IN range(1, len(w) - 18)]) AS g
+      |      FROM words2 WHERE len(w) >= 20),
+      |ex AS (SELECT doc_id, unnest(g) AS gh FROM g),
+      |keep AS (SELECT gh FROM ex GROUP BY gh HAVING count(*) <= 100),
+      |exf AS (SELECT doc_id, gh FROM ex JOIN keep USING (gh)),
+      |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      |       FROM exf a JOIN exf b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 5),
+      |sz AS (SELECT doc_id, len(g) AS n FROM g)
+      |SELECT d1, d2, n_shared,
+      |  floor(n_shared * 1.0 / n * 10000 + 0.5) / 10000 AS cov1
+      |FROM co JOIN sz ON sz.doc_id = d1
+      |ORDER BY d1, d2""".stripMargin
+
   // ---------------------------------------------------------------- C3
   /** MinHash(128) + LSH banding (16 bands × 8 rows) → candidate pairs
     * → exact-Jaccard confirm ≥ 0.8. Same output as C2, but the only

@@ -152,6 +152,61 @@ object PipelineQueries {
       |  floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- C35
+  /** Full dataset-card row per source — the numbers a training-data
+    * release publishes, in one pass: volume (docs/tokens/chars),
+    * length distribution (median + short/long tails), the exact-dup
+    * rate within the source, and the corpus mean of C30's quality
+    * score. Upgrades C15's volume stats with dedup + quality +
+    * order-statistic columns, all cross-engine deterministic (integer
+    * avgs are sum-then-divide in both engines; the score mean is a
+    * 1e-6 fixed-point BIGINT sum like C24; the median is the
+    * exact-percentile parity B18 pins).
+    *
+    * 100 TB: one shuffle on source; every agg combines map-side except
+    * count-distinct (standard two-phase expansion on (source, md5))
+    * and the exact median — whose approx swap C32 proves. */
+  def pipelineDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r4 = (c: org.apache.spark.sql.Column) => floor(c * 10000 + 0.5) / 10000
+    val base = graft.Tables.table(s, dir, "documents")
+      .select($"source", $"n_chars", md5($"text").as("h"),
+        size(split($"text", " ")).cast("long").as("toks"),
+        (length($"text") * lit(1.0) / size(split($"text", " "))).as("score"))
+    base.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"toks").as("n_tokens"),
+        sum($"n_chars").as("n_chars_total"),
+        (floor(avg($"toks") * 100 + 0.5) / 100).as("avg_tokens"),
+        r4(expr("percentile(toks, 0.5)")).as("p50_tokens"),
+        (count(lit(1)) - count_distinct($"h")).as("n_dup_docs"),
+        sum(when($"toks" < 20, 1L).otherwise(0L)).as("n_short"),
+        sum(when($"toks" > 80, 1L).otherwise(0L)).as("n_long"),
+        sum(floor($"score" * 1000000 + 0.5).cast("long")).as("sfp"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_chars_total",
+        $"avg_tokens", $"p50_tokens", $"n_dup_docs", $"n_short", $"n_long",
+        r4($"sfp".cast("double") / (lit(1000000L) * $"n_docs").cast("double"))
+          .as("mean_score"))
+      .orderBy($"source")
+  }
+  val pipelineDatasetCardSql: String =
+    """WITH base AS (SELECT source, n_chars, md5(text) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    len(text) * 1.0 / len(string_split(text, ' ')) AS score
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+      |  floor(avg(toks) * 100 + 0.5) / 100 AS avg_tokens,
+      |  floor(quantile_cont(toks, 0.5) * 10000 + 0.5) / 10000 AS p50_tokens,
+      |  count(*) - count(DISTINCT h) AS n_dup_docs,
+      |  CAST(sum(CASE WHEN toks < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+      |  CAST(sum(CASE WHEN toks > 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+      |  floor(CAST(sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / CAST(1000000 * count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+      |    AS mean_score
+      |FROM base GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- C26
   /** Training-shard export: the final writer stage. Every document is
     * assigned a shard by a deterministic md5 coin (first hex nibble →
@@ -337,6 +392,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_quality_gate_approx" -> (pipelineQualityGateApprox _),
+    "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_shard_manifest" -> (pipelineShardManifest _),
     "pipeline_canonical_corpus" -> (pipelineCanonicalCorpus _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -349,12 +405,14 @@ object PipelineQueries {
     "dedup_simhash" -> (Dedup.dedupSimhashAudit _),
     "dedup_cluster" -> (Dedup.dedupCluster _),
     "dedup_containment" -> (Dedup.dedupContainment _),
+    "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLshAudit _),
     "ann_ivf" -> (Ann.annIvfAudit _),
     "emb_cluster_assign" -> (Ann.embClusterAssign _),
     "emb_random_projection" -> (Ann.embRandomProjection _),
+    "emb_pq_encode" -> (Ann.embPqEncode _),
     "text_langid" -> (TextOps.textLangid _),
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
@@ -373,6 +431,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_quality_gate_approx" -> pipelineQualityGateApproxSql,
+    "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_shard_manifest" -> pipelineShardManifestSql,
     "pipeline_canonical_corpus" -> pipelineCanonicalCorpusSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
@@ -385,12 +444,14 @@ object PipelineQueries {
     "dedup_simhash" -> Dedup.dedupSimhashAuditSql,
     "dedup_cluster" -> Dedup.dedupClusterSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
+    "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "ann_bruteforce" -> Ann.annBruteforceSql,
     "ann_lsh" -> Ann.annAuditSql,
     "ann_ivf" -> Ann.annAuditSql,
     "emb_cluster_assign" -> Ann.embClusterAssignSql,
     "emb_random_projection" -> Ann.embRandomProjectionSql,
+    "emb_pq_encode" -> Ann.embPqEncodeSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_decontaminate" -> TextOps.textDecontaminateSql,
     "text_chunk" -> TextOps.textChunkSql,

@@ -74,4 +74,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$plan")
   }
+
+  test("Zipf head/tail splits resolve the hot-word join as a broadcast") {
+    // C29 (and C24's round-6 port): the top-1k head must join map-side —
+    // a plan with zero BroadcastHashJoins would mean the whole Zipf
+    // token volume shuffles, the skew the split exists to avoid
+    for (q <- Seq(ops.TextOps.textLmScore(spark, sf0001),
+        ops.TextOps.textIdfRarity(spark, sf0001))) {
+      val plan = executed(q)
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"head join not broadcast:\n$plan")
+    }
+  }
 }
