@@ -384,6 +384,164 @@ object Ann {
         r4(errFp.cast("double") / 1000000).as("pq_err"): _*)
       .orderBy($"vec_id")
   }
+  // --------------------------------------------------------------- C36
+  /** IVF-PQ asymmetric-distance search (Jégou et al., IVFADC): the
+    * billion-scale ANN layout C7b (coarse cells) and C34 (PQ codes)
+    * exist to feed. A query probes its `IvfPqNProbe` nearest coarse
+    * cells, then ranks ONLY the 8-byte PQ codes of those cells'
+    * vectors by table lookup: adc(q, x) = Σ_s LUT_q[s][code_s(x)],
+    * where LUT_q holds the 8×16 squared subvector distances from q to
+    * every codebook centroid. No full-precision vector is touched on
+    * the candidate path — the property that lets a 64 GB executor
+    * fleet rank a trillion codes.
+    *
+    * Coarse centroids are the vec_id<8 embeddings (C23's quantizer);
+    * codebooks are data-sampled — subspace s of centroid k is dims
+    * [8s, 8s+8) of the vec_id=k embedding, 4-dp rounded — so both
+    * engines derive identical constants from the corpus itself
+    * (sampling is k-means init; the Lloyd refinement is C7b's build).
+    * Embeddings are unit-norm, so L2 ADC ranks like cosine.
+    *
+    * Determinism: per-dim squared residuals fixed-pointed to 1e-6 and
+    * summed as BIGINT (C34's contract), so LUT entries, ADC sums and
+    * their ordering are exact integers in both engines — the oracle
+    * hash-matches the actual ranked output, a stronger check than the
+    * C7/C7b recall contracts. Ties: argmin/argmax to lowest index,
+    * final ranking (adc_fp, neighbor_id).
+    *
+    * 100 TB: cell assignment + encode are narrow literal-codegen folds
+    * at scan parallelism (the 16-row seed collect is bounded, like the
+    * query-set collect); candidates come from a broadcast probe join
+    * on `cell` — the IVF partition key, so a probe reads nprobe/K of
+    * the corpus; the per-query top-k shuffles only (query_id, id,
+    * BIGINT) triples. Recall vs exact is pinned in AnnSpec. */
+  val IvfPqCells = 8
+  val IvfPqNProbe = 3
+  private def r4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    // bounded driver-side constants: 16 seed vectors → coarse centroids
+    // (first 8) and PQ codebooks, 4-dp rounded on both engines
+    val seeds: IndexedSeq[IndexedSeq[Double]] = c.filter($"vec_id" < PqK)
+      .orderBy($"vec_id").as[(Long, Seq[Double])].collect()
+      .map(_._2.map(r4d).toIndexedSeq).toIndexedSeq
+    val cents = seeds.take(IvfPqCells)
+    val cbs = (0 until PqSub).map { sub =>
+      (0 until PqK).map(k => seeds(k).slice(sub * PqDim, sub * PqDim + PqDim))
+    }
+
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val nrmV = sqrt(dot($"v", $"v"))
+    val cells = array(cents.map { cv =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      r4(dot($"v", array(cv.map(lit): _*)) / (nrmV * lit(cn)))
+    }: _*)
+    // first-max position = lowest-cell tie-break, matching the oracle
+    val cellCol = (array_position(cells, array_max(cells)) - 1).cast("int")
+
+    def fpDist(sv: Column, cen: Seq[Double]): Column =
+      aggregate(zip_with(sv, array(cen.map(lit): _*), (x, ce) =>
+        floor((x - ce) * (x - ce) * 1000000 + 0.5).cast("long")),
+        lit(0L), _ + _)
+
+    val codeCols = (0 until PqSub).map { sub =>
+      val sv = slice($"v", sub * PqDim + 1, PqDim)
+      val dists = array((0 until PqK).map(k => fpDist(sv, cbs(sub)(k))): _*)
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    val assigned = c.select($"vec_id", cellCol.as("cell"),
+      array(codeCols: _*).as("codes"))
+
+    val lutCols = (0 until PqSub).map { sub =>
+      val sv = slice($"v", sub * PqDim + 1, PqDim)
+      array((0 until PqK).map(k => fpDist(sv, cbs(sub)(k))): _*)
+    }
+    val probes = c.filter($"vec_id" < QueryIds)
+      .select($"vec_id".as("query_id"), array(lutCols: _*).as("qlut"),
+        posexplode(cells).as(Seq("cell", "qcos")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cell")))
+      .filter($"rn" <= IvfPqNProbe)
+      .select($"query_id", $"cell", $"qlut")
+
+    val cand = assigned.join(broadcast(probes), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        aggregate(zip_with($"codes", $"qlut",
+            (code, l) => element_at(l, code)),
+          lit(0L), _ + _).as("adc_fp"))
+    val w = Window.partitionBy($"query_id").orderBy($"adc_fp", $"neighbor_id")
+    cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"rank", $"neighbor_id",
+        r4($"adc_fp".cast("double") / 1000000).as("adc_dist"))
+      .orderBy($"query_id", $"rank")
+  }
+  val annIvfPqSql: String =
+    s"""WITH n AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+       |cent AS (SELECT vec_id AS cluster,
+       |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS cv
+       |  FROM n WHERE vec_id < $IvfPqCells),
+       |centn AS (SELECT cluster, cv,
+       |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM cent),
+       |asg0 AS (SELECT m.vec_id, c.cluster,
+       |    floor(list_sum(list_transform(list_zip(m.v, c.cv),
+       |      p -> p[1] * p[2])) / (m.nrm * c.cn) * 10000 + 0.5) / 10000 AS cos
+       |  FROM m CROSS JOIN centn c),
+       |asg AS (SELECT vec_id, cluster AS cell FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, cluster) AS rn FROM asg0) WHERE rn = 1),
+       |cb AS (SELECT t.s, n.vec_id + 1 AS k,
+       |    [floor(v[t.s * 8 + i] * 10000 + 0.5) / 10000
+       |     FOR i IN range(1, 9)] AS cen
+       |  FROM n CROSS JOIN range(0, $PqSub) t(s) WHERE n.vec_id < $PqK),
+       |d AS (SELECT n.vec_id, cb.s, cb.k,
+       |    list_sum([CAST(floor((v[cb.s * 8 + i] - cen[i])
+       |        * (v[cb.s * 8 + i] - cen[i]) * 1000000 + 0.5) AS BIGINT)
+       |      FOR i IN range(1, 9)]) AS dist
+       |  FROM n CROSS JOIN cb),
+       |codes AS (SELECT d.vec_id, d.s, min(d.k) AS code
+       |  FROM d JOIN (SELECT vec_id, s, min(dist) AS md FROM d GROUP BY 1, 2) m2
+       |    ON d.vec_id = m2.vec_id AND d.s = m2.s AND d.dist = m2.md
+       |  GROUP BY 1, 2),
+       |probes AS (SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cluster AS cell,
+       |      floor(list_sum(list_transform(list_zip(q.v, c.cv),
+       |        p -> p[1] * p[2])) / (q.nrm * c.cn) * 10000 + 0.5) / 10000 AS cos,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        floor(list_sum(list_transform(list_zip(q.v, c.cv),
+       |          p -> p[1] * p[2])) / (q.nrm * c.cn) * 10000 + 0.5) / 10000
+       |          DESC, c.cluster) AS rn
+       |    FROM m q CROSS JOIN centn c WHERE q.vec_id < $QueryIds)
+       |  WHERE rn <= $IvfPqNProbe),
+       |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.k,
+       |    list_sum([CAST(floor((q.v[cb.s * 8 + i] - cen[i])
+       |        * (q.v[cb.s * 8 + i] - cen[i]) * 1000000 + 0.5) AS BIGINT)
+       |      FOR i IN range(1, 9)]) AS dist
+       |  FROM n q CROSS JOIN cb WHERE q.vec_id < $QueryIds),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    sum(l.dist) AS adc_fp
+       |  FROM probes p
+       |  JOIN asg a ON a.cell = p.cell
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.s = c.s AND l.k = c.code
+       |  WHERE a.vec_id <> p.query_id GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adc_fp,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc_fp, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, neighbor_id,
+       |  floor(CAST(adc_fp AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+       |    AS adc_dist
+       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val embPqEncodeSql: String = {
     val cbRows = (for {
       sub <- 0 until PqSub

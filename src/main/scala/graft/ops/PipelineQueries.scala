@@ -410,6 +410,7 @@ object PipelineQueries {
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLshAudit _),
     "ann_ivf" -> (Ann.annIvfAudit _),
+    "ann_ivf_pq" -> (Ann.annIvfPq _),
     "emb_cluster_assign" -> (Ann.embClusterAssign _),
     "emb_random_projection" -> (Ann.embRandomProjection _),
     "emb_pq_encode" -> (Ann.embPqEncode _),
@@ -449,6 +450,7 @@ object PipelineQueries {
     "ann_bruteforce" -> Ann.annBruteforceSql,
     "ann_lsh" -> Ann.annAuditSql,
     "ann_ivf" -> Ann.annAuditSql,
+    "ann_ivf_pq" -> Ann.annIvfPqSql,
     "emb_cluster_assign" -> Ann.embClusterAssignSql,
     "emb_random_projection" -> Ann.embRandomProjectionSql,
     "emb_pq_encode" -> Ann.embPqEncodeSql,
