@@ -583,7 +583,68 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  // --------------------------------------------------------------- B28
+  /** TPC-H Q18 shape — HAVING-filtered aggregate driving a join: the
+    * quantity rollup over lineitem keeps only orders whose total
+    * quantity beats a threshold, then rejoins orders + customer for
+    * the top-100 by price. The "find the whales" primitive.
+    * 100 TB: the rollup is one map-side-combinable shuffle on
+    * l_orderkey, and its output (whale orders only, ~1% here) is the
+    * *small* side of both rejoins — AQE broadcasts it, so orders and
+    * customer are never shuffled; top-100 is TakeOrderedAndProject
+    * (per-partition heads, no global sort materialization). Sort key
+    * is the STORED o_totalprice double + orderkey tie-break, so the
+    * cut is bit-identical in both engines. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 250)
+    t(s, dir, "orders").join(big, $"o_orderkey" === $"l_orderkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  // --------------------------------------------------------------- B29
+  /** TPC-H Q7 shape — volume shipping between a nation pair: a 4-table
+    * fact join (lineitem⋈supplier⋈orders⋈customer) bracketed by two
+    * broadcast nation dims, revenue per (supp_nation, cust_nation,
+    * ship year) in both directions. The "international trade lanes"
+    * multiway-join primitive.
+    * 100 TB: both nation dims broadcast (25 rows); the pair predicate
+    * is applied to the *joined nation names*, but Catalyst pushes the
+    * IN-(2 nations) halves through the broadcast joins onto supplier
+    * and customer scans, so the fact shuffles (l_orderkey, then
+    * o_custkey) carry only the two nations' traffic; the final agg is
+    * 2×|years| groups, map-side combined. */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey",
+      year($"l_shipdate").cast("long").as("l_year"),
+      ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+    val n1 = t(s, dir, "nation")
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = t(s, dir, "nation")
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    li.join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(money(sum($"volume")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
     "q13_custdist" -> (q13Custdist _),
     "q22_global_scalar_anti" -> (q22GlobalScalarAnti _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
@@ -613,6 +674,29 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  floor(sum(volume) * 100 + 0.5) / 100 AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count

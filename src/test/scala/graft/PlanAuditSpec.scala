@@ -86,4 +86,28 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(bhj.nonEmpty, s"head join not broadcast:\n$plan")
     }
   }
+
+  test("q18: whale rollup broadcasts into the rejoins, top-100 is a take") {
+    val plan = executed(queries.Relational.q18LargeOrders(spark, sf0001))
+    // the HAVING-filtered rollup output is tiny → AQE must broadcast
+    // both rejoins rather than shuffling orders/customer
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"expected 2 broadcast rejoins:\n$plan")
+    val take = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(take.nonEmpty, s"top-100 not TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q7: nation-pair predicate prunes supplier and customer scans") {
+    val plan = executed(queries.Relational.q7VolumeShipping(spark, sf0001))
+    // the IN-(two nations) halves of the pair predicate must reach the
+    // supplier/customer sides as pushed filters on s_/c_nationkey
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    def pushed(tbl: String) = scans
+      .filter(_.metadata("Location").contains(tbl))
+      .exists(_.metadata("PushedFilters").contains("nationkey"))
+    assert(pushed("supplier"), s"no nationkey filter on supplier scan:\n$plan")
+    assert(pushed("customer"), s"no nationkey filter on customer scan:\n$plan")
+  }
 }
