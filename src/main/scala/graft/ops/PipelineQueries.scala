@@ -425,6 +425,7 @@ object PipelineQueries {
     "text_repetition" -> (TextOps.textRepetition _),
     "text_idf_rarity" -> (TextOps.textIdfRarity _),
     "text_lm_score" -> (TextOps.textLmScore _),
+    "text_vocab" -> (TextOps.textVocab _),
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frames" -> (Multimodal.mmFrames _),
     "mm_dedup" -> (Multimodal.mmDedup _))
@@ -465,6 +466,7 @@ object PipelineQueries {
     "text_repetition" -> TextOps.textRepetitionSql,
     "text_idf_rarity" -> TextOps.textIdfRaritySql,
     "text_lm_score" -> TextOps.textLmScoreSql,
+    "text_vocab" -> TextOps.textVocabSql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     "mm_dedup" -> Multimodal.mmDedupSql)

@@ -465,4 +465,54 @@ object TextOps {
       |  floor(CAST(sfp AS DOUBLE) / CAST(1000000 * n_tokens AS DOUBLE)
       |    * 10000 + 0.5) / 10000 AS nll_score
       |FROM g ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- C37
+  /** Corpus vocabulary build — the tokenizer-fit front-end: top-200
+    * words by corpus frequency with rank and cumulative-coverage ppm
+    * (what fraction of all tokens the vocabulary prefix explains —
+    * the curve that sizes a BPE/unigram vocab). Coverage is integer
+    * ppm (cum_tf × 1e6 div total), exact in both engines.
+    *
+    * 100 TB: the word count is ONE shuffle with map-side combine —
+    * partial aggregation collapses the Zipf head per task before the
+    * exchange, so no hot-key salting is needed (the classic wordcount
+    * skew answer); top-K is TakeOrderedAndProject (per-partition
+    * heaps, never a global sort of the vocabulary); only the 200
+    * surviving rows touch the single-partition cumsum window; the
+    * token total is a one-row agg, broadcast. */
+  def textVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = table(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum($"tf").as("total_tf"))
+    val top = counts.orderBy($"tf".desc, $"word").limit(200)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"tf".desc, $"word")))
+      .withColumn("cum_tf", sum($"tf").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"rank")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+    top.crossJoin(broadcast(total))
+      .select($"rank", $"word", $"tf",
+        expr("cum_tf * 1000000 div total_tf").as("coverage_ppm"))
+      .orderBy($"rank")
+  }
+  val textVocabSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |f AS (SELECT word, count(*) AS tf FROM tok
+      |  WHERE len(word) > 0 GROUP BY word),
+      |t AS (SELECT sum(tf) AS total_tf FROM f),
+      |r AS (SELECT word, tf,
+      |    row_number() OVER (ORDER BY tf DESC, word) AS rank FROM f),
+      |c AS (SELECT rank, word, tf,
+      |    sum(tf) OVER (ORDER BY rank) AS cum_tf
+      |  FROM r WHERE rank <= 200)
+      |SELECT rank, word, tf,
+      |  CAST(cum_tf * 1000000 // (SELECT total_tf FROM t) AS BIGINT)
+      |    AS coverage_ppm
+      |FROM c ORDER BY rank""".stripMargin
 }

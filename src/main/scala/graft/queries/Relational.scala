@@ -642,7 +642,40 @@ object Relational {
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
+  // --------------------------------------------------------------- B30
+  /** Gaps-and-islands interval coalescing: merge overlapping intervals
+    * per user into maximal islands. Unlike B9's sessionize (gap vs the
+    * PREVIOUS event), the merge test is against the RUNNING MAX of all
+    * prior interval ends — the only correct rule once durations vary
+    * (an early long interval can span several later short ones, and
+    * lag(end) would split the island). Intervals derive from events:
+    * [ts, ts + (event_id % 97 + 3) min) — deterministic, variable.
+    * 100 TB: one shuffle on user_id that the running-max window, the
+    * island-id cumsum and the island rollup all reuse (plus the
+    * (user, island) agg exchange); windows are incremental frames, no
+    * self-join — the O(n²) interval-overlap join this shape replaces. */
+  def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = graft.Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id",
+        timestamp_micros(unix_micros($"ts") +
+          (($"event_id" % 97) + 3) * 60000000L).as("end_ts"))
+      .withColumn("prev_max_end",
+        max($"end_ts").over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when($"prev_max_end".isNull || $"ts" > $"prev_max_end", 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"new_island").over(byUser))
+    ev.groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("island_start"),
+        date_format(max($"end_ts"), "yyyy-MM-dd HH:mm:ss").as("island_end"))
+      .orderBy($"user_id", $"island")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_merge" -> (qIntervalMerge _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q13_custdist" -> (q13Custdist _),
@@ -674,6 +707,29 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts, event_id,
+        |    ts + (event_id % 97 + 3) * INTERVAL 1 MINUTE AS end_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id, end_ts,
+        |    max(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM iv),
+        |s AS (
+        |  SELECT user_id, ts, end_ts,
+        |    sum(CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island
+        |  FROM g)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS island_start,
+        |  strftime(max(end_ts), '%Y-%m-%d %H:%M:%S') AS island_end
+        |FROM s GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
