@@ -155,6 +155,98 @@ object Multimodal {
       |  CAST((t_hi - t_lo) % 997 AS BIGINT) AS frame_checksum
       |FROM s ORDER BY doc_id, f""".stripMargin
 
+  // --------------------------------------------------------------- C38
+  /** Perceptual-hash near-dup over binary media payloads — the
+    * "same image, different encode" detector C25's exact-digest dedup
+    * structurally misses (one flipped byte changes md5). 32-block
+    * sign-vs-mean signature (pHash's block-DCT shape with block sums
+    * as the feature), banded 4×8 for candidates, Hamming ≤ 3 confirm.
+    *
+    * Banding guarantee: 3 flipped bits touch ≤ 3 of the 4 bands, so
+    * every Hamming-≤3 pair shares at least one full band — recall is
+    * exactly 1.0 by pigeonhole, not probabilistic.
+    *
+    * Payload codec stand-in: the document's UTF-8 bytes (a rendered
+    * asset whose bytes track content — the ramp stub of C12 has only
+    * 2 degrees of freedom, so every hash of it collapses; real pixels
+    * vary like text bytes do). Re-encode variants are injected
+    * deterministically: every 8th asset again with byte 1 of each
+    * 64-byte chunk clobbered — same-content-different-bytes, which
+    * lands at small Hamming while md5 sees nothing.
+    *
+    * 100 TB: the signature is 32 codegen `byte_sum` folds at scan
+    * parallelism — the payload never shuffles; the band join moves 4
+    * (band, value, id, hash64) rows per asset; candidate buckets are
+    * equality-bounded (add C3's bucket cap for adversarial corpora);
+    * confirm is one integer XOR+popcount per candidate. */
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExpressions.register(s)
+    val docs = table(s, dir, "documents").select($"doc_id", $"text")
+    val variants = docs
+      .filter($"doc_id" % 8 === 0 && length($"text") >= 64)
+      .select(($"doc_id" + 3000000L).as("doc_id"),
+        concat_ws("", transform(
+          sequence(lit(0), expr("(length(text) - 1) div 64")),
+          i => concat(lit("x"), $"text".substr(i * 64 + 2, lit(63))))
+        ).as("text"))
+    val feed = docs.unionByName(variants).filter(length($"text") >= 32)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"),
+        expr("length(text) div 32").as("l"))
+    val bsums = (0 until 32).map(b =>
+      expr(s"byte_sum(substring(payload, $b * l + 1, l))").as(s"bs$b"))
+    val tot = (0 until 32).map(b => col(s"bs$b")).reduce(_ + _)
+    val phash = (0 until 32).map(b =>
+      when(col(s"bs$b") * 32 > $"tot", lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    val hashed = feed.select($"doc_id" +: bsums: _*)
+      .withColumn("tot", tot)
+      .select($"doc_id", phash.as("phash"))
+    val bands = hashed.select($"doc_id", $"phash", explode(array(
+      (0 until 4).map(k => struct(lit(k).as("k"),
+        expr(s"shiftright(phash, ${8 * k}) & 255").as("bv"))): _*)).as("bd"))
+      .select($"doc_id", $"phash", $"bd.k", $"bd.bv")
+    bands.as("a").join(bands.as("b"),
+        $"a.k" === $"b.k" && $"a.bv" === $"b.bv" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        $"a.phash".as("h1"), $"b.phash".as("h2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"d1", $"d2", $"hamming")
+      .orderBy($"d1", $"d2")
+  }
+  val mmPhashNeardupSql: String =
+    """WITH var AS (SELECT doc_id + 3000000 AS doc_id,
+      |    array_to_string(['x' || text[CAST(i*64+2 AS INT) : CAST(i*64+64 AS INT)]
+      |      FOR i IN range(0, (length(text) - 1) // 64 + 1)], '') AS text
+      |  FROM documents WHERE doc_id % 8 = 0 AND length(text) >= 64),
+      |feed AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM var),
+      |f AS (SELECT doc_id, text, length(text) // 32 AS L
+      |  FROM feed WHERE length(text) >= 32),
+      |bs AS (SELECT doc_id, b,
+      |    list_sum([ord(text[CAST(i AS INT)])
+      |      FOR i IN range(b*L+1, b*L+L+1)]) AS bsum
+      |  FROM f CROSS JOIN range(0, 32) t(b)),
+      |g AS (SELECT doc_id, sum(bsum) AS tot FROM bs GROUP BY 1),
+      |h AS (SELECT bs.doc_id,
+      |    CAST(sum(CASE WHEN bsum * 32 > tot
+      |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT)
+      |      AS phash
+      |  FROM bs JOIN g USING (doc_id) GROUP BY 1),
+      |bands AS (SELECT doc_id, phash, k,
+      |    (phash >> CAST(8*k AS INT)) & 255 AS bv
+      |  FROM h CROSS JOIN range(0, 4) t(k)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |    a.phash AS h1, b.phash AS h2
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
   /** DuckDB oracle recomputes the feature arithmetic from the payload
     * *definition* — closed-form sum of ((doc_id + i) % 256, i < len):
     * f full 0..255 cycles (each sums 32640) plus a tail run from

@@ -428,7 +428,8 @@ object PipelineQueries {
     "text_vocab" -> (TextOps.textVocab _),
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frames" -> (Multimodal.mmFrames _),
-    "mm_dedup" -> (Multimodal.mmDedup _))
+    "mm_dedup" -> (Multimodal.mmDedup _),
+    "mm_phash_neardup" -> (Multimodal.mmPhashNeardup _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_quality_gate" -> pipelineQualityGateSql,
@@ -469,5 +470,6 @@ object PipelineQueries {
     "text_vocab" -> TextOps.textVocabSql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "mm_frames" -> Multimodal.mmFramesSql,
-    "mm_dedup" -> Multimodal.mmDedupSql)
+    "mm_dedup" -> Multimodal.mmDedupSql,
+    "mm_phash_neardup" -> Multimodal.mmPhashNeardupSql)
 }
