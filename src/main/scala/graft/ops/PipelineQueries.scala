@@ -389,7 +389,101 @@ object PipelineQueries {
       |  TRUE AS p10_ok, TRUE AS p90_ok
       |FROM base GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- C39
+  /** Streaming corpus ingestion end-to-end — the pipeline as it runs
+    * in production: documents arrive in micro-batches (file source,
+    * one file per trigger — the Kafka-backfill shape), and each batch
+    * is quality-gated (≥ 15 words — drops ~5% at every SF, non-vacuous), exact-deduped within the batch
+    * (min doc_id per digest), deduped AGAINST EVERYTHING ALREADY
+    * INGESTED (left-anti join on md5 digest vs the sink's own state),
+    * and appended to the corpus table.
+    *
+    * The history anti-join is also the exactly-once argument: a
+    * replayed micro-batch re-derives the same digests, anti-joins
+    * against its own previous append, and writes nothing — ingestion
+    * is idempotent without a transaction log.
+    *
+    * Feed: dupFeed (every 10th doc re-added at +1M id), batched so
+    * the duplicates arrive AFTER their originals (batches 0–2 =
+    * originals by doc_id%3, batch 3 = the +1M copies) — so first-seen
+    * == min doc_id and the batch oracle is closed-form.
+    *
+    * 100 TB: per batch, one digest shuffle for the window + an
+    * anti-join whose right side is digests-only (at scale a bucketed
+    * digest index or a bloom pre-filter replaces the re-read); the
+    * text column never shuffles. State is the table itself — no
+    * separate state store to size. */
+  def pipelineStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val feed = Dedup.dupFeed(s, dir)
+    val inDir = graft.Scratch.dir("graft_ingest_in")
+    val batches = Seq(
+      ("00", feed.filter($"doc_id" < 1000000L && $"doc_id" % 3 === 0)),
+      ("01", feed.filter($"doc_id" < 1000000L && $"doc_id" % 3 === 1)),
+      ("02", feed.filter($"doc_id" < 1000000L && $"doc_id" % 3 === 2)),
+      ("03", feed.filter($"doc_id" >= 1000000L)))
+    batches.foreach { case (name, part) =>
+      val tmp = graft.Scratch.dir(s"graft_ingest_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (f.hasNext && !moved) {
+        val p = f.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, inDir.resolve(s"$name.parquet"))
+          moved = true
+        }
+      }
+    }
+    val tableDir = graft.Scratch.dir("graft_ingest_tbl").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def ingested(sp: SparkSession): Option[DataFrame] = {
+      val files = new java.io.File(tableDir).listFiles()
+      if (files != null && files.exists(_.getName.endsWith(".parquet")))
+        Some(sp.read.parquet(tableDir))
+      else None
+    }
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val gated = batch
+          .filter(size(split(col("text"), " ")) >= 15)
+          .withColumn("text_md5", md5(col("text")))
+        val w = Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))
+        val batchKept = gated
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fresh = ingested(sp) match {
+          case Some(t) => batchKept.join(
+            t.select(col("text_md5")), Seq("text_md5"), "left_anti")
+          case None => batchKept
+        }
+        fresh.select(col("doc_id"), col("text_md5"),
+            length(col("text")).cast("long").as("n_chars"))
+          .write.mode("append").parquet(tableDir)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(tableDir)
+      .select($"doc_id", $"text_md5", $"n_chars")
+      .orderBy($"doc_id")
+  }
+  val pipelineStreamIngestSql: String =
+    s"""WITH ${Dedup.dupFeedSql},
+       |g AS (SELECT doc_id, text, md5(text) AS text_md5 FROM feed
+       |  WHERE len(string_split(text, ' ')) >= 15)
+       |SELECT min(doc_id) AS doc_id, text_md5,
+       |  CAST(min(length(text)) AS BIGINT) AS n_chars
+       |FROM g GROUP BY text_md5 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_stream_ingest" -> (pipelineStreamIngest _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_quality_gate_approx" -> (pipelineQualityGateApprox _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
@@ -432,6 +526,7 @@ object PipelineQueries {
     "mm_phash_neardup" -> (Multimodal.mmPhashNeardup _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_stream_ingest" -> pipelineStreamIngestSql,
     "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_quality_gate_approx" -> pipelineQualityGateApproxSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
