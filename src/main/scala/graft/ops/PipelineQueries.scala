@@ -520,6 +520,7 @@ object PipelineQueries {
     "text_idf_rarity" -> (TextOps.textIdfRarity _),
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_vocab" -> (TextOps.textVocab _),
+    "text_quality_rules" -> (TextOps.textQualityRules _),
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frames" -> (Multimodal.mmFrames _),
     "mm_dedup" -> (Multimodal.mmDedup _),
@@ -563,6 +564,7 @@ object PipelineQueries {
     "text_idf_rarity" -> TextOps.textIdfRaritySql,
     "text_lm_score" -> TextOps.textLmScoreSql,
     "text_vocab" -> TextOps.textVocabSql,
+    "text_quality_rules" -> TextOps.textQualityRulesSql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     "mm_dedup" -> Multimodal.mmDedupSql,

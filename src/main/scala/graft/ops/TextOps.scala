@@ -515,4 +515,60 @@ object TextOps {
       |  CAST(cum_tf * 1000000 // (SELECT total_tf FROM t) AS BIGINT)
       |    AS coverage_ppm
       |FROM c ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------- C40
+  /** Gopher-style composite quality-rule gate (Rae et al., Gopher
+    * appendix A): a battery of document-shape rules evaluated in one
+    * pass, each emitted as its own boolean REASON column plus the
+    * combined keep — the auditable form a filtering pipeline needs
+    * (how many docs failed WHICH rule), vs C9's raw scores. Rules
+    * (thresholds sit at the ~2–5% tails of this corpus, so every rule
+    * is non-vacuous): minimum word count, mean-word-length band,
+    * top-word dominance (a boilerplate/spam signal: the most frequent
+    * word's share of all tokens).
+    *
+    * Dominance is computed NARROW — array_max over per-distinct-word
+    * counts inside the row (O(words·distinct) per doc, fine at
+    * chat/crawl doc lengths; the sorted-run-length rewrite keeps it
+    * O(n log n) for book-length docs) — so the whole gate is one scan
+    * at full parallelism, zero shuffles before the presentation sort.
+    * All rule arithmetic is exact integer/double ops identical in both
+    * engines; no rounding needed before the threshold compare. */
+  def textQualityRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"), length($"text").as("nc"))
+      .select($"doc_id", size($"w").cast("long").as("n_words"),
+        (($"nc" - size($"w") + 1) * lit(1.0) / size($"w")).as("mean_wl"),
+        (array_max(transform(array_distinct($"w"),
+            x => size(filter($"w", y => y === x)))) * lit(1.0) / size($"w"))
+          .as("top_frac"))
+      .select($"doc_id", $"n_words",
+        ($"n_words" >= 15).as("r_len"),
+        ($"mean_wl" < 4.9).as("r_shape"),
+        ($"top_frac" <= 0.18).as("r_dominance"))
+      .withColumn("keep", $"r_len" && $"r_shape" && $"r_dominance")
+      .withColumn("n_failed",
+        (when($"r_len", 0).otherwise(1) + when($"r_shape", 0).otherwise(1) +
+          when($"r_dominance", 0).otherwise(1)).cast("long"))
+      .orderBy($"doc_id")
+  }
+  val textQualityRulesSql: String =
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    length(text) AS nc FROM documents),
+      |m AS (SELECT doc_id, len(w) AS n_words,
+      |    (nc - len(w) + 1) * 1.0 / len(w) AS mean_wl,
+      |    list_max(list_transform(list_distinct(w),
+      |      x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w) AS top_frac
+      |  FROM b)
+      |SELECT doc_id, n_words,
+      |  n_words >= 15 AS r_len,
+      |  mean_wl < 4.9 AS r_shape,
+      |  top_frac <= 0.18 AS r_dominance,
+      |  (n_words >= 15 AND mean_wl < 4.9 AND top_frac <= 0.18) AS keep,
+      |  CAST((CASE WHEN n_words >= 15 THEN 0 ELSE 1 END)
+      |    + (CASE WHEN mean_wl < 4.9 THEN 0 ELSE 1 END)
+      |    + (CASE WHEN top_frac <= 0.18 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_failed
+      |FROM m ORDER BY doc_id""".stripMargin
 }
