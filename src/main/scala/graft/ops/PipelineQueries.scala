@@ -482,8 +482,100 @@ object PipelineQueries {
        |  CAST(min(length(text)) AS BIGINT) AS n_chars
        |FROM g GROUP BY text_md5 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C41
+  /** Corpus validation — the expectations/contract check a pipeline
+    * runs before accepting a delivery (Great-Expectations shape): one
+    * row per check with population, violation count, and pass. Checks:
+    * key uniqueness, non-empty text, stored-vs-derived consistency
+    * (n_chars == length(text)), categorical domain (lang), embedding
+    * dimensionality, and unit-norm band. The feed is deterministically
+    * DIRTIED first (empty texts, a bogus lang, off-by-one n_chars,
+    * duplicated keys, double-scaled vectors) so every check catches
+    * exactly the injected violations — none is vacuously green.
+    *
+    * 100 TB: two scans (documents, embeddings), every check a
+    * map-side-combinable conditional count folded into ONE aggregate
+    * per table, then unpivoted — no per-check scan, no shuffle beyond
+    * the two one-row aggs. */
+  def pipelineValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Tables.table(s, dir, "documents")
+      .select($"doc_id", $"text", $"n_chars", $"lang")
+    val dirtyDocs = base
+      .withColumn("text", when($"doc_id" % 13 === 0, lit("")).otherwise($"text"))
+      .withColumn("lang", when($"doc_id" % 17 === 0, lit("xx")).otherwise($"lang"))
+      .withColumn("n_chars",
+        when($"doc_id" % 19 === 0, $"n_chars" + 1).otherwise($"n_chars"))
+      .unionByName(base.filter($"doc_id" % 23 === 0))
+    val docAgg = dirtyDocs.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count_distinct($"doc_id")).as("v_unique"),
+      count(when(length($"text") === 0, 1)).as("v_empty"),
+      count(when($"n_chars" =!= length($"text") &&
+        length($"text") > 0, 1)).as("v_nchars"),
+      count(when(!$"lang".isin("en", "zh", "fr", "es", "de"), 1)).as("v_lang"))
+    val emb = graft.Tables.table(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("v", when($"vec_id" % 11 === 0,
+        transform($"v", x => x * 2)).otherwise($"v"))
+    val embAgg = emb.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(size($"v") =!= 64, 1)).as("v_dim"),
+      count(when(abs(aggregate(transform($"v", x => x * x),
+        lit(0.0), _ + _) - 1.0) > 0.1, 1)).as("v_norm"))
+    val docChecks = docAgg.select(explode(array(
+      struct(lit("doc_id_unique").as("check"), $"n_rows", $"v_unique".as("n_violations")),
+      struct(lit("doc_lang_domain").as("check"), $"n_rows", $"v_lang".as("n_violations")),
+      struct(lit("doc_nchars_consistent").as("check"), $"n_rows", $"v_nchars".as("n_violations")),
+      struct(lit("doc_text_nonempty").as("check"), $"n_rows", $"v_empty".as("n_violations")))).as("c"))
+    val embChecks = embAgg.select(explode(array(
+      struct(lit("emb_dim_64").as("check"), $"n_rows", $"v_dim".as("n_violations")),
+      struct(lit("emb_unit_norm").as("check"), $"n_rows", $"v_norm".as("n_violations")))).as("c"))
+    docChecks.unionByName(embChecks)
+      .select($"c.check", $"c.n_rows", $"c.n_violations",
+        ($"c.n_violations" === 0).as("pass"))
+      .orderBy($"check")
+  }
+  val pipelineValidateSql: String =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN '' ELSE text END AS text,
+      |    CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 19 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 23 = 0),
+      |d AS (SELECT count(*) AS n_rows,
+      |    count(*) - count(DISTINCT doc_id) AS v_unique,
+      |    count(CASE WHEN length(text) = 0 THEN 1 END) AS v_empty,
+      |    count(CASE WHEN n_chars <> length(text) AND length(text) > 0
+      |      THEN 1 END) AS v_nchars,
+      |    count(CASE WHEN lang NOT IN ('en','zh','fr','es','de')
+      |      THEN 1 END) AS v_lang
+      |  FROM dirty),
+      |e AS (SELECT count(*) AS n_rows,
+      |    count(CASE WHEN len(embedding) <> 64 THEN 1 END) AS v_dim,
+      |    count(CASE WHEN abs(list_sum(list_transform(
+      |        CASE WHEN vec_id % 11 = 0
+      |          THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
+      |          ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END,
+      |        x -> x * x)) - 1.0) > 0.1 THEN 1 END) AS v_norm
+      |  FROM embeddings),
+      |checks AS (
+      |  SELECT 'doc_id_unique' AS "check", n_rows, v_unique AS n_violations FROM d
+      |  UNION ALL SELECT 'doc_lang_domain', n_rows, v_lang FROM d
+      |  UNION ALL SELECT 'doc_nchars_consistent', n_rows, v_nchars FROM d
+      |  UNION ALL SELECT 'doc_text_nonempty', n_rows, v_empty FROM d
+      |  UNION ALL SELECT 'emb_dim_64', n_rows, v_dim FROM e
+      |  UNION ALL SELECT 'emb_unit_norm', n_rows, v_norm FROM e)
+      |SELECT "check", CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS pass
+      |FROM checks ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_stream_ingest" -> (pipelineStreamIngest _),
+    "pipeline_validate" -> (pipelineValidate _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_quality_gate_approx" -> (pipelineQualityGateApprox _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
@@ -528,6 +620,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_stream_ingest" -> pipelineStreamIngestSql,
+    "pipeline_validate" -> pipelineValidateSql,
     "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_quality_gate_approx" -> pipelineQualityGateApproxSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
