@@ -674,7 +674,58 @@ object Relational {
       .orderBy($"user_id", $"island")
   }
 
+  // --------------------------------------------------------------- B31
+  /** Bucketed co-located fact join — the storage-level answer to the
+    * biggest shuffle in the warehouse: lineitem and orders are both
+    * written `bucketBy(8, orderkey)` + sortBy, so the orderkey join
+    * needs NO exchange on either side — the join cost you pre-pay at
+    * ingest so every downstream orderkey join is shuffle-free. A
+    * narrow in-bucket SortExec remains (Spark 3+ ignores write-time
+    * sort order on bucketed scans unless
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` is set; the
+    * sort is per-partition, spill-safe, and exchange-free — the
+    * network cost is what bucketing eliminates). `.hint("merge")`
+    * pins SMJ (a broadcast would hide the property demonstrated);
+    * PlanAuditSpec asserts no exchange under the join. At 100 TB the
+    * bucket count scales to ~executor-count×4, same plan. */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // external tables on a fresh scratch location: the in-memory
+    // catalog forgets tables between sessions while the warehouse dir
+    // persists, so a managed overwrite would hit LOCATION_ALREADY_EXISTS
+    val base = graft.Scratch.dir("graft_buckets").toString
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    s.sql("DROP TABLE IF EXISTS graft_buckets.lineitem_b")
+    s.sql("DROP TABLE IF EXISTS graft_buckets.orders_b")
+    // ONE file per bucket (repartition(1) at test scale; a cluster
+    // writes repartition(expr) so each task owns whole buckets): Spark
+    // only trusts the write-time sortBy — and drops the read-side
+    // SortExec — when a bucket is a single file
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .repartition(1)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/lineitem_b")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_buckets.lineitem_b")
+    t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+      .repartition(1)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/orders_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_buckets.orders_b")
+    s.table("graft_buckets.lineitem_b").hint("merge")
+      .join(s.table("graft_buckets.orders_b").hint("merge"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_interval_merge" -> (qIntervalMerge _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -707,6 +758,12 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_interval_merge" ->
       """WITH iv AS (
         |  SELECT user_id, ts, event_id,

@@ -99,6 +99,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(take.nonEmpty, s"top-100 not TakeOrderedAndProject:\n$plan")
   }
 
+  test("q_bucketed_join: no exchange or sort under the co-located join") {
+    val plan = executed(queries.Relational.qBucketedJoin(spark, sf0001))
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+    // bucketed storage supplies the join's distribution: nothing below
+    // the SMJ may shuffle. (A narrow in-bucket SortExec remains —
+    // Spark 3+ ignores write-time sortBy on scans unless the legacy
+    // outputOrdering conf is on; the exchange is the scale cost.)
+    val bad = smj.head.collect { case e: ShuffleExchangeExec => e }
+    assert(bad.isEmpty, s"exchange under the bucketed join:\n$plan")
+  }
+
   test("q7: nation-pair predicate prunes supplier and customer scans") {
     val plan = executed(queries.Relational.q7VolumeShipping(spark, sf0001))
     // the IN-(two nations) halves of the pair predicate must reach the
