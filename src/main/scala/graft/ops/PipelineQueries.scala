@@ -613,6 +613,7 @@ object PipelineQueries {
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_vocab" -> (TextOps.textVocab _),
     "text_quality_rules" -> (TextOps.textQualityRules _),
+    "text_lm_bigram" -> (TextOps.textLmBigram _),
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frames" -> (Multimodal.mmFrames _),
     "mm_dedup" -> (Multimodal.mmDedup _),
@@ -658,6 +659,7 @@ object PipelineQueries {
     "text_lm_score" -> TextOps.textLmScoreSql,
     "text_vocab" -> TextOps.textVocabSql,
     "text_quality_rules" -> TextOps.textQualityRulesSql,
+    "text_lm_bigram" -> TextOps.textLmBigramSql,
     "mm_manifest" -> Multimodal.mmManifestSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     "mm_dedup" -> Multimodal.mmDedupSql,

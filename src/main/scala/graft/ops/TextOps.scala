@@ -516,6 +516,83 @@ object TextOps {
       |    AS coverage_ppm
       |FROM c ORDER BY rank""".stripMargin
 
+  // --------------------------------------------------------------- C42
+  /** Bigram-LM quality scoring — C29's conditional upgrade: score each
+    * document by mean bigram negative log-likelihood with
+    * P(w|prev) = c(prev w) / c(prev), the next-n-gram step toward the
+    * CCNet 5-gram KenLM gate. Catches locally-incoherent text (word
+    * salad with a plausible unigram profile) that C29 cannot.
+    *
+    * Determinism: per-bigram nll fixed-pointed to 1e-6, BIGINT-summed
+    * (C29's contract); bigram construction is narrow (in-row zip of
+    * the word array with its own tail — no positional self-join).
+    *
+    * 100 TB: BOTH model joins are Zipf-skewed, and both get the C29
+    * head/tail split — the top-1k bigrams and top-1k prev-words
+    * resolve via broadcast map-side; only the rare tails shuffle. */
+  def textLmBigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 2)
+      .repartition(s.sparkContext.defaultParallelism)
+    val bi = docs.select($"doc_id", explode(transform(
+        sequence(lit(2), size($"w")),
+        i => struct(element_at($"w", i - 1).as("prev"),
+          concat_ws(" ", element_at($"w", i - 1), element_at($"w", i))
+            .as("bg")))).as("p"))
+      .select($"doc_id", $"p.prev".as("prev"), $"p.bg".as("bg"))
+    val uni = docs.select(explode($"w").as("prev"))
+      .groupBy($"prev").agg(count(lit(1)).as("uc"))
+    val bc = bi.groupBy($"bg").agg(count(lit(1)).as("bc"))
+    val bHead = broadcast(bc.orderBy($"bc".desc, $"bg").limit(1000)
+      .withColumnRenamed("bc", "bc_h"))
+    val bTailed = bi.join(bHead, Seq("bg"), "left")
+    val withBc = bTailed.filter($"bc_h".isNotNull)
+      .select($"doc_id", $"prev", $"bc_h".as("bc"))
+      .unionByName(bTailed.filter($"bc_h".isNull)
+        .select($"doc_id", $"prev", $"bg")
+        .join(bc, "bg").select($"doc_id", $"prev", $"bc"))
+    val uHead = broadcast(uni.orderBy($"uc".desc, $"prev").limit(1000)
+      .withColumnRenamed("uc", "uc_h"))
+    val uTailed = withBc.join(uHead, Seq("prev"), "left")
+    val resolved = uTailed.filter($"uc_h".isNotNull)
+      .select($"doc_id", $"bc", $"uc_h".as("uc"))
+      .unionByName(uTailed.filter($"uc_h".isNull)
+        .select($"doc_id", $"prev", $"bc")
+        .join(uni, "prev").select($"doc_id", $"bc", $"uc"))
+    resolved
+      .select($"doc_id",
+        floor(log($"uc" * lit(1.0) / $"bc") * 1000000 + 0.5)
+          .cast("long").as("nll_fp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"nll_fp").as("sfp"))
+      .select($"doc_id", $"n_bigrams",
+        r4($"sfp".cast("double") /
+          (lit(1000000L) * $"n_bigrams").cast("double")).as("nll2_score"))
+      .orderBy($"doc_id")
+  }
+  val textLmBigramSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (SELECT doc_id,
+      |    unnest([{'prev': w[i-1], 'bg': w[i-1] || ' ' || w[i]}
+      |      FOR i IN range(2, len(w) + 1)]) AS p
+      |  FROM words),
+      |bb AS (SELECT doc_id, p.prev AS prev, p.bg AS bg FROM bi),
+      |uni AS (SELECT prev, count(*) AS uc FROM
+      |  (SELECT doc_id, unnest(w) AS prev FROM words) GROUP BY 1),
+      |bc AS (SELECT bg, count(*) AS bc FROM bb GROUP BY 1),
+      |j AS (SELECT doc_id,
+      |    CAST(floor(ln(uc * 1.0 / bc) * 1000000 + 0.5) AS BIGINT) AS nll_fp
+      |  FROM bb JOIN bc USING (bg) JOIN uni USING (prev)),
+      |g AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(nll_fp) AS BIGINT) AS sfp FROM j GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |  floor(CAST(sfp AS DOUBLE) / CAST(1000000 * n_bigrams AS DOUBLE)
+      |    * 10000 + 0.5) / 10000 AS nll2_score
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C40
   /** Gopher-style composite quality-rule gate (Rae et al., Gopher
     * appendix A): a battery of document-shape rules evaluated in one

@@ -80,7 +80,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // a plan with zero BroadcastHashJoins would mean the whole Zipf
     // token volume shuffles, the skew the split exists to avoid
     for (q <- Seq(ops.TextOps.textLmScore(spark, sf0001),
-        ops.TextOps.textIdfRarity(spark, sf0001))) {
+        ops.TextOps.textIdfRarity(spark, sf0001),
+        ops.TextOps.textLmBigram(spark, sf0001))) {
       val plan = executed(q)
       val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
       assert(bhj.nonEmpty, s"head join not broadcast:\n$plan")
