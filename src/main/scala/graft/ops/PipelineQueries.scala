@@ -573,9 +573,47 @@ object PipelineQueries {
       |  n_violations = 0 AS pass
       |FROM checks ORDER BY "check"""".stripMargin
 
+  // --------------------------------------------------------------- C43
+  /** Fixed-SIZE stratified sampling: exactly k=10 docs per source,
+    * chosen by ranking an md5 hash coin — C17's complement (that op
+    * keeps a per-source FRACTION; eval sets, human-review batches and
+    * per-domain probes need exact counts). The coin makes it a
+    * uniform-without-replacement draw that is reproducible across
+    * engines/runs and *stable under corpus growth in expectation*
+    * while honoring the hard cap.
+    *
+    * 100 TB: one shuffle on source; the per-stratum ranking is a
+    * window here (sorts each stratum), and the B16 TopKAgg heap
+    * (k-bounded partial buffers, map-side combine) is the drop-in
+    * when a stratum is billions of rows — same contract, O(k) memory. */
+  def pipelineStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val coin = md5(concat(lit("samp:"), $"doc_id".cast("string")))
+    graft.Tables.table(s, dir, "documents")
+      .select($"source", $"doc_id", coin.as("coin"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"source").orderBy($"coin", $"doc_id"))
+        .cast("long"))
+      .filter($"rank" <= 10)
+      .select($"source", $"rank", $"doc_id", $"coin")
+      .orderBy($"source", $"rank")
+  }
+  val pipelineStratifiedSampleSql: String =
+    """WITH c AS (SELECT source, doc_id,
+      |    md5('samp:' || CAST(doc_id AS VARCHAR)) AS coin
+      |  FROM documents),
+      |r AS (SELECT source, doc_id, coin,
+      |    row_number() OVER (PARTITION BY source ORDER BY coin, doc_id)
+      |      AS rank
+      |  FROM c)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, coin
+      |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_stream_ingest" -> (pipelineStreamIngest _),
     "pipeline_validate" -> (pipelineValidate _),
+    "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_quality_gate_approx" -> (pipelineQualityGateApprox _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
@@ -622,6 +660,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "pipeline_stream_ingest" -> pipelineStreamIngestSql,
     "pipeline_validate" -> pipelineValidateSql,
+    "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
     "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_quality_gate_approx" -> pipelineQualityGateApproxSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,

@@ -724,7 +724,44 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  // --------------------------------------------------------------- B32
+  /** Time-bounded ordered-sequence funnel: how far does each user get
+    * through signup → view within 1 day → purchase within 1 day of
+    * that view? Step predicates are ORDER- and DEADLINE-sensitive (a
+    * view before the signup, or a week later, doesn't count), which
+    * conditional counts can't express and the naive form needs k
+    * self-joins for. Running first-reach timestamps do it in one
+    * pass: tᵢ = running-min ts of "event is step i, after tᵢ₋₁ and
+    * within its deadline", all three chained over ONE user-partitioned
+    * window; the final per-user rollup reuses the same partitioning,
+    * so the whole funnel is a single exchange with O(1) state per
+    * row. (Depth split at sf0.01: 111/24/15 — every step bites.) */
+  def qFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val day = expr("INTERVAL 1 DAY")
+    graft.Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t1",
+        min(when($"event_type" === "signup", $"ts")).over(w))
+      .withColumn("t2",
+        min(when($"event_type" === "view" && $"ts" > $"t1" &&
+          $"ts" <= $"t1" + day, $"ts")).over(w))
+      .withColumn("t3",
+        min(when($"event_type" === "purchase" && $"ts" > $"t2" &&
+          $"ts" <= $"t2" + day, $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(min($"t1").isNotNull.cast("long").as("reached_signup"),
+        min($"t2").isNotNull.cast("long").as("reached_view"),
+        min($"t3").isNotNull.cast("long").as("reached_purchase"))
+      .withColumn("depth",
+        ($"reached_signup" + $"reached_view" + $"reached_purchase"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_steps" -> (qFunnelSteps _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_interval_merge" -> (qIntervalMerge _),
     "q18_large_orders" -> (q18LargeOrders _),
@@ -758,6 +795,37 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_steps" ->
+      """WITH a AS (SELECT user_id, ts, event_id, event_type,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER w AS t1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |b AS (SELECT user_id, ts, event_id, event_type, t1,
+        |    min(CASE WHEN event_type = 'view' AND ts > t1
+        |      AND ts <= t1 + INTERVAL 1 DAY THEN ts END) OVER w AS t2
+        |  FROM a
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT user_id, t1, t2,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |      AND ts <= t2 + INTERVAL 1 DAY THEN ts END) OVER w AS t3
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id,
+        |  CAST(CASE WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reached_signup,
+        |  CAST(CASE WHEN min(t2) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reached_view,
+        |  CAST(CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reached_purchase,
+        |  CAST((CASE WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN min(t2) IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS depth
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
