@@ -403,10 +403,14 @@ object PipelineQueries {
     * against its own previous append, and writes nothing — ingestion
     * is idempotent without a transaction log.
     *
-    * Feed: dupFeed (every 10th doc re-added at +1M id), batched so
-    * the duplicates arrive AFTER their originals (batches 0–2 =
-    * originals by doc_id%3, batch 3 = the +1M copies) — so first-seen
-    * == min doc_id and the batch oracle is closed-form.
+    * Feed: dupFeed (every 10th doc re-added at +1M id), batched in
+    * doc_id ORDER (batches 0–2 = contiguous id thirds of the
+    * originals, batch 3 = the +1M copies) — arrival order is id
+    * order, so first-seen == min doc_id even when two ORIGINALS share
+    * a text (sf0.1 has such natural exact dups; an id-unordered batch
+    * split ingests the wrong copy first) and the batch oracle stays
+    * closed-form. The range-cut scalar is bounded harness prep, like
+    * A26's median split.
     *
     * 100 TB: per batch, one digest shuffle for the window + an
     * anti-join whose right side is digests-only (at scale a bucketed
@@ -418,10 +422,13 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val feed = Dedup.dupFeed(s, dir)
     val inDir = graft.Scratch.dir("graft_ingest_in")
+    val maxBase = feed.filter($"doc_id" < 1000000L)
+      .agg(max($"doc_id")).as[Long].head()
+    val (cut1, cut2) = (maxBase / 3, 2 * maxBase / 3)
     val batches = Seq(
-      ("00", feed.filter($"doc_id" < 1000000L && $"doc_id" % 3 === 0)),
-      ("01", feed.filter($"doc_id" < 1000000L && $"doc_id" % 3 === 1)),
-      ("02", feed.filter($"doc_id" < 1000000L && $"doc_id" % 3 === 2)),
+      ("00", feed.filter($"doc_id" <= cut1)),
+      ("01", feed.filter($"doc_id" > cut1 && $"doc_id" <= cut2)),
+      ("02", feed.filter($"doc_id" > cut2 && $"doc_id" < 1000000L)),
       ("03", feed.filter($"doc_id" >= 1000000L)))
     batches.foreach { case (name, part) =>
       val tmp = graft.Scratch.dir(s"graft_ingest_$name")

@@ -760,7 +760,45 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- B33
+  /** Heavy hitters via a Misra–Gries summary (custom
+    * TypedImperativeAggregate, functions/MisraGriesAgg.scala) — "top
+    * hot keys over a stream whose key cardinality doesn't fit an
+    * exact groupBy". The key mix is engineered Zipf: 40% of events on
+    * 20 hot keys, the rest spread over ~5k rare keys; m=100 counters,
+    * so the MG guarantee (every f > n/(m+1) key present, estimate in
+    * [f − n/(m+1), f]) makes exactly the 20 hot keys mandatory.
+    * B20-sketch-pattern oracle: rows are the EXACT heavy hitters
+    * (re-derived by both engines) and the contract booleans pin the
+    * sketch — a dropped hitter or out-of-band estimate flips one.
+    * 100 TB: per-task m-bounded counter maps combine map-side
+    * (mergeable-summaries rule), so the exchange carries ≤ m counters
+    * per partition regardless of stream size; the exact-count branch
+    * here exists for the audit, not the sketch path. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.MisraGriesAgg.register(s)
+    val keyExpr = "CASE WHEN user_id % 5 < 2 THEN CAST(user_id % 20 AS BIGINT) " +
+      "ELSE CAST(event_id % 5000 + 100 AS BIGINT) END"
+    val ev = graft.Tables.events(s, dir).select(expr(keyExpr).as("k"))
+    val sk = ev.agg(expr("mg_agg(k, 100)").as("sk"))
+      .select(explode($"sk").as("e"))
+      .select($"e.key".as("k"), $"e.est".as("est"))
+    val tot = ev.agg(count(lit(1)).as("n"))
+    val hh = ev.groupBy($"k").agg(count(lit(1)).as("exact_count"))
+      .crossJoin(broadcast(tot))
+      .filter($"exact_count" > expr("n div 101"))
+    hh.join(sk, Seq("k"), "left")
+      .select($"k".as("merchant_id"), $"exact_count",
+        $"est".isNotNull.as("in_sketch"),
+        ($"est".isNotNull && $"est" <= $"exact_count").as("est_upper_ok"),
+        ($"est".isNotNull &&
+          $"est" >= $"exact_count" - expr("n div 101")).as("est_lower_ok"))
+      .orderBy($"merchant_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_interval_merge" -> (qIntervalMerge _),
@@ -795,6 +833,18 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH ev AS (SELECT CASE WHEN user_id % 5 < 2
+        |    THEN CAST(user_id % 20 AS BIGINT)
+        |    ELSE CAST(event_id % 5000 + 100 AS BIGINT) END AS merchant_id
+        |  FROM events),
+        |t AS (SELECT count(*) AS n FROM ev),
+        |e AS (SELECT merchant_id, count(*) AS exact_count
+        |  FROM ev GROUP BY 1)
+        |SELECT merchant_id, exact_count,
+        |  TRUE AS in_sketch, TRUE AS est_upper_ok, TRUE AS est_lower_ok
+        |FROM e, t WHERE exact_count > n // 101
+        |ORDER BY merchant_id""".stripMargin,
     "q_funnel_steps" ->
       """WITH a AS (SELECT user_id, ts, event_id, event_type,
         |    min(CASE WHEN event_type = 'signup' THEN ts END)
