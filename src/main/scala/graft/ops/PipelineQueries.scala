@@ -617,10 +617,100 @@ object PipelineQueries {
       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, coin
       |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin
 
+  // --------------------------------------------------------------- C44
+  /** Z-order layout analyzer — the data-layout decision that makes
+    * 100 TB scans cheap: interleaving the bits of two filter columns
+    * into one sort key clusters rows so every file covers a small
+    * RECTANGLE of (x, y) space, and a min/max-pruned scan (parquet
+    * footer stats / Delta file skipping) touches only files whose
+    * rectangle intersects the predicate box. This op *measures* that:
+    * it buckets the events feed into 16 equal "files" under (a) the
+    * insertion order and (b) the z-order, computes each bucket's
+    * min/max envelope, and reports how many buckets a box predicate
+    * prunes under each layout — the before/after a table-OPTIMIZE
+    * ZORDER decision needs.
+    *
+    * Everything is exact integer math (bit interleave, rank-based
+    * bucketing, envelope overlap) so the oracle re-derives the full
+    * analysis. The global rank here is the analyzer's bounded demo
+    * form; the layout WRITER at scale is repartitionByRange on z (a
+    * sampled range exchange, no global sort materialization). */
+  def pipelineZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val NB = 16
+    val (xLo, xHi, yLo, yHi) = (32L, 47L, 64L, 79L)
+    val ev = graft.Tables.events(s, dir)
+      .select($"event_id", ($"user_id" % 256).cast("long").as("x"),
+        ($"event_id" % 256).cast("long").as("y"))
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright($"x", i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright($"y", i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val zed = ev.withColumn("z", z)
+    val n = zed.count()
+    def layout(name: String, ord: Seq[org.apache.spark.sql.Column]) = {
+      val rn = row_number().over(Window.orderBy(ord: _*)) - 1
+      zed.withColumn("bucket", (rn * NB / n.toInt).cast("long"))
+        .groupBy($"bucket")
+        .agg(min($"x").as("x_min"), max($"x").as("x_max"),
+          min($"y").as("y_min"), max($"y").as("y_max"),
+          count(lit(1)).as("n_rows"),
+          count(when($"x".between(xLo, xHi) &&
+            $"y".between(yLo, yHi), 1)).as("n_match"))
+        .select(lit(name).as("layout"), $"bucket", $"x_min", $"x_max",
+          $"y_min", $"y_max",
+          ($"x_max" < xLo || $"x_min" > xHi ||
+            $"y_max" < yLo || $"y_min" > yHi).as("pruned"),
+          $"n_rows", $"n_match")
+    }
+    layout("linear", Seq($"event_id"))
+      .unionByName(layout("zorder", Seq($"z", $"event_id")))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when($"pruned", 1L).otherwise(0L)).as("buckets_pruned"),
+        sum(when(!$"pruned", $"n_rows").otherwise(0L)).as("rows_scanned"),
+        sum($"n_match").as("rows_matching"))
+      .orderBy($"layout")
+  }
+  val pipelineZorderLayoutSql: String = {
+    val zTerms = (0 until 8).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH ev AS (SELECT event_id,
+       |    CAST(user_id % 256 AS BIGINT) AS x,
+       |    CAST(event_id % 256 AS BIGINT) AS y
+       |  FROM events),
+       |zed AS (SELECT event_id, x, y, $zTerms AS z FROM ev),
+       |t AS (SELECT count(*) AS n FROM zed),
+       |lin AS (SELECT 'linear' AS layout, x, y,
+       |    (row_number() OVER (ORDER BY event_id) - 1) * 16
+       |      // (SELECT n FROM t) AS bucket FROM zed),
+       |zor AS (SELECT 'zorder' AS layout, x, y,
+       |    (row_number() OVER (ORDER BY z, event_id) - 1) * 16
+       |      // (SELECT n FROM t) AS bucket FROM zed),
+       |b AS (SELECT layout, bucket,
+       |    min(x) AS x_min, max(x) AS x_max,
+       |    min(y) AS y_min, max(y) AS y_max,
+       |    count(*) AS n_rows,
+       |    count(CASE WHEN x BETWEEN 32 AND 47
+       |      AND y BETWEEN 64 AND 79 THEN 1 END) AS n_match
+       |  FROM (SELECT * FROM lin UNION ALL SELECT * FROM zor)
+       |  GROUP BY 1, 2)
+       |SELECT layout, count(*) AS n_buckets,
+       |  CAST(sum(CASE WHEN x_max < 32 OR x_min > 47 OR y_max < 64
+       |    OR y_min > 79 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_pruned,
+       |  CAST(sum(CASE WHEN NOT (x_max < 32 OR x_min > 47 OR y_max < 64
+       |    OR y_min > 79) THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(n_match) AS BIGINT) AS rows_matching
+       |FROM b GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_stream_ingest" -> (pipelineStreamIngest _),
     "pipeline_validate" -> (pipelineValidate _),
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
+    "pipeline_zorder_layout" -> (pipelineZorderLayout _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_quality_gate_approx" -> (pipelineQualityGateApprox _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
@@ -668,6 +758,7 @@ object PipelineQueries {
     "pipeline_stream_ingest" -> pipelineStreamIngestSql,
     "pipeline_validate" -> pipelineValidateSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
+    "pipeline_zorder_layout" -> pipelineZorderLayoutSql,
     "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_quality_gate_approx" -> pipelineQualityGateApproxSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
