@@ -706,11 +706,71 @@ object PipelineQueries {
        |FROM b GROUP BY layout ORDER BY layout""".stripMargin
   }
 
+  // --------------------------------------------------------------- C45
+  /** Per-source token budgets with quality-first selection — how a
+    * training mix is actually assembled once someone sets "cap each
+    * domain at N tokens": within every source, rank docs by quality
+    * (longer-words-first heuristic here; any scored column slots in),
+    * take the running token total in that order, and keep docs while
+    * the budget holds. Emits per-source accounting: docs/tokens kept
+    * vs available and the quality cutoff actually achieved.
+    *
+    * Deterministic: rank ties break on doc_id; the 4-dp fixed-point
+    * score is the B-series money contract; budget test is integer.
+    *
+    * 100 TB: one shuffle on source; the per-source rank + running sum
+    * share that partitioning (two window passes, no self-join). A
+    * whale stratum outgrowing its sort uses the B16 TopKAgg heap to
+    * pre-trim to the budget's upper bound first. */
+  def pipelineTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val Budget = 2000L
+    val r4 = (c: org.apache.spark.sql.Column) => floor(c * 10000 + 0.5) / 10000
+    val docs = graft.Tables.table(s, dir, "documents")
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        r4((length($"text") - size(split($"text", " ")) + 1) * lit(1.0) /
+          size(split($"text", " "))).as("score"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id")
+    docs
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("kept", $"cum_tokens" <= Budget)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("tokens_available"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", $"n_tokens").otherwise(0L)).as("tokens_kept"),
+        min(when($"kept", $"score")).as("score_cutoff"))
+      .orderBy($"source")
+  }
+  val pipelineTokenBudgetSql: String =
+    """WITH d AS (SELECT source, doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    floor((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+      |      / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS score
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tokens, score,
+      |    sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY score DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tokens_available,
+      |  CAST(sum(CASE WHEN cum_tokens <= 2000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN cum_tokens <= 2000 THEN n_tokens ELSE 0 END)
+      |    AS BIGINT) AS tokens_kept,
+      |  min(CASE WHEN cum_tokens <= 2000 THEN score END) AS score_cutoff
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_stream_ingest" -> (pipelineStreamIngest _),
     "pipeline_validate" -> (pipelineValidate _),
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
     "pipeline_zorder_layout" -> (pipelineZorderLayout _),
+    "pipeline_token_budget" -> (pipelineTokenBudget _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_quality_gate_approx" -> (pipelineQualityGateApprox _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
@@ -759,6 +819,7 @@ object PipelineQueries {
     "pipeline_validate" -> pipelineValidateSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
     "pipeline_zorder_layout" -> pipelineZorderLayoutSql,
+    "pipeline_token_budget" -> pipelineTokenBudgetSql,
     "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_quality_gate_approx" -> pipelineQualityGateApproxSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,

@@ -797,7 +797,39 @@ object Relational {
       .orderBy($"merchant_id")
   }
 
+  // --------------------------------------------------------------- B34
+  /** Cohort retention matrix — the other classic event-analytics
+    * primitive next to funnels (B32): users grouped by first-activity
+    * month, then for each later month, how many of that cohort were
+    * active. Two passes that share the user_id partitioning: a
+    * per-user min(ts) rollup (the cohort), then a distinct
+    * (user, month) activity join back — retention is
+    * |active ∩ cohort| / |cohort| per (cohort_month, month_offset).
+    * 100 TB: one shuffle on user_id for the cohort agg, one on
+    * (user, month) for activity dedup, final matrix is tiny
+    * (months²); ppm-integer retention so both engines agree exactly. */
+  def qRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // daily grain: the events feed spans ~one month, so day is the
+    // resolution at which cohorts separate (monthly would be one cell)
+    val ev = graft.Tables.events(s, dir)
+      .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"))
+    val cohort = ev.groupBy($"user_id")
+      .agg(min($"day").as("cohort_day"))
+    val sizes = cohort.groupBy($"cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    val active = ev.distinct()
+    active.join(cohort, "user_id")
+      .groupBy($"cohort_day", $"day")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select($"cohort_day", $"day", $"n_active", $"cohort_size",
+        expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+      .orderBy($"cohort_day", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_bucketed_join" -> (qBucketedJoin _),
@@ -833,6 +865,21 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM ev GROUP BY user_id),
+        |sizes AS (SELECT cohort_day, count(*) AS cohort_size
+        |  FROM cohort GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, day FROM ev),
+        |m AS (SELECT c.cohort_day, a.day, count(*) AS n_active
+        |  FROM act a JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, day, n_active, cohort_size,
+        |  CAST(n_active * 1000000 // cohort_size AS BIGINT)
+        |    AS retention_ppm
+        |FROM m JOIN sizes USING (cohort_day)
+        |ORDER BY cohort_day, day""".stripMargin,
     "q_heavy_hitters" ->
       """WITH ev AS (SELECT CASE WHEN user_id % 5 < 2
         |    THEN CAST(user_id % 20 AS BIGINT)
