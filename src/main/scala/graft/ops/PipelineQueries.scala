@@ -632,13 +632,20 @@ object PipelineQueries {
     *
     * Everything is exact integer math (bit interleave, rank-based
     * bucketing, envelope overlap) so the oracle re-derives the full
-    * analysis. The global rank here is the analyzer's bounded demo
-    * form; the layout WRITER at scale is repartitionByRange on z (a
-    * sampled range exchange, no global sort materialization). */
+    * analysis. The equal-count bucketing is distributed — no global
+    * window sort: each layout range-partitions on a DETERMINISTIC
+    * bounded key (z fits in 16 bits; event_id is binned by its
+    * min/max span), ranks within partitions, and rebases each
+    * partition's ranks by driver-collected per-partition counts (≤P
+    * rows of metadata — the bounded-scalar pattern). Global rank is
+    * exact because the range key is monotone in the sort order;
+    * boundary skew costs only balance, never correctness. Bucket ids
+    * use long `div` throughout (no int truncation, no double '/'). */
   def pipelineZorderLayout(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val NB = 16
+    val P = 32
     val (xLo, xHi, yLo, yHi) = (32L, 47L, 64L, 79L)
     val ev = graft.Tables.events(s, dir)
       .select($"event_id", ($"user_id" % 256).cast("long").as("x"),
@@ -648,10 +655,25 @@ object PipelineQueries {
         shiftleft(shiftright($"y", i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
     val zed = ev.withColumn("z", z)
-    val n = zed.count()
-    def layout(name: String, ord: Seq[org.apache.spark.sql.Column]) = {
-      val rn = row_number().over(Window.orderBy(ord: _*)) - 1
-      zed.withColumn("bucket", (rn * NB / n.toInt).cast("long"))
+    val idRow = zed.agg(min($"event_id"), max($"event_id")).head()
+    val (idLo, idSpan) =
+      (idRow.getLong(0), idRow.getLong(1) - idRow.getLong(0) + 1)
+    def layout(name: String, pidOf: org.apache.spark.sql.Column,
+        ord: Seq[org.apache.spark.sql.Column]) = {
+      val withPid = zed.withColumn("__pid", pidOf)
+      // per-range-partition counts: bounded metadata (≤P rows), exact
+      // and deterministic, so the re-execution under the final job
+      // re-derives identical pids and the offsets stay consistent
+      val counts = withPid.groupBy($"__pid").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.map(_._1)
+        .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+      val rank = row_number().over(
+          Window.partitionBy($"__pid").orderBy(ord: _*)).cast("long") -
+        1L + element_at(typedLit(offsets), $"__pid")
+      withPid.withColumn("__rank", rank)
+        .withColumn("bucket", expr(s"(__rank * $NB) div $n"))
         .groupBy($"bucket")
         .agg(min($"x").as("x_min"), max($"x").as("x_max"),
           min($"y").as("y_min"), max($"y").as("y_max"),
@@ -664,8 +686,10 @@ object PipelineQueries {
             $"y_max" < yLo || $"y_min" > yHi).as("pruned"),
           $"n_rows", $"n_match")
     }
-    layout("linear", Seq($"event_id"))
-      .unionByName(layout("zorder", Seq($"z", $"event_id")))
+    layout("linear", expr(s"((event_id - $idLo) * $P) div $idSpan"),
+        Seq($"event_id"))
+      .unionByName(layout("zorder", expr(s"(z * $P) div 65536"),
+        Seq($"z", $"event_id")))
       .groupBy($"layout")
       .agg(count(lit(1)).as("n_buckets"),
         sum(when($"pruned", 1L).otherwise(0L)).as("buckets_pruned"),

@@ -114,6 +114,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"exchange under the bucketed join:\n$plan")
   }
 
+  test("pipeline_zorder_layout: equal-count bucketing never funnels data through one partition") {
+    // round-6 verdict: both layouts bucketed via a global Window.orderBy
+    // (Exchange SinglePartition). The fix ranks within deterministic
+    // range partitions and rebases by collected per-partition counts —
+    // so the executed plan must contain NO single-partition exchange,
+    // and the rank windows must partition on the range key
+    val plan = executed(ops.PipelineQueries.pipelineZorderLayout(spark, sf0001))
+    val single = plan.collect { case e: ShuffleExchangeExec
+        if e.outputPartitioning ==
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => e }
+    assert(single.isEmpty, s"single-partition exchange in plan:\n$plan")
+    assert(plan.toString.contains("hashpartitioning(__pid"),
+      s"rank window not partitioned on the range key:\n$plan")
+  }
+
   test("q7: nation-pair predicate prunes supplier and customer scans") {
     val plan = executed(queries.Relational.q7VolumeShipping(spark, sf0001))
     // the IN-(two nations) halves of the pair predicate must reach the
