@@ -413,10 +413,30 @@ object PipelineQueries {
     * A26's median split.
     *
     * 100 TB: per batch, one digest shuffle for the window + an
-    * anti-join whose right side is digests-only (at scale a bucketed
-    * digest index or a bloom pre-filter replaces the re-read); the
+    * anti-join whose right side is digests-only AND partition-pruned:
+    * the table is written partitionBy(digest-prefix), the batch
+    * collects its distinct prefixes (bounded — ≤16 values of
+    * metadata), and the history read filters to exactly those
+    * partitions (PlanAuditSpec asserts the scan's partition filters).
+    * A steady-state micro-batch touches a prefix subset, so the
+    * anti-join reads O(batch-share of history), not O(history); the
     * text column never shuffles. State is the table itself — no
     * separate state store to size. */
+  /** True once the ingest table has at least one committed partition. */
+  private def hasHistory(tableDir: String): Boolean = {
+    val files = new java.io.File(tableDir).listFiles()
+    files != null && files.exists(_.getName.startsWith("pfx="))
+  }
+
+  /** History read pruned to the digest prefixes a batch touches — the
+    * C39 anti-join's right side, factored out so PlanAuditSpec can
+    * assert the prefix predicate lands in the scan's PartitionFilters
+    * (i.e. the per-batch anti-join reads a slice of history, not all
+    * of it). */
+  def prunedHistory(sp: SparkSession, tableDir: String,
+      pfxs: Seq[String]): DataFrame =
+    sp.read.parquet(tableDir).filter(col("pfx").isin(pfxs: _*))
+
   def pipelineStreamIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -430,7 +450,7 @@ object PipelineQueries {
       ("01", feed.filter($"doc_id" > cut1 && $"doc_id" <= cut2)),
       ("02", feed.filter($"doc_id" > cut2 && $"doc_id" < 1000000L)),
       ("03", feed.filter($"doc_id" >= 1000000L)))
-    batches.foreach { case (name, part) =>
+    batches.zipWithIndex.foreach { case ((name, part), i) =>
       val tmp = graft.Scratch.dir(s"graft_ingest_$name")
       part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val f = java.nio.file.Files.list(tmp).iterator()
@@ -438,7 +458,14 @@ object PipelineQueries {
       while (f.hasNext && !moved) {
         val p = f.next()
         if (p.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.move(p, inDir.resolve(s"$name.parquet"))
+          val dst = inDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(p, dst)
+          // batch order is load-bearing (first-seen == min doc_id) and
+          // FileStreamSource orders by mtime, which Files.move preserves
+          // — pin a strictly increasing mtime so coarse-granularity
+          // filesystems can't tie/reorder the batches
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
           moved = true
         }
       }
@@ -449,12 +476,6 @@ object PipelineQueries {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    def ingested(sp: SparkSession): Option[DataFrame] = {
-      val files = new java.io.File(tableDir).listFiles()
-      if (files != null && files.exists(_.getName.endsWith(".parquet")))
-        Some(sp.read.parquet(tableDir))
-      else None
-    }
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
@@ -462,18 +483,27 @@ object PipelineQueries {
         val gated = batch
           .filter(size(split(col("text"), " ")) >= 15)
           .withColumn("text_md5", md5(col("text")))
+          .withColumn("pfx", substring(col("text_md5"), 1, 1))
         val w = Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))
         val batchKept = gated
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val fresh = ingested(sp) match {
-          case Some(t) => batchKept.join(
-            t.select(col("text_md5")), Seq("text_md5"), "left_anti")
-          case None => batchKept
-        }
-        fresh.select(col("doc_id"), col("text_md5"),
+        val fresh =
+          if (!hasHistory(tableDir)) batchKept
+          else {
+            // bounded metadata: the set of digest prefixes this batch
+            // touches (≤16 one-char values) prunes the history scan to
+            // matching partitions before the anti-join
+            val pfxs = batchKept.select(col("pfx")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            batchKept.join(
+              prunedHistory(sp, tableDir, pfxs)
+                .select(col("pfx"), col("text_md5")),
+              Seq("pfx", "text_md5"), "left_anti")
+          }
+        fresh.select(col("pfx"), col("doc_id"), col("text_md5"),
             length(col("text")).cast("long").as("n_chars"))
-          .write.mode("append").parquet(tableDir)
+          .write.mode("append").partitionBy("pfx").parquet(tableDir)
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()
