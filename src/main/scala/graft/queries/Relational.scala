@@ -697,19 +697,21 @@ object Relational {
     s.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
     s.sql("DROP TABLE IF EXISTS graft_buckets.lineitem_b")
     s.sql("DROP TABLE IF EXISTS graft_buckets.orders_b")
-    // ONE file per bucket (repartition(1) at test scale; a cluster
-    // writes repartition(expr) so each task owns whole buckets): Spark
-    // only trusts the write-time sortBy — and drops the read-side
-    // SortExec — when a bucket is a single file
+    // task-per-bucket write: repartition(8, key) uses the same murmur
+    // hash pmod as the bucket spec, so write task p holds exactly
+    // bucket p — ONE file per bucket (keeping the single-file property
+    // write-time sortBy needs) produced by 8 PARALLEL tasks, not one.
+    // At 100 TB the same form scales: repartition(numBuckets, key)
+    // with the bucket count sized to the cluster
     t(s, dir, "lineitem")
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-      .repartition(1)
+      .repartition(8, $"l_orderkey")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$base/lineitem_b")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_buckets.lineitem_b")
     t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
-      .repartition(1)
+      .repartition(8, $"o_orderkey")
       .write.mode("overwrite").format("parquet")
       .option("path", s"$base/orders_b")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -112,6 +112,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // outputOrdering conf is on; the exchange is the scale cost.)
     val bad = smj.head.collect { case e: ShuffleExchangeExec => e }
     assert(bad.isEmpty, s"exchange under the bucketed join:\n$plan")
+    // the write must be task-per-bucket (round-6 verdict: repartition(1)
+    // made it a single-task write): 8 parallel tasks, each owning one
+    // bucket, still yields exactly ONE data file per bucket
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    for (scan <- scans; loc = scan.metadata("Location")) {
+      val dir = new java.io.File(new java.net.URI(
+        loc.substring(loc.indexOf('[') + 1, loc.length - 1)))
+      val files = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 8, s"expected 8 one-per-bucket files in $dir, got $files")
+    }
   }
 
   test("pipeline_zorder_layout: equal-count bucketing never funnels data through one partition") {
