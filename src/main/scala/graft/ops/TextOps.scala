@@ -527,9 +527,16 @@ object TextOps {
     * (C29's contract); bigram construction is narrow (in-row zip of
     * the word array with its own tail — no positional self-join).
     *
-    * 100 TB: BOTH model joins are Zipf-skewed, and both get the C29
-    * head/tail split — the top-1k bigrams and top-1k prev-words
-    * resolve via broadcast map-side; only the rare tails shuffle. */
+    * 100 TB: the per-bigram nll is a function of (bg) alone, so the
+    * MODEL — nll per distinct bigram — is assembled first on the
+    * distinct-bigram table (round-7 rework: the r6 form pushed the
+    * token-volume stream through BOTH Zipf joins; now only the model
+    * join touches uc, over distinct bigrams, with the C29 head/tail
+    * split on the Zipf prev key). The stream then resolves in ONE
+    * head/tail join against the finished model: the hot-bigram head
+    * (covering most token volume) maps broadcast-side, only rare-
+    * bigram occurrences shuffle. The model is persisted (tiny:
+    * distinct bigrams), lifetime bounded by the caller's clearCache. */
   def textLmBigram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = table(s, dir, "documents")
@@ -544,27 +551,29 @@ object TextOps {
       .select($"doc_id", $"p.prev".as("prev"), $"p.bg".as("bg"))
     val uni = docs.select(explode($"w").as("prev"))
       .groupBy($"prev").agg(count(lit(1)).as("uc"))
-    val bc = bi.groupBy($"bg").agg(count(lit(1)).as("bc"))
-    val bHead = broadcast(bc.orderBy($"bc".desc, $"bg").limit(1000)
-      .withColumnRenamed("bc", "bc_h"))
-    val bTailed = bi.join(bHead, Seq("bg"), "left")
-    val withBc = bTailed.filter($"bc_h".isNotNull)
-      .select($"doc_id", $"prev", $"bc_h".as("bc"))
-      .unionByName(bTailed.filter($"bc_h".isNull)
-        .select($"doc_id", $"prev", $"bg")
-        .join(bc, "bg").select($"doc_id", $"prev", $"bc"))
+    val bc = bi.groupBy($"bg", $"prev").agg(count(lit(1)).as("bc"))
     val uHead = broadcast(uni.orderBy($"uc".desc, $"prev").limit(1000)
       .withColumnRenamed("uc", "uc_h"))
-    val uTailed = withBc.join(uHead, Seq("prev"), "left")
-    val resolved = uTailed.filter($"uc_h".isNotNull)
-      .select($"doc_id", $"bc", $"uc_h".as("uc"))
-      .unionByName(uTailed.filter($"uc_h".isNull)
-        .select($"doc_id", $"prev", $"bc")
-        .join(uni, "prev").select($"doc_id", $"bc", $"uc"))
-    resolved
-      .select($"doc_id",
+    val mTailed = bc.join(uHead, Seq("prev"), "left")
+    val model = mTailed.filter($"uc_h".isNotNull)
+      .select($"bg", $"bc", $"uc_h".as("uc"))
+      .unionByName(mTailed.filter($"uc_h".isNull)
+        .select($"bg", $"prev", $"bc")
+        .join(uni, "prev").select($"bg", $"bc", $"uc"))
+      .select($"bg", $"bc",
         floor(log($"uc" * lit(1.0) / $"bc") * 1000000 + 0.5)
           .cast("long").as("nll_fp"))
+      .persist()
+    val bHead = broadcast(model.orderBy($"bc".desc, $"bg").limit(1000)
+      .select($"bg", $"nll_fp".as("nll_h")))
+    val sTailed = bi.select($"doc_id", $"bg").join(bHead, Seq("bg"), "left")
+    val resolved = sTailed.filter($"nll_h".isNotNull)
+      .select($"doc_id", $"nll_h".as("nll_fp"))
+      .unionByName(sTailed.filter($"nll_h".isNull)
+        .select($"doc_id", $"bg")
+        .join(model.select($"bg", $"nll_fp"), "bg")
+        .select($"doc_id", $"nll_fp"))
+    resolved
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"nll_fp").as("sfp"))
       .select($"doc_id", $"n_bigrams",
