@@ -43,10 +43,17 @@ object Bench {
       }
       name -> (if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver retains only the LAST ~2000 bytes of output (r6
+    // evidence: BENCH tail truncation hid 50 of 110 per-query times),
+    // so order the line for tail survival: per-query times ascending
+    // (slowest LAST, 3-decimal) and the headline total/sf AFTER the
+    // map. Key order is irrelevant to any JSON parser; the tail now
+    // always shows the slowest queries + the total.
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

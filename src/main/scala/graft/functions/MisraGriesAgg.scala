@@ -24,9 +24,18 @@ final class MGBuffer(val m: Int) {
     if (cur != 0L || counts.containsKey(key)) counts.put(key, cur + by)
     else if (counts.size < m) counts.put(key, by)
     else {
-      // decrement-all by the overflow amount; O(m) amortized over the
-      // ≥ m updates that filled the buffer
-      decrementAll(by)
+      // weighted overflow = merging the singleton {key → by} into a
+      // full buffer: subtract the (m+1)-th largest count — the min of
+      // the m+1 values — from everything, keep what stays positive.
+      // For by=1 this degenerates to the classic decrement-all-by-one
+      // (the new key never survives); for by>1 the key enters with its
+      // residual, preserving the f − n/(m+1) ≤ est ≤ f band (total
+      // decrement ≤ n/(m+1) still amortizes over total weight).
+      var mn = by
+      val vi = counts.values().iterator()
+      while (vi.hasNext) { val v = vi.next(); if (v < mn) mn = v }
+      decrementAll(mn)
+      if (by > mn) counts.put(key, by - mn)
     }
   }
 
