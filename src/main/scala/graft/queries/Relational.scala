@@ -808,8 +808,13 @@ object Relational {
     * (user, month) activity join back — retention is
     * |active ∩ cohort| / |cohort| per (cohort_month, month_offset).
     * 100 TB: one shuffle on user_id for the cohort agg, one on
-    * (user, month) for activity dedup, final matrix is tiny
-    * (months²); ppm-integer retention so both engines agree exactly. */
+    * (user, day) for activity dedup; cohort SIZE is the matrix's own
+    * diagonal (every user is active on their cohort day — min day IS
+    * an active day), read off with a window over the days²-tiny
+    * matrix instead of re-aggregating the cohort table (which would
+    * recompute its user_id shuffle, the plan's biggest, twice —
+    * PlanAuditSpec pins the exchange count); ppm-integer retention so
+    * both engines agree exactly. */
   def qRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // daily grain: the events feed spans ~one month, so day is the
@@ -818,13 +823,14 @@ object Relational {
       .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"))
     val cohort = ev.groupBy($"user_id")
       .agg(min($"day").as("cohort_day"))
-    val sizes = cohort.groupBy($"cohort_day")
-      .agg(count(lit(1)).as("cohort_size"))
     val active = ev.distinct()
-    active.join(cohort, "user_id")
+    val matrix = active.join(cohort, "user_id")
       .groupBy($"cohort_day", $"day")
       .agg(count(lit(1)).as("n_active"))
-      .join(sizes, "cohort_day")
+    matrix
+      .withColumn("cohort_size",
+        max(when($"day" === $"cohort_day", $"n_active"))
+          .over(Window.partitionBy($"cohort_day")))
       .select($"cohort_day", $"day", $"n_active", $"cohort_size",
         expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
       .orderBy($"cohort_day", $"day")

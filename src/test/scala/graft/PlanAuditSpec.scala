@@ -164,6 +164,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan read ${scan.metrics("numFiles").value} files — not pruned to pfx=a,b")
   }
 
+  test("q_funnel_steps: chained windows + rollup ride ONE user exchange") {
+    // the B32 claim: all three step windows AND the per-user rollup
+    // share the user_id partitioning — one data exchange, plus only
+    // the presentation sort
+    val plan = executed(queries.Relational.qFunnelSteps(spark, sf0001))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$plan")
+  }
+
+  test("q_retention_cohorts: two data shuffles, cohort join broadcasts") {
+    // claim: one user_id shuffle (cohort agg), one (user, day) shuffle
+    // (activity distinct); the cohort table re-joins broadcast-side and
+    // the matrix-side aggs are days²-tiny (one matrix exchange + sort)
+    val plan = executed(queries.Relational.qRetentionCohorts(spark, sf0001))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"cohort join did not broadcast:\n$plan")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 5, s"got ${shuffles.size} exchanges:\n$plan")
+  }
+
+  test("pipeline_token_budget: rank + running sum + rollup share one source shuffle") {
+    val plan = executed(ops.PipelineQueries.pipelineTokenBudget(spark, sf0001))
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$plan")
+  }
+
   test("q7: nation-pair predicate prunes supplier and customer scans") {
     val plan = executed(queries.Relational.q7VolumeShipping(spark, sf0001))
     // the IN-(two nations) halves of the pair predicate must reach the
