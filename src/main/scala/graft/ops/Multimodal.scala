@@ -169,10 +169,15 @@ object Multimodal {
     * Payload codec stand-in: the document's UTF-8 bytes (a rendered
     * asset whose bytes track content — the ramp stub of C12 has only
     * 2 degrees of freedom, so every hash of it collapses; real pixels
-    * vary like text bytes do). Re-encode variants are injected
-    * deterministically: every 8th asset again with byte 1 of each
-    * 64-byte chunk clobbered — same-content-different-bytes, which
-    * lands at small Hamming while md5 sees nothing.
+    * vary like text bytes do), normalized to the ASCII subset FIRST
+    * so character offsets and byte offsets coincide — block length
+    * and block boundaries are then identical whether an engine
+    * measures chars (DuckDB ord-sums) or bytes (the Spark byte_sum
+    * kernel), instead of only happening to agree on an all-ASCII
+    * corpus. Re-encode variants are injected deterministically:
+    * every 8th asset again with byte 1 of each 64-byte chunk
+    * clobbered — same-content-different-bytes, which lands at small
+    * Hamming while md5 sees nothing.
     *
     * 100 TB: the signature is 32 codegen `byte_sum` folds at scan
     * parallelism — the payload never shuffles; the band join moves 4
@@ -182,7 +187,8 @@ object Multimodal {
   def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftExpressions.register(s)
-    val docs = table(s, dir, "documents").select($"doc_id", $"text")
+    val docs = table(s, dir, "documents").select($"doc_id",
+      regexp_replace($"text", "[^\\x00-\\x7F]", "").as("text"))
     val variants = docs
       .filter($"doc_id" % 8 === 0 && length($"text") >= 64)
       .select(($"doc_id" + 3000000L).as("doc_id"),
@@ -218,11 +224,14 @@ object Multimodal {
       .orderBy($"d1", $"d2")
   }
   val mmPhashNeardupSql: String =
-    """WITH var AS (SELECT doc_id + 3000000 AS doc_id,
+    """WITH ascii_docs AS (SELECT doc_id,
+      |    regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS text
+      |  FROM documents),
+      |var AS (SELECT doc_id + 3000000 AS doc_id,
       |    array_to_string(['x' || text[CAST(i*64+2 AS INT) : CAST(i*64+64 AS INT)]
       |      FOR i IN range(0, (length(text) - 1) // 64 + 1)], '') AS text
-      |  FROM documents WHERE doc_id % 8 = 0 AND length(text) >= 64),
-      |feed AS (SELECT doc_id, text FROM documents
+      |  FROM ascii_docs WHERE doc_id % 8 = 0 AND length(text) >= 64),
+      |feed AS (SELECT doc_id, text FROM ascii_docs
       |  UNION ALL SELECT doc_id, text FROM var),
       |f AS (SELECT doc_id, text, length(text) // 32 AS L
       |  FROM feed WHERE length(text) >= 32),

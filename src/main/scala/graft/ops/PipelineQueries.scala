@@ -527,8 +527,10 @@ object PipelineQueries {
     * (n_chars == length(text)), categorical domain (lang), embedding
     * dimensionality, and unit-norm band. The feed is deterministically
     * DIRTIED first (empty texts, a bogus lang, off-by-one n_chars,
-    * duplicated keys, double-scaled vectors) so every check catches
-    * exactly the injected violations — none is vacuously green.
+    * duplicated keys, double-scaled vectors, and a dropped component
+    * for every 29th vector so the dim-64 check trips too) so every
+    * check catches exactly the injected violations — none is
+    * vacuously green.
     *
     * 100 TB: two scans (documents, embeddings), every check a
     * map-side-combinable conditional count folded into ONE aggregate
@@ -555,6 +557,8 @@ object PipelineQueries {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("v", when($"vec_id" % 11 === 0,
         transform($"v", x => x * 2)).otherwise($"v"))
+      .withColumn("v", when($"vec_id" % 29 === 0,
+        slice($"v", 1, 63)).otherwise($"v"))
     val embAgg = emb.agg(
       count(lit(1)).as("n_rows"),
       count(when(size($"v") =!= 64, 1)).as("v_dim"),
@@ -590,14 +594,18 @@ object PipelineQueries {
       |    count(CASE WHEN lang NOT IN ('en','zh','fr','es','de')
       |      THEN 1 END) AS v_lang
       |  FROM dirty),
-      |e AS (SELECT count(*) AS n_rows,
-      |    count(CASE WHEN len(embedding) <> 64 THEN 1 END) AS v_dim,
-      |    count(CASE WHEN abs(list_sum(list_transform(
-      |        CASE WHEN vec_id % 11 = 0
-      |          THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
-      |          ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END,
-      |        x -> x * x)) - 1.0) > 0.1 THEN 1 END) AS v_norm
+      |e0 AS (SELECT vec_id,
+      |    CASE WHEN vec_id % 11 = 0
+      |      THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
+      |      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
       |  FROM embeddings),
+      |e1 AS (SELECT vec_id,
+      |    CASE WHEN vec_id % 29 = 0 THEN v[1:63] ELSE v END AS v FROM e0),
+      |e AS (SELECT count(*) AS n_rows,
+      |    count(CASE WHEN len(v) <> 64 THEN 1 END) AS v_dim,
+      |    count(CASE WHEN abs(list_sum(list_transform(v,
+      |        x -> x * x)) - 1.0) > 0.1 THEN 1 END) AS v_norm
+      |  FROM e1),
       |checks AS (
       |  SELECT 'doc_id_unique' AS "check", n_rows, v_unique AS n_violations FROM d
       |  UNION ALL SELECT 'doc_lang_domain', n_rows, v_lang FROM d
