@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -68,6 +70,35 @@ class WireFileSourcesSpec extends AnyFunSuite {
       val prog = q.recentProgress.flatMap(p => Option(p.sources)).flatten
       assert(prog.exists(_.endOffset == "2"))
     } finally q.stop()
+  }
+
+  test("kill-and-restart resumes from the checkpointed file-count offset without re-emitting") {
+    // the reference's StandbyStatusUpdate contract (main.go:64–100):
+    // an acked WAL position survives a client restart, and replay
+    // starts strictly after it. Here: run a checkpointed query over
+    // one segment, STOP it (the kill), land a second segment, start a
+    // NEW query on the same checkpoint — the restarted query must
+    // deserialize the committed FileCountOffset and plan ONLY the new
+    // segment. The foreachBatch sink records every emission, so a
+    // re-emitted frame (offset regression) would appear twice.
+    val dir = Files.createTempDirectory("wiresrc_restart").toString
+    val cp = Files.createTempDirectory("wiresrc_restart_cp").toString
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = spark.readStream.format("pgoutput").load(dir)
+      .select($"msg".cast("string").as("m"))
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => emitted.add(r.getString(0))); ()
+      }.start()
+    Files.write(Paths.get(dir, "seg_00001.bin"), frame("m1".getBytes("UTF-8")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(emitted.asScala.toSeq === Seq("m1"))
+    Files.write(Paths.get(dir, "seg_00002.bin"), frame("m2".getBytes("UTF-8")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(emitted.asScala.toSeq === Seq("m1", "m2"),
+      s"restart re-emitted or skipped frames: ${emitted.asScala.toSeq}")
   }
 
   test("empty directory plans zero partitions, not an error") {
