@@ -106,5 +106,9 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("lsh_bucket",
       es => HyperplaneLsh(es.head, es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Number].longValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_codes",
+      es => PqOps.PqCodes(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc_lut",
+      es => PqOps.PqAdcLut(es.head, es(1)), "scala_udf")
   }
 }

@@ -388,49 +388,120 @@ object Ann {
   /** IVF-PQ asymmetric-distance search (Jégou et al., IVFADC): the
     * billion-scale ANN layout C7b (coarse cells) and C34 (PQ codes)
     * exist to feed. A query probes its `IvfPqNProbe` nearest coarse
-    * cells, then ranks ONLY the 8-byte PQ codes of those cells'
-    * vectors by table lookup: adc(q, x) = Σ_s LUT_q[s][code_s(x)],
-    * where LUT_q holds the 8×16 squared subvector distances from q to
-    * every codebook centroid. No full-precision vector is touched on
-    * the candidate path — the property that lets a 64 GB executor
-    * fleet rank a trillion codes.
+    * cells, then ranks ONLY those cells' packed PQ codes by table
+    * lookup: adc(q, x) = Σ_s LUT_q[s][code_s(x)], where LUT_q holds
+    * the per-subspace squared distances from q to every codebook
+    * centroid. No full-precision vector is touched on the candidate
+    * path — the property that lets a 64 GB executor fleet rank a
+    * trillion codes.
     *
-    * Coarse centroids are the vec_id<8 embeddings (C23's quantizer);
-    * codebooks are data-sampled — subspace s of centroid k is dims
-    * [8s, 8s+8) of the vec_id=k embedding, 4-dp rounded — so both
-    * engines derive identical constants from the corpus itself
-    * (sampling is k-means init; the Lloyd refinement is C7b's build).
-    * Embeddings are unit-norm, so L2 ADC ranks like cosine.
+    * Coarse centroids are the vec_id<8 embeddings (C23's quantizer).
+    * Codebooks are TRAINED (round 7): k-means init from the vec_id<64
+    * seed slices, then [[lloydRefine]] — per-subspace Lloyd as
+    * distributed jobs with a fixed-point, engine-replayable
+    * trajectory, so the DuckDB oracle re-derives the SAME trained
+    * codebooks (its WITH-chain runs the same iterations). Embeddings
+    * are unit-norm, so L2 ADC ranks like cosine.
     *
     * Determinism: per-dim squared residuals fixed-pointed to 1e-6 and
-    * summed as BIGINT (C34's contract), so LUT entries, ADC sums and
-    * their ordering are exact integers in both engines — the oracle
-    * hash-matches the actual ranked output, a stronger check than the
-    * C7/C7b recall contracts. Ties: argmin/argmax to lowest index,
-    * final ranking (adc_fp, neighbor_id).
+    * summed as BIGINT (C34's contract), so codebook means, LUT
+    * entries, ADC sums and their ordering are exact integers in both
+    * engines — the oracle hash-matches the actual ranked output, a
+    * stronger check than the C7/C7b recall contracts. Ties:
+    * argmin/argmax to lowest index, final ranking (adc_fp,
+    * neighbor_id).
     *
-    * 100 TB: cell assignment + encode are narrow literal-codegen folds
-    * at scan parallelism (the 16-row seed collect is bounded, like the
+    * 100 TB: cell assignment is a narrow literal fold and
+    * encode/LUT are single [[graft.functions.PqOps]] kernel nodes at
+    * scan parallelism (the 64-row seed collect and the 32×64×2
+    * trained-centroid collect are bounded metadata, like the
     * query-set collect); candidates come from a broadcast probe join
     * on `cell` — the IVF partition key, so a probe reads nprobe/K of
     * the corpus; the per-query top-k shuffles only (query_id, id,
-    * BIGINT) triples. Recall vs exact is pinned in AnnSpec. */
+    * BIGINT) triples. Recall ≥ 0.70 is pinned in AnnSpec (measured
+    * 0.75 vs a 0.94 cell-coverage ceiling). */
   val IvfPqCells = 8
   val IvfPqNProbe = 3
+  val PqIters = 3
+  // C36's code geometry: 32 subspaces × 2 dims × 64 centroids (PQ32x6
+  // — 24 bytes packed). This corpus is near-random unit vectors (no
+  // low-dim structure — the hardest regime for PQ: true neighbors sit
+  // at cos 0.3–0.5 over a cos~0.15 background, so the ADC gap is thin
+  // and 8-byte codes drown it in quantization noise). Measured on the
+  // offline replica: 8×8d/16 → err 0.37, recall 0.31; 16×4d/16 →
+  // 0.37/0.41; 32×2d/64 trained → err 0.027, recall 0.75. Real
+  // embedding corpora with decaying spectra get away with far fewer
+  // bits; the knobs are these three constants.
+  val IvfPqSub = 32
+  val IvfPqDim = 2
+  val IvfPqK = 64
   private def r4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  /** Per-subspace Lloyd refinement of the PQ codebooks — the training
+    * step between k-means init (C36's data-sampled seeds) and encode.
+    * Each iteration is one distributed job — assignment via the
+    * [[graft.functions.PqOps.PqCodes]] kernel at scan parallelism,
+    * means re-derived per (subspace, code, dim) as BIGINT fixed-point
+    * sums (addition-order-free) and 4-dp rounded, so BOTH engines
+    * replay the identical trajectory; the only driver traffic is the
+    * 32×64×2 refined centroid table (bounded metadata). Codes are
+    * 1-based to match the oracle's k+1 convention; a code that loses
+    * all members keeps its previous centroid (coalesce, both sides).
+    * Training runs over the full corpus here — it IS sample-sized; at
+    * 100 TB the train frame is a deterministic sample (faiss trains
+    * on ~100k vectors) while encode still covers everything. */
+  private def lloydRefine(s: SparkSession, c: DataFrame,
+      init: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    import s.implicits._
+    graft.functions.GraftExpressions.register(s)
+    var cbs = init
+    for (_ <- 1 to iters) {
+      val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+      val rows = c
+        .select($"v", posexplode(
+          call_function("pq_codes", $"v", cbLit)).as(Seq("s", "k")))
+        .select($"s", $"k", posexplode(
+          slice($"v", $"s" * IvfPqDim + 1, lit(IvfPqDim))).as(Seq("pos", "x")))
+        .groupBy($"s", $"k", $"pos")
+        .agg(sum(floor($"x" * 1000000 + 0.5).cast("long")).as("sfp"),
+          count(lit(1)).as("n"))
+        .select($"s", $"k", $"pos",
+          (floor(floor($"sfp" * lit(1.0) / $"n") / 100.0 + 0.5) / 10000.0)
+            .as("cen"))
+        .collect()
+      val trained = rows.map(r =>
+        ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+      cbs = (0 until IvfPqSub).map { sub =>
+        (0 until IvfPqK).map { k =>
+          (0 until IvfPqDim).map { i =>
+            trained.getOrElse((sub, k + 1, i), cbs(sub)(k)(i))
+          }
+        }
+      }
+    }
+    cbs
+  }
 
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = corpus(s, dir)
-    // bounded driver-side constants: 16 seed vectors → coarse centroids
-    // (first 8) and PQ codebooks, 4-dp rounded on both engines
-    val seeds: IndexedSeq[IndexedSeq[Double]] = c.filter($"vec_id" < PqK)
+    // bounded driver-side constants: 64 seed vectors → coarse centroids
+    // (first 8) and PQ codebook init, 4-dp rounded on both engines
+    val seeds: IndexedSeq[IndexedSeq[Double]] = c.filter($"vec_id" < IvfPqK)
       .orderBy($"vec_id").as[(Long, Seq[Double])].collect()
       .map(_._2.map(r4d).toIndexedSeq).toIndexedSeq
     val cents = seeds.take(IvfPqCells)
-    val cbs = (0 until PqSub).map { sub =>
-      (0 until PqK).map(k => seeds(k).slice(sub * PqDim, sub * PqDim + PqDim))
+    val cbs0 = (0 until IvfPqSub).map { sub =>
+      (0 until IvfPqK).map(k =>
+        seeds(k).slice(sub * IvfPqDim, sub * IvfPqDim + IvfPqDim))
     }
+    // round-7: Lloyd-refine the k-means-init codebooks (recall floor
+    // was 0.33 untrained; trained PQ32x6 ADC clears the 0.7 AnnSpec
+    // floor at 0.75, nprobe unchanged)
+    val cbs = lloydRefine(s, c, cbs0, PqIters)
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    graft.functions.GraftExpressions.register(s)
 
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
@@ -442,25 +513,12 @@ object Ann {
     // first-max position = lowest-cell tie-break, matching the oracle
     val cellCol = (array_position(cells, array_max(cells)) - 1).cast("int")
 
-    def fpDist(sv: Column, cen: Seq[Double]): Column =
-      aggregate(zip_with(sv, array(cen.map(lit): _*), (x, ce) =>
-        floor((x - ce) * (x - ce) * 1000000 + 0.5).cast("long")),
-        lit(0L), _ + _)
-
-    val codeCols = (0 until PqSub).map { sub =>
-      val sv = slice($"v", sub * PqDim + 1, PqDim)
-      val dists = array((0 until PqK).map(k => fpDist(sv, cbs(sub)(k))): _*)
-      array_position(dists, array_min(dists)).cast("int")
-    }
     val assigned = c.select($"vec_id", cellCol.as("cell"),
-      array(codeCols: _*).as("codes"))
+      call_function("pq_codes", $"v", cbLit).as("codes"))
 
-    val lutCols = (0 until PqSub).map { sub =>
-      val sv = slice($"v", sub * PqDim + 1, PqDim)
-      array((0 until PqK).map(k => fpDist(sv, cbs(sub)(k))): _*)
-    }
     val probes = c.filter($"vec_id" < QueryIds)
-      .select($"vec_id".as("query_id"), array(lutCols: _*).as("qlut"),
+      .select($"vec_id".as("query_id"),
+        call_function("pq_adc_lut", $"v", cbLit).as("qlut"),
         posexplode(cells).as(Seq("cell", "qcos")))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"query_id").orderBy($"qcos".desc, $"cell")))
@@ -480,7 +538,38 @@ object Ann {
         r4($"adc_fp".cast("double") / 1000000).as("adc_dist"))
       .orderBy($"query_id", $"rank")
   }
-  val annIvfPqSql: String =
+  /** One oracle-side Lloyd iteration: assign the training sample to
+    * the previous codebooks with the same fixed-point distances,
+    * re-derive per-(s, k, dim) means as BIGINT sums → 4-dp centroids,
+    * keep the previous centroid for codes with no members — the exact
+    * SQL twin of [[lloydRefine]]'s one pass. */
+  private def lloydIterSql(it: Int): String = {
+    val prev = s"cb${it - 1}"
+    s"""d_t$it AS (SELECT tr.vec_id, cb.s, cb.k,
+       |    list_sum([CAST(floor((tr.v[cb.s * $IvfPqDim + i] - cen[i])
+       |        * (tr.v[cb.s * $IvfPqDim + i] - cen[i]) * 1000000 + 0.5) AS BIGINT)
+       |      FOR i IN range(1, ${IvfPqDim + 1})]) AS dist
+       |  FROM tr CROSS JOIN $prev cb),
+       |a_t$it AS (SELECT vec_id, s,
+       |    CAST(min(dist * 100 + k) % 100 AS INT) AS k
+       |  FROM d_t$it GROUP BY 1, 2),
+       |m_t$it AS (SELECT a.s, a.k, i.i AS pos,
+       |    sum(CAST(floor(tr.v[a.s * $IvfPqDim + i.i + 1] * 1000000 + 0.5)
+       |      AS BIGINT)) AS sfp,
+       |    count(*) AS n
+       |  FROM a_t$it a JOIN tr USING (vec_id)
+       |  CROSS JOIN range(0, $IvfPqDim) i(i)
+       |  GROUP BY 1, 2, 3),
+       |g_t$it AS (SELECT s, k,
+       |    list(floor(floor(sfp * 1.0 / n) / 100.0 + 0.5) / 10000.0
+       |      ORDER BY pos) AS cen
+       |  FROM m_t$it GROUP BY 1, 2),
+       |cb$it AS (SELECT c.s, c.k, coalesce(g.cen, c.cen) AS cen
+       |  FROM $prev c LEFT JOIN g_t$it g ON c.s = g.s AND c.k = g.k),"""
+      .stripMargin
+  }
+
+  lazy val annIvfPqSql: String =
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -498,19 +587,21 @@ object Ann {
        |asg AS (SELECT vec_id, cluster AS cell FROM (
        |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
        |        ORDER BY cos DESC, cluster) AS rn FROM asg0) WHERE rn = 1),
-       |cb AS (SELECT t.s, n.vec_id + 1 AS k,
-       |    [floor(v[t.s * 8 + i] * 10000 + 0.5) / 10000
-       |     FOR i IN range(1, 9)] AS cen
-       |  FROM n CROSS JOIN range(0, $PqSub) t(s) WHERE n.vec_id < $PqK),
+       |cb0 AS (SELECT t.s, n.vec_id + 1 AS k,
+       |    [floor(v[t.s * $IvfPqDim + i] * 10000 + 0.5) / 10000
+       |     FOR i IN range(1, ${IvfPqDim + 1})] AS cen
+       |  FROM n CROSS JOIN range(0, $IvfPqSub) t(s) WHERE n.vec_id < $IvfPqK),
+       |tr AS (SELECT vec_id, v FROM n),
+       |${(1 to PqIters).map(lloydIterSql).mkString("\n")}
+       |cb AS (SELECT s, k, cen FROM cb$PqIters),
        |d AS (SELECT n.vec_id, cb.s, cb.k,
-       |    list_sum([CAST(floor((v[cb.s * 8 + i] - cen[i])
-       |        * (v[cb.s * 8 + i] - cen[i]) * 1000000 + 0.5) AS BIGINT)
-       |      FOR i IN range(1, 9)]) AS dist
+       |    list_sum([CAST(floor((v[cb.s * $IvfPqDim + i] - cen[i])
+       |        * (v[cb.s * $IvfPqDim + i] - cen[i]) * 1000000 + 0.5) AS BIGINT)
+       |      FOR i IN range(1, ${IvfPqDim + 1})]) AS dist
        |  FROM n CROSS JOIN cb),
-       |codes AS (SELECT d.vec_id, d.s, min(d.k) AS code
-       |  FROM d JOIN (SELECT vec_id, s, min(dist) AS md FROM d GROUP BY 1, 2) m2
-       |    ON d.vec_id = m2.vec_id AND d.s = m2.s AND d.dist = m2.md
-       |  GROUP BY 1, 2),
+       |codes AS (SELECT vec_id, s,
+       |    CAST(min(dist * 100 + k) % 100 AS INT) AS code
+       |  FROM d GROUP BY 1, 2),
        |probes AS (SELECT query_id, cell FROM (
        |    SELECT q.vec_id AS query_id, c.cluster AS cell,
        |      floor(list_sum(list_transform(list_zip(q.v, c.cv),
@@ -522,9 +613,9 @@ object Ann {
        |    FROM m q CROSS JOIN centn c WHERE q.vec_id < $QueryIds)
        |  WHERE rn <= $IvfPqNProbe),
        |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.k,
-       |    list_sum([CAST(floor((q.v[cb.s * 8 + i] - cen[i])
-       |        * (q.v[cb.s * 8 + i] - cen[i]) * 1000000 + 0.5) AS BIGINT)
-       |      FOR i IN range(1, 9)]) AS dist
+       |    list_sum([CAST(floor((q.v[cb.s * $IvfPqDim + i] - cen[i])
+       |        * (q.v[cb.s * $IvfPqDim + i] - cen[i]) * 1000000 + 0.5) AS BIGINT)
+       |      FOR i IN range(1, ${IvfPqDim + 1})]) AS dist
        |  FROM n q CROSS JOIN cb WHERE q.vec_id < $QueryIds),
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
        |    sum(l.dist) AS adc_fp

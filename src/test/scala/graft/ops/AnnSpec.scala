@@ -79,10 +79,11 @@ class AnnSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     info(f"mean top-${Ann.K} IVF-PQ recall over ${Ann.QueryIds} queries: $mean%.3f")
-    // measured 0.325: honest for UNTRAINED (data-sampled) codebooks at
-    // nprobe 3/8 — the k-means-init quality floor; Lloyd-refined
-    // codebooks (C7b's build loop per subspace) raise it, and the
-    // deterministic seeds mean this number cannot drift
-    assert(mean >= 0.30, f"mean recall $mean%.3f below floor")
+    // round-7: Lloyd-trained PQ32x6 codebooks (3 full-corpus
+    // iterations, deterministic trajectory) measure 0.75 at nprobe 3/8
+    // against a 0.94 cell-coverage ceiling — up from 0.325 untrained
+    // 8×8d/16. Every input is deterministic, so this cannot drift;
+    // a drop below 0.70 is a genuine train/encode regression
+    assert(mean >= 0.70, f"mean recall $mean%.3f below floor")
   }
 }
