@@ -482,6 +482,51 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A30
+  /** Initial-snapshot bootstrap + WAL tail — the Debezium incremental-
+    * snapshot contract, the CDC lifecycle step A19 doesn't cover: a
+    * NEW consumer arrives after WAL retention already truncated the
+    * prefix, so it can't replay from seq 0. The WAL retains only
+    * seq > W_LO; the existing table is snapshot in 8 key-chunks, each
+    * chunk captured at its own LSN W_c ∈ (W_LO, W_HI] (chunked reads
+    * interleave with live traffic — the Debezium watermark-window
+    * shape), every snapshot row carrying the seq of the change that
+    * produced it. Bootstrap = latest() over (snapshot ∪ retained
+    * tail): a tail change post-dating a snapshot row beats it by seq
+    * order; a change inside the overlap window (W_LO, W_c] appears on
+    * BOTH sides but the copies are identical rows, so either wins; a
+    * tail delete tombstones its snapshot row; a key deleted before
+    * its chunk's W_c simply isn't in the snapshot.
+    *
+    * The oracle is the STRAIGHT full-feed materialization (A4's
+    * latest-state) — any gap, double-apply, or ordering bug in the
+    * bootstrap construction hash-fails, proving snapshot+tail is
+    * EXACTLY equivalent to never having lost the prefix.
+    *
+    * 100 TB: snapshot and merge are one latest() each (single key
+    * shuffle, chunk LSNs are scalar arithmetic on a broadcast one-row
+    * bound); the snapshot side reads the TABLE (not the WAL), which
+    * is what makes bootstrap after retention possible at all. */
+  def snapshotBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val C = 8
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val bounds = changes.agg(
+      floor(max($"seq") * 0.3).cast("long").as("w_lo"),
+      floor(max($"seq") * 0.7).cast("long").as("w_hi"))
+    val tagged = changes.crossJoin(broadcast(bounds))
+      .withColumn("w_c",
+        expr(s"w_lo + ((pmod(key, $C) + 1) * (w_hi - w_lo)) div $C"))
+    val snapshot = ApplyChanges.latest(
+      tagged.filter($"seq" <= $"w_c"), Seq("key"), Seq("seq"))
+    val tail = tagged.filter($"seq" > $"w_lo")
+    ApplyChanges.latest(snapshot.unionByName(tail), Seq("key"), Seq("seq"))
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        ($"seq" <= $"w_lo").as("from_snapshot"))
+      .orderBy($"user_id")
+  }
+
   // --------------------------------------------------------------- A20
   /** Outbox-pattern consumption (the downstream-use pattern in the
     * reference's presentation): the relay delivers outbox messages
@@ -972,6 +1017,7 @@ object CdcQueries {
     "cdc_replication_source" -> (replicationSource _),
     "cdc_typed_decode" -> (typedDecode _),
     "cdc_resume_from_lsn" -> (resumeFromLsn _),
+    "cdc_snapshot_bootstrap" -> (snapshotBootstrap _),
     "cdc_outbox_consume" -> (outboxConsume _),
     "cdc_stream_sliding" -> (streamSliding _),
     "cdc_stream_enrich" -> (streamEnrich _),
@@ -1028,6 +1074,19 @@ object CdcQueries {
         |ORDER BY p_id""".stripMargin
 
   private val oraclesHead: Map[String, String] = Map(
+    // the straight full-feed materialization — the bootstrap
+    // construction must be indistinguishable from an untruncated replay
+    "cdc_snapshot_bootstrap" ->
+      s"""WITH $changesSql,
+         |b AS (SELECT CAST(floor(max(seq) * 0.3) AS BIGINT) AS w_lo
+         |      FROM changes),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY key
+         |        ORDER BY seq DESC) AS rn
+         |      FROM changes)
+         |SELECT key AS user_id, event_type AS last_event_type,
+         |  value AS last_value, seq AS last_seq,
+         |  seq <= (SELECT w_lo FROM b) AS from_snapshot
+         |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
     // independent re-derivation from the base columns (never reparses
     // the PG text forms) — a symmetric encode/decode bug can't hide
     "cdc_typed_decode" ->
