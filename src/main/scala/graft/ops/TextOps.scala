@@ -516,6 +516,80 @@ object TextOps {
       |    AS coverage_ppm
       |FROM c ORDER BY rank""".stripMargin
 
+  // --------------------------------------------------------------- C46
+  /** Shannon-entropy text signals — the information-theoretic quality
+    * axis the rule gates (C40) and repetition scores (C18) only
+    * approximate: char-level entropy (bits/char) separates natural
+    * prose (~4.0–4.4 here) from boilerplate/padding (low) and
+    * random-noise garbage (high ≈ log2 |alphabet|); word-level
+    * entropy tracks vocabulary spread per document. Both computed
+    * IN-ROW (distinct-element counts against the element array, the
+    * C40 dominance pattern) so the whole op is one scan at full
+    * parallelism, zero shuffles before the presentation sort.
+    *
+    * Determinism: each −p·log2 p term is computed on identical
+    * doubles (ints-ratio p, natural log — the C29 precedent — and a
+    * shared ln 2 literal), 1e-6 fixed-pointed, then BIGINT-summed so
+    * the reduction is addition-order-free; text is ASCII-normalized
+    * first (C38's convention) so char counts agree byte-vs-char.
+    *
+    * 100 TB: narrow; O(len · distinct) per row like C40's dominance —
+    * fine at crawl/chat lengths, the sorted-run-length rewrite is the
+    * book-length fallback. */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ln2 = lit(0.6931471805599453)
+    def entFp(arr: Column): Column =
+      aggregate(transform(array_distinct(arr), x => {
+        val c = size(filter(arr, y => y === x))
+        floor((c * lit(1.0) / size(arr)) *
+          log(size(arr) * lit(1.0) / c) / ln2 * 1000000 + 0.5).cast("long")
+      }), lit(0L), _ + _)
+    table(s, dir, "documents")
+      .select($"doc_id",
+        regexp_replace($"text", "[^\\x00-\\x7F]", "").as("t"))
+      .select($"doc_id", split($"t", "").as("ch"),
+        filter(split($"t", " "), w => length(w) > 0).as("w"))
+      .filter(size($"ch") > 0 && size($"w") > 0)
+      .select($"doc_id",
+        size($"ch").cast("long").as("n_chars"),
+        r4(entFp($"ch").cast("double") / 1000000).as("char_entropy"),
+        size($"w").cast("long").as("n_words"),
+        r4(entFp($"w").cast("double") / 1000000).as("word_entropy"))
+      .orderBy($"doc_id")
+  }
+  val textEntropySql: String =
+    """WITH a AS (SELECT doc_id,
+      |    regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS t
+      |  FROM documents),
+      |ch0 AS (SELECT doc_id,
+      |    unnest([t[i] FOR i IN range(1, length(t) + 1)]) AS c FROM a),
+      |cc AS (SELECT doc_id, c, count(*) AS k FROM ch0 GROUP BY 1, 2),
+      |cn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cc GROUP BY 1),
+      |ce AS (SELECT cc.doc_id, sum(CAST(floor((k * 1.0 / n)
+      |      * ln(n * 1.0 / k) / 0.6931471805599453 * 1000000 + 0.5)
+      |    AS BIGINT)) AS fp
+      |  FROM cc JOIN cn USING (doc_id) GROUP BY 1),
+      |w0 AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS wd
+      |  FROM a),
+      |wc AS (SELECT doc_id, wd, count(*) AS k FROM w0 GROUP BY 1, 2),
+      |wn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM wc GROUP BY 1),
+      |we AS (SELECT wc.doc_id, sum(CAST(floor((k * 1.0 / n)
+      |      * ln(n * 1.0 / k) / 0.6931471805599453 * 1000000 + 0.5)
+      |    AS BIGINT)) AS fp
+      |  FROM wc JOIN wn USING (doc_id) GROUP BY 1)
+      |SELECT cn.doc_id, cn.n AS n_chars,
+      |  floor(CAST(ce.fp AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+      |    AS char_entropy,
+      |  wn.n AS n_words,
+      |  floor(CAST(we.fp AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+      |    AS word_entropy
+      |FROM cn JOIN ce USING (doc_id) JOIN wn USING (doc_id)
+      |  JOIN we USING (doc_id)
+      |WHERE cn.n > 0 AND wn.n > 0
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C42
   /** Bigram-LM quality scoring — C29's conditional upgrade: score each
     * document by mean bigram negative log-likelihood with
