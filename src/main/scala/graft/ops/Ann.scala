@@ -325,6 +325,83 @@ object Ann {
        |FROM n ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- C47
+  /** Matryoshka truncation analyzer — the "how many dimensions does
+    * the index actually need" decision input (Kusupati et al., MRL:
+    * embeddings trained so prefixes are usable at reduced fidelity).
+    * For each prefix width d ∈ {8, 16, 32, 64}, rank the corpus by
+    * the truncated-prefix cosine per query and report the overlap of
+    * that top-10 with the full-dimension exact top-10 — overlap@10
+    * per (query, d) is the retrieval-quality/bytes trade-off curve,
+    * measured on the corpus itself (complementing C31's JL projection,
+    * which mixes dims instead of truncating).
+    *
+    * Determinism: 4-dp rounded cosines + vec_id tie-break (the C6
+    * ranking contract) at every width, so both engines derive the
+    * identical top-10 sets and the overlap counts hash-match.
+    *
+    * 100 TB: queries broadcast once; ONE corpus scan emits all four
+    * prefix cosines (explode of a 4-struct array, narrow); the only
+    * shuffles are the per-(query, d) top-k windows over (id, cos)
+    * pairs — the C6 brute-force posture ×4 widths, and at scale each
+    * width's ranking is the same candidate-pruned path C36 provides. */
+  def embMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val widths = Seq(8, 16, 32, 64)
+    val c = corpus(s, dir)
+    val q = c.filter($"vec_id" < QueryIds)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        explode(array(widths.map(d => struct(lit(d).as("dims"),
+          r4(expr(s"cosine_sim(slice(qv, 1, $d), slice(v, 1, $d))"))
+            .as("cos"))): _*)).as("e"))
+      .select($"query_id", $"neighbor_id", $"e.dims".as("dims"), $"e.cos".as("cos"))
+    val w = Window.partitionBy($"query_id", $"dims")
+      .orderBy($"cos".desc, $"neighbor_id")
+    val tops = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"dims", $"neighbor_id")
+    val full = tops.filter($"dims" === 64)
+      .select($"query_id", $"neighbor_id")
+    tops.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id", $"dims")
+      .agg(count(lit(1)).as("overlap10"))
+      .orderBy($"query_id", $"dims")
+  }
+  val embMatryoshkaSql: String = {
+    val widths = Seq(8, 16, 32, 64)
+    val cosByWidth = widths.map { d =>
+      s"""sc$d AS (SELECT q.query_id, m.vec_id AS neighbor_id, $d AS dims,
+         |    floor(list_sum(list_transform(list_zip(q.v[1:$d], m.v[1:$d]),
+         |        p -> p[1] * p[2]))
+         |      / (sqrt(list_sum(list_transform(q.v[1:$d], x -> x * x)))
+         |         * sqrt(list_sum(list_transform(m.v[1:$d], x -> x * x))))
+         |      * 10000 + 0.5) / 10000 AS cos
+         |  FROM n m CROSS JOIN (SELECT vec_id AS query_id, v FROM n
+         |    WHERE vec_id < $QueryIds) q
+         |  WHERE m.vec_id <> q.query_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |$cosByWidth,
+       |sc AS (${widths.map(d => s"SELECT * FROM sc$d").mkString(" UNION ALL ")}),
+       |r AS (SELECT query_id, neighbor_id, dims,
+       |    row_number() OVER (PARTITION BY query_id, dims
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM sc),
+       |tops AS (SELECT query_id, dims, neighbor_id FROM r WHERE rank <= $K),
+       |full_t AS (SELECT query_id, neighbor_id FROM tops WHERE dims = 64)
+       |SELECT t.query_id, CAST(t.dims AS INT) AS dims,
+       |  count(*) AS overlap10
+       |FROM tops t JOIN full_t f
+       |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // --------------------------------------------------------------- C34
   /** Product quantization encode (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search"): 64d → 8 subspaces × 8d, each

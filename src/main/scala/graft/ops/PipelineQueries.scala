@@ -856,6 +856,7 @@ object PipelineQueries {
     "ann_ivf_pq" -> (Ann.annIvfPq _),
     "emb_cluster_assign" -> (Ann.embClusterAssign _),
     "emb_random_projection" -> (Ann.embRandomProjection _),
+    "emb_matryoshka" -> (Ann.embMatryoshka _),
     "emb_pq_encode" -> (Ann.embPqEncode _),
     "text_langid" -> (TextOps.textLangid _),
     "text_quality" -> (TextOps.textQuality _),
@@ -906,6 +907,7 @@ object PipelineQueries {
     "ann_ivf_pq" -> Ann.annIvfPqSql,
     "emb_cluster_assign" -> Ann.embClusterAssignSql,
     "emb_random_projection" -> Ann.embRandomProjectionSql,
+    "emb_matryoshka" -> Ann.embMatryoshkaSql,
     "emb_pq_encode" -> Ann.embPqEncodeSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_decontaminate" -> TextOps.textDecontaminateSql,
