@@ -527,6 +527,37 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A31
+  /** Transactional atomic apply — the consistency contract carried by
+    * the reference's Begin(B)/Commit(C) envelope (main.go:299–365
+    * parses them; a consumer must apply a transaction's changes
+    * all-or-nothing, never a torn prefix). The feed's transactions
+    * are consecutive-seq groups of 10 (xid = seq div 10, commit LSN =
+    * the tx's max seq — batched commits); a consumer reading up to
+    * CUT applies exactly the transactions whose COMMIT is ≤ CUT. The
+    * tx spanning the cut is the non-vacuous case: its early changes
+    * have seq ≤ CUT but are EXCLUDED, where A19's plain seq-cut would
+    * tear it — the materialized difference is what this query pins.
+    *
+    * 100 TB: commit resolution is one map-side-combinable xid agg +
+    * an xid-keyed join (txs are tiny groups, the agg collapses them
+    * map-side); then the single latest() key shuffle. */
+  def txAtomicApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = ChangeFeed.fromEvents(s, dir)
+      .withColumn("xid", expr("seq div 10"))
+    val cut = changes.agg(floor(max($"seq") * 0.6).cast("long").as("cut_lsn"))
+    val tagged = changes.crossJoin(broadcast(cut))
+    val commits = tagged.groupBy($"xid").agg(max($"seq").as("commit_seq"))
+    val committed = tagged.join(commits, "xid")
+      .filter($"commit_seq" <= $"cut_lsn")
+    ApplyChanges.latest(committed, Seq("key"), Seq("seq"))
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        $"xid", $"commit_seq")
+      .orderBy($"user_id")
+  }
+
   // --------------------------------------------------------------- A20
   /** Outbox-pattern consumption (the downstream-use pattern in the
     * reference's presentation): the relay delivers outbox messages
@@ -1018,6 +1049,7 @@ object CdcQueries {
     "cdc_typed_decode" -> (typedDecode _),
     "cdc_resume_from_lsn" -> (resumeFromLsn _),
     "cdc_snapshot_bootstrap" -> (snapshotBootstrap _),
+    "cdc_tx_atomic_apply" -> (txAtomicApply _),
     "cdc_outbox_consume" -> (outboxConsume _),
     "cdc_stream_sliding" -> (streamSliding _),
     "cdc_stream_enrich" -> (streamEnrich _),
@@ -1074,6 +1106,20 @@ object CdcQueries {
         |ORDER BY p_id""".stripMargin
 
   private val oraclesHead: Map[String, String] = Map(
+    "cdc_tx_atomic_apply" ->
+      s"""WITH $changesSql,
+         |x AS (SELECT *, seq // 10 AS xid FROM changes),
+         |b AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS cut_lsn
+         |      FROM changes),
+         |cm AS (SELECT xid, max(seq) AS commit_seq FROM x GROUP BY 1),
+         |cc AS (SELECT x.*, cm.commit_seq FROM x JOIN cm USING (xid)
+         |       WHERE cm.commit_seq <= (SELECT cut_lsn FROM b)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY key
+         |        ORDER BY seq DESC) AS rn
+         |      FROM cc)
+         |SELECT key AS user_id, event_type AS last_event_type,
+         |  value AS last_value, seq AS last_seq, xid, commit_seq
+         |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
     // the straight full-feed materialization — the bootstrap
     // construction must be indistinguishable from an untruncated replay
     "cdc_snapshot_bootstrap" ->
