@@ -610,6 +610,84 @@ object Dedup {
     * materializes (PlanAuditSpec asserts no CartesianProduct / BNLJ).
     * Bits scale as log2(N/bucket_size); the 128-id bucket cap bounds
     * a degenerate bucket's Σc² like C3's. */
+  // --------------------------------------------------------------- C48
+  /** Semantic dedup, the SemDeDup shape (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space first, then find
+    * cos ≥ 0.95 duplicate pairs ONLY within each cluster and drop the
+    * higher-id member of every pair — k-means cells bound the pair
+    * space, which is the paper's answer to all-pairs at web scale
+    * (C5 answers the same question with LSH buckets; SemDeDup's cells
+    * double as the curriculum/domain partitioning). Emits per-cluster
+    * accounting: vectors, dropped, kept.
+    *
+    * Determinism: cell assignment is the C23 rounded-cosine argmax
+    * with id tie-break; pair confirm uses the rounded cosine; drops
+    * are per-pair (keep-lowest-id), no transitive closure — exactly
+    * the published rule.
+    *
+    * 100 TB: centroids broadcast; the within-cluster self-join is an
+    * EQUI-join on cluster (never a cartesian — cluster count scales
+    * with corpus so cells stay executor-sized, the paper's own
+    * posture); accounting aggs are map-side-combinable. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftExpressions.register(s)
+    val feed = nearFeed(s, dir)
+    val cents = feed.filter($"vec_id" < 8)
+      .select($"vec_id".as("cluster"), $"v".as("cv"))
+    val assigned = feed.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cluster", $"v",
+        r4(expr("cosine_sim(v, cv)")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cluster", $"v")
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster").as("cluster"), col("b.vec_id").as("v2"),
+        r4(expr("cosine_sim(a.v, b.v)")).as("cos"))
+      .filter($"cos" >= 0.95)
+    val dropped = pairs.select($"cluster", $"v2").distinct()
+      .groupBy($"cluster").agg(count(lit(1)).as("n_dropped"))
+    assigned.groupBy($"cluster").agg(count(lit(1)).as("n_vectors"))
+      .join(dropped, Seq("cluster"), "left")
+      .select($"cluster", $"n_vectors",
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        ($"n_vectors" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+      .orderBy($"cluster")
+  }
+  val dedupSemanticSql: String =
+    s"""WITH $nearFeedSql,
+       |m AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM nf),
+       |cent AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn
+       |  FROM m WHERE vec_id < 8),
+       |a0 AS (SELECT m.vec_id, c.cluster,
+       |    floor(list_sum(list_transform(list_zip(m.v, c.cv),
+       |      p -> p[1] * p[2])) / (m.nrm * c.cn) * 10000 + 0.5) / 10000 AS cos
+       |  FROM m CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, cluster) AS rn FROM a0) WHERE rn = 1),
+       |pairs AS (SELECT aa.cluster, bb.vec_id AS v2
+       |  FROM asg aa JOIN asg bb
+       |    ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+       |  JOIN m ma ON ma.vec_id = aa.vec_id
+       |  JOIN m mb ON mb.vec_id = bb.vec_id
+       |  WHERE floor(list_sum(list_transform(list_zip(ma.v, mb.v),
+       |      p -> p[1] * p[2])) / (ma.nrm * mb.nrm) * 10000 + 0.5) / 10000
+       |    >= 0.95),
+       |drp AS (SELECT cluster, count(*) AS n_dropped
+       |  FROM (SELECT DISTINCT cluster, v2 FROM pairs) GROUP BY 1),
+       |st AS (SELECT cluster, count(*) AS n_vectors FROM asg GROUP BY 1)
+       |SELECT st.cluster, CAST(st.n_vectors AS BIGINT) AS n_vectors,
+       |  CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  CAST(st.n_vectors - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept
+       |FROM st LEFT JOIN drp USING (cluster) ORDER BY cluster""".stripMargin
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)

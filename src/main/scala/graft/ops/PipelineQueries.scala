@@ -850,6 +850,7 @@ object PipelineQueries {
     "dedup_containment" -> (Dedup.dedupContainment _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "dedup_semantic" -> (Dedup.dedupSemantic _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLshAudit _),
     "ann_ivf" -> (Ann.annIvfAudit _),
@@ -901,6 +902,7 @@ object PipelineQueries {
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "dedup_substring" -> Dedup.dedupSubstringSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "dedup_semantic" -> Dedup.dedupSemanticSql,
     "ann_bruteforce" -> Ann.annBruteforceSql,
     "ann_lsh" -> Ann.annAuditSql,
     "ann_ivf" -> Ann.annAuditSql,
