@@ -558,6 +558,37 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A32
+  /** Replication-lag metrics — the observable face of the reference's
+    * keepalive/StandbyStatusUpdate loop (main.go:64–100: the client
+    * periodically reports its write/flush position; the DBA question
+    * is always "how far behind is the consumer, and where is the
+    * backlog"). With the consumer acked at 60% of the WAL (A19's
+    * convention): per event-hour and in TOTAL, the change counts
+    * split acked/backlog plus the event-time lag — the gap between
+    * the newest change and the newest ACKED change in that bucket
+    * (null where nothing is acked yet, i.e. pure backlog hours).
+    *
+    * 100 TB: one map-side-combinable rollup per grain over a
+    * broadcast one-row ack scalar; no joins, no windows. */
+  def lagMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val ack = changes.agg(floor(max($"seq") * 0.6).cast("long").as("ack_lsn"))
+    val tagged = changes.crossJoin(broadcast(ack))
+    def roll(bucket: org.apache.spark.sql.Column) = tagged
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_changes"),
+        sum(when($"seq" <= $"ack_lsn", 1L).otherwise(0L)).as("n_acked"),
+        sum(when($"seq" > $"ack_lsn", 1L).otherwise(0L)).as("n_backlog"),
+        (unix_micros(max($"ts")) -
+          unix_micros(max(when($"seq" <= $"ack_lsn", $"ts"))))
+          .as("lag_micros"))
+    roll(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss"))
+      .unionByName(roll(lit("TOTAL")))
+      .orderBy($"bucket")
+  }
+
   // --------------------------------------------------------------- A20
   /** Outbox-pattern consumption (the downstream-use pattern in the
     * reference's presentation): the relay delivers outbox messages
@@ -1050,6 +1081,7 @@ object CdcQueries {
     "cdc_resume_from_lsn" -> (resumeFromLsn _),
     "cdc_snapshot_bootstrap" -> (snapshotBootstrap _),
     "cdc_tx_atomic_apply" -> (txAtomicApply _),
+    "cdc_lag_metrics" -> (lagMetrics _),
     "cdc_outbox_consume" -> (outboxConsume _),
     "cdc_stream_sliding" -> (streamSliding _),
     "cdc_stream_enrich" -> (streamEnrich _),
@@ -1106,6 +1138,31 @@ object CdcQueries {
         |ORDER BY p_id""".stripMargin
 
   private val oraclesHead: Map[String, String] = Map(
+    "cdc_lag_metrics" ->
+      s"""WITH $changesSql,
+         |b AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS a
+         |      FROM changes),
+         |t AS (SELECT *, (SELECT a FROM b) AS ack FROM changes),
+         |h AS (SELECT strftime(date_trunc('hour', ts),
+         |        '%Y-%m-%d %H:%M:%S') AS bucket,
+         |    count(*) AS n_changes,
+         |    sum(CASE WHEN seq <= ack THEN 1 ELSE 0 END) AS n_acked,
+         |    sum(CASE WHEN seq > ack THEN 1 ELSE 0 END) AS n_backlog,
+         |    epoch_us(max(ts)) - epoch_us(max(CASE WHEN seq <= ack
+         |      THEN ts END)) AS lag_micros
+         |  FROM t GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'TOTAL', count(*),
+         |    sum(CASE WHEN seq <= ack THEN 1 ELSE 0 END),
+         |    sum(CASE WHEN seq > ack THEN 1 ELSE 0 END),
+         |    epoch_us(max(ts)) - epoch_us(max(CASE WHEN seq <= ack
+         |      THEN ts END))
+         |  FROM t)
+         |SELECT bucket, CAST(n_changes AS BIGINT) AS n_changes,
+         |  CAST(n_acked AS BIGINT) AS n_acked,
+         |  CAST(n_backlog AS BIGINT) AS n_backlog,
+         |  CAST(lag_micros AS BIGINT) AS lag_micros
+         |FROM h ORDER BY bucket""".stripMargin,
     "cdc_tx_atomic_apply" ->
       s"""WITH $changesSql,
          |x AS (SELECT *, seq // 10 AS xid FROM changes),
