@@ -872,6 +872,7 @@ object PipelineQueries {
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_vocab" -> (TextOps.textVocab _),
     "text_entropy" -> (TextOps.textEntropy _),
+    "text_domain_signature" -> (TextOps.textDomainSignature _),
     "text_quality_rules" -> (TextOps.textQualityRules _),
     "text_lm_bigram" -> (TextOps.textLmBigram _),
     "mm_manifest" -> (Multimodal.mmManifest _),
@@ -924,6 +925,7 @@ object PipelineQueries {
     "text_lm_score" -> TextOps.textLmScoreSql,
     "text_vocab" -> TextOps.textVocabSql,
     "text_entropy" -> TextOps.textEntropySql,
+    "text_domain_signature" -> TextOps.textDomainSignatureSql,
     "text_quality_rules" -> TextOps.textQualityRulesSql,
     "text_lm_bigram" -> TextOps.textLmBigramSql,
     "mm_manifest" -> Multimodal.mmManifestSql,

@@ -590,6 +590,74 @@ object TextOps {
       |WHERE cn.n > 0 AND wn.n > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C49
+  /** Per-source domain signatures — the top-5 words most DISTINCTIVE
+    * of each source by pointwise mutual information,
+    * pmi(w, s) = ln P(w,s) / (P(w)·P(s)), with a min-count floor so
+    * rare accidents don't rank. This is the "what is this domain
+    * actually about" card a mixture designer reads next to C15's
+    * volume stats: raw frequency surfaces stopwords, PMI surfaces the
+    * vocabulary a source OVER-uses relative to the corpus.
+    *
+    * One token-volume shuffle total: the (source, word) count is the
+    * only pass over tokens (map-side partial agg collapses the Zipf
+    * head); word totals, source totals and N all re-aggregate from
+    * that already-distinct table, so no join ever touches token
+    * volume — the C29 head/tail problem never arises.
+    *
+    * Determinism: pmi computed on exact integer ratios
+    * (c_sw·N vs c_w·c_s, both < 2^53), ln per C29's precedent, 1e-6
+    * fixed-pointed for ranking and 4-dp for presentation; ties break
+    * (pmi desc, word). */
+  def textDomainSignature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sw = table(s, dir, "documents")
+      .select($"source", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"source", $"word").agg(count(lit(1)).as("c_sw"))
+    val wTot = sw.groupBy($"word").agg(sum($"c_sw").as("c_w"))
+    val sTot = sw.groupBy($"source").agg(sum($"c_sw").as("c_s"))
+    val n = sw.agg(sum($"c_sw").as("n_tokens"))
+    val pmiFp = floor(log(($"c_sw" * $"n_tokens") * lit(1.0) /
+      ($"c_w" * $"c_s")) * 1000000 + 0.5).cast("long")
+    val scored = sw.filter($"c_sw" >= 5)
+      .join(wTot, "word")
+      .join(broadcast(sTot), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_fp", pmiFp)
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy($"source")
+        .orderBy($"pmi_fp".desc, $"word")).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"source", $"rank", $"word", $"c_sw",
+        r4($"pmi_fp".cast("double") / 1000000).as("pmi"))
+      .orderBy($"source", $"rank")
+  }
+  val textDomainSignatureSql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |sw AS (SELECT source, word, count(*) AS c_sw FROM tok
+      |  WHERE length(word) > 0 GROUP BY 1, 2),
+      |wt AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+      |st AS (SELECT source, sum(c_sw) AS c_s FROM sw GROUP BY 1),
+      |nt AS (SELECT sum(c_sw) AS n_tokens FROM sw),
+      |sc AS (SELECT sw.source, sw.word, sw.c_sw,
+      |    CAST(floor(ln((sw.c_sw * n_tokens) * 1.0 / (c_w * c_s))
+      |      * 1000000 + 0.5) AS BIGINT) AS pmi_fp
+      |  FROM sw JOIN wt USING (word) JOIN st USING (source)
+      |  CROSS JOIN nt
+      |  WHERE sw.c_sw >= 5),
+      |r AS (SELECT source, word, c_sw, pmi_fp,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY pmi_fp DESC, word) AS rank
+      |  FROM sc)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, word,
+      |  CAST(c_sw AS BIGINT) AS c_sw,
+      |  floor(CAST(pmi_fp AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+      |    AS pmi
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   // --------------------------------------------------------------- C42
   /** Bigram-LM quality scoring — C29's conditional upgrade: score each
     * document by mean bigram negative log-likelihood with
