@@ -86,4 +86,17 @@ class AnnSpec extends AnyFunSuite {
     // a drop below 0.70 is a genuine train/encode regression
     assert(mean >= 0.70, f"mean recall $mean%.3f below floor")
   }
+
+  test("emb_matryoshka: full width reproduces the exact baseline, overlaps bounded") {
+    import spark.implicits._
+    val rows = Ann.embMatryoshka(spark, sf0001)
+      .select("query_id", "dims", "overlap10")
+      .as[(Long, Int, Long)].collect()
+    // dims=64 IS the exact ranking — its overlap@10 must be exactly 10
+    // for every query; truncated widths can only be ≤ 10
+    val full = rows.filter(_._2 == 64)
+    assert(full.length === Ann.QueryIds.toInt, s"missing full-width rows: ${full.length}")
+    assert(full.forall(_._3 == 10L), s"full-width overlap not 10: ${full.toSeq}")
+    assert(rows.forall(r => r._3 >= 1L && r._3 <= 10L), s"overlap out of range")
+  }
 }

