@@ -827,7 +827,143 @@ object PipelineQueries {
       |  min(CASE WHEN cum_tokens <= 2000 THEN score END) AS score_cutoff
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- C50
+  /** Dataset snapshot diff — the "what changed between corpus v1 and
+    * v2" audit every dataset-versioning workflow needs before
+    * retraining (HF dataset revisions, DVC, lakehouse table diffs).
+    * v2 is derived deterministically from v1 (every 13th doc removed,
+    * every 17th remaining doc edited, every 10th re-added as a new
+    * id), then the diff CLASSIFIES by doc_id identity + content
+    * digest: added / removed / changed / unchanged, rolled up per
+    * source with token deltas (the number a mixture rebalance needs).
+    *
+    * 100 TB: one full-outer join on doc_id (both sides hash-partition
+    * once); digests computed at the scan so the join carries
+    * (id, digest, tokens), never text; the rollup is
+    * map-side-combinable. */
+  def pipelineDatasetDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = graft.Tables.table(s, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+    val v2 = v1.filter($"doc_id" % 13 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 17 === 0, concat($"text", lit(" v2"))).otherwise($"text"))
+      .unionByName(v1.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+          concat($"text", lit(" new")).as("text")))
+    def digests(df: DataFrame, tag: String) = df.select(
+      $"doc_id", $"source".as(s"source_$tag"),
+      md5($"text").as(s"md5_$tag"),
+      size(split($"text", " ")).cast("long").as(s"tok_$tag"))
+    val joined = digests(v1, "a").join(digests(v2, "b"), Seq("doc_id"), "full_outer")
+    joined
+      .select(coalesce($"source_a", $"source_b").as("source"),
+        when($"md5_a".isNull, "added")
+          .when($"md5_b".isNull, "removed")
+          .when($"md5_a" =!= $"md5_b", "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce($"tok_b", lit(0L)).as("tok_new"),
+        coalesce($"tok_a", lit(0L)).as("tok_old"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"tok_new" - $"tok_old").as("token_delta"))
+      .orderBy($"source", $"status")
+  }
+  val pipelineDatasetDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+      |v2 AS (SELECT doc_id, source,
+      |    CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM v1 WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, text || ' new'
+      |  FROM v1 WHERE doc_id % 10 = 0),
+      |a AS (SELECT doc_id, source AS source_a, md5(text) AS md5_a,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_a FROM v1),
+      |b AS (SELECT doc_id, source AS source_b, md5(text) AS md5_b,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_b FROM v2),
+      |j AS (SELECT coalesce(a.source_a, b.source_b) AS source,
+      |    CASE WHEN a.md5_a IS NULL THEN 'added'
+      |         WHEN b.md5_b IS NULL THEN 'removed'
+      |         WHEN a.md5_a <> b.md5_b THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    coalesce(b.tok_b, 0) AS tok_new, coalesce(a.tok_a, 0) AS tok_old
+      |  FROM a FULL OUTER JOIN b USING (doc_id))
+      |SELECT source, status, count(*) AS n_docs,
+      |  CAST(sum(tok_new - tok_old) AS BIGINT) AS token_delta
+      |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+
+  // --------------------------------------------------------------- C51
+  /** Sequence-length planning — the padding-waste analyzer behind the
+    * "what max_len do we train at" decision: per candidate max_len
+    * (128 / 512 / 2048), how many documents truncate, what fraction
+    * of their tokens is LOST to truncation, and what fraction of the
+    * batch tensor would be PADDING if each doc occupied one row —
+    * plus the power-of-two length histogram the decision reads.
+    * (C21's packing removes padding by concatenation; this op
+    * quantifies what packing saves, which is the argument for it.)
+    *
+    * 100 TB: one narrow scan computes lengths; both outputs are
+    * map-side-combinable rollups over ~a dozen groups; ppm integers
+    * keep the fractions engine-exact. */
+  def pipelineLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.table(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    // ceil(log2(n)) via binary-string length (exact integers — a
+    // float log2 is one ulp from mis-bucketing every power of two)
+    val hist = docs
+      .withColumn("bucket",
+        concat(lit("len_pow2_"), lpad(
+          when($"n_tok" <= 1, 0)
+            .otherwise(length(bin($"n_tok" - 1))).cast("string"), 2, "0")))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        lit(0L).as("tokens_lost_ppm"), lit(0L).as("padding_ppm"))
+    val plans = Seq(128L, 512L, 2048L).map { maxLen =>
+      docs.agg(
+        count(when($"n_tok" > maxLen, 1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        expr(s"sum(greatest(n_tok - $maxLen, 0L)) * 1000000 div sum(n_tok)")
+          .as("tokens_lost_ppm"),
+        expr(s"sum(greatest($maxLen - n_tok, 0L)) * 1000000 " +
+          s"div (count(1) * $maxLen)").as("padding_ppm"))
+        .select(lit(s"maxlen_$maxLen").as("bucket"), $"n_docs", $"n_tokens",
+          $"tokens_lost_ppm", $"padding_ppm")
+    }.reduce(_ unionByName _)
+    hist.unionByName(plans).orderBy($"bucket")
+  }
+  val pipelineLengthBucketsSql: String = {
+    val plans = Seq(128L, 512L, 2048L).map { m =>
+      s"""SELECT 'maxlen_$m' AS bucket,
+         |  count(CASE WHEN n_tok > $m THEN 1 END) AS n_docs,
+         |  sum(n_tok) AS n_tokens,
+         |  sum(greatest(n_tok - $m, 0)) * 1000000 // sum(n_tok)
+         |    AS tokens_lost_ppm,
+         |  sum(greatest($m - n_tok, 0)) * 1000000 // (count(*) * $m)
+         |    AS padding_ppm
+         |FROM d""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |h AS (SELECT 'len_pow2_' || lpad(CAST(CASE WHEN n_tok <= 1 THEN 0
+       |      ELSE length(bin(n_tok - 1)) END AS VARCHAR), 2, '0') AS bucket,
+       |    count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |    0 AS tokens_lost_ppm, 0 AS padding_ppm
+       |  FROM d GROUP BY 1),
+       |p AS (
+       |  $plans)
+       |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(tokens_lost_ppm AS BIGINT) AS tokens_lost_ppm,
+       |  CAST(padding_ppm AS BIGINT) AS padding_ppm
+       |FROM (SELECT * FROM h UNION ALL SELECT * FROM p)
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
+    "pipeline_length_buckets" -> (pipelineLengthBuckets _),
     "pipeline_stream_ingest" -> (pipelineStreamIngest _),
     "pipeline_validate" -> (pipelineValidate _),
     "pipeline_stratified_sample" -> (pipelineStratifiedSample _),
@@ -881,6 +1017,8 @@ object PipelineQueries {
     "mm_phash_neardup" -> (Multimodal.mmPhashNeardup _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dataset_diff" -> pipelineDatasetDiffSql,
+    "pipeline_length_buckets" -> pipelineLengthBucketsSql,
     "pipeline_stream_ingest" -> pipelineStreamIngestSql,
     "pipeline_validate" -> pipelineValidateSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
