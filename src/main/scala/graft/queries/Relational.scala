@@ -836,7 +836,94 @@ object Relational {
       .orderBy($"cohort_day", $"day")
   }
 
+  // --------------------------------------------------------------- B35
+  /** Sketch-based SET ALGEBRA over distinct users — the capability
+    * step past B20: HLL sketches union, but audience-overlap
+    * questions ("how many viewers also purchased? how many only
+    * viewed?") need intersection and difference, which is exactly
+    * what Theta sketches (DataSketches, Spark 4's
+    * theta_sketch_agg/theta_union/theta_intersection/
+    * theta_difference) exist for. One pass builds both per-segment
+    * sketches map-side-combinable; the set ops run on the two
+    * finished sketches — no re-scan per question.
+    *
+    * B20-pattern oracle: rows are the EXACT set cardinalities
+    * (re-derived by both engines — intersect/diff via
+    * inclusion-exclusion on conditional distinct counts) and the
+    * `est_ok` booleans pin each sketch estimate inside ±5% of exact
+    * (at these cardinalities the sketch is below its sampling
+    * threshold, so estimates are exact — the band only leaves room
+    * for the estimator's documented error at 100 TB cardinalities).
+    *
+    * 100 TB: sketches are KB-sized mergeable summaries; the exchange
+    * carries one sketch per partition per segment; the exact branch
+    * here exists for the audit, not the production path. */
+  def qSketchSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+      .select($"user_id", $"event_type")
+    val est = ev.agg(
+        expr("theta_sketch_agg(CASE WHEN event_type = 'view' " +
+          "THEN user_id END)").as("sa"),
+        expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' " +
+          "THEN user_id END)").as("sb"))
+      .select(
+        expr("theta_sketch_estimate(sa)").as("e_view"),
+        expr("theta_sketch_estimate(sb)").as("e_purchase"),
+        expr("theta_sketch_estimate(theta_union(sa, sb))").as("e_union"),
+        expr("theta_sketch_estimate(theta_intersection(sa, sb))")
+          .as("e_intersect"),
+        expr("theta_sketch_estimate(theta_difference(sa, sb))").as("e_diff"))
+    val exact = ev.agg(
+      count_distinct(when($"event_type" === "view", $"user_id")).as("n_view"),
+      count_distinct(when($"event_type" === "purchase", $"user_id"))
+        .as("n_purchase"),
+      count_distinct(when($"event_type".isin("view", "purchase"), $"user_id"))
+        .as("n_union"))
+      .withColumn("n_intersect", $"n_view" + $"n_purchase" - $"n_union")
+      .withColumn("n_diff", $"n_view" - $"n_intersect")
+    def ok(est: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+      abs(est - ex) * 20 <= ex
+    exact.crossJoin(est)
+      .select(explode(array(
+        struct(lit("1_view").as("set_op"), $"n_view".as("exact_count"),
+          ok($"e_view", $"n_view").as("est_ok")),
+        struct(lit("2_purchase").as("set_op"), $"n_purchase".as("exact_count"),
+          ok($"e_purchase", $"n_purchase").as("est_ok")),
+        struct(lit("3_union").as("set_op"), $"n_union".as("exact_count"),
+          ok($"e_union", $"n_union").as("est_ok")),
+        struct(lit("4_intersect").as("set_op"), $"n_intersect".as("exact_count"),
+          ok($"e_intersect", $"n_intersect").as("est_ok")),
+        struct(lit("5_diff").as("set_op"), $"n_diff".as("exact_count"),
+          ok($"e_diff", $"n_diff").as("est_ok")))).as("r"))
+      .select($"r.set_op", $"r.exact_count", $"r.est_ok")
+      .orderBy($"set_op")
+  }
+  val qSketchSetOpsSql: String =
+    """WITH x AS (SELECT
+      |    count(DISTINCT CASE WHEN event_type = 'view'
+      |      THEN user_id END) AS n_view,
+      |    count(DISTINCT CASE WHEN event_type = 'purchase'
+      |      THEN user_id END) AS n_purchase,
+      |    count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+      |      THEN user_id END) AS n_union
+      |  FROM events),
+      |y AS (SELECT n_view, n_purchase, n_union,
+      |    n_view + n_purchase - n_union AS n_intersect,
+      |    n_union - n_purchase AS n_diff
+      |  FROM x)
+      |SELECT set_op, CAST(exact_count AS BIGINT) AS exact_count,
+      |  TRUE AS est_ok
+      |FROM (
+      |  SELECT '1_view' AS set_op, n_view AS exact_count FROM y
+      |  UNION ALL SELECT '2_purchase', n_purchase FROM y
+      |  UNION ALL SELECT '3_union', n_union FROM y
+      |  UNION ALL SELECT '4_intersect', n_intersect FROM y
+      |  UNION ALL SELECT '5_diff', n_diff FROM y)
+      |ORDER BY set_op""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_set_ops" -> (qSketchSetOps _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_funnel_steps" -> (qFunnelSteps _),
@@ -873,6 +960,7 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_sketch_set_ops" -> qSketchSetOpsSql,
     "q_retention_cohorts" ->
       """WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
         |  FROM events),
