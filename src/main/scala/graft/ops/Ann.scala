@@ -402,6 +402,118 @@ object Ann {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // --------------------------------------------------------------- C52
+  /** Embedding-distribution drift monitor — "did the corpus move
+    * under the index/model" between two snapshots, the check a
+    * retrain/reindex decision reads (data-drift monitoring over the
+    * C23 cells): v2 is a deterministic evolution of v1 (every 3rd
+    * vector gone, every 5th remaining one shifted in its first 8
+    * dims); both snapshots assign to the SAME fixed cells, and per
+    * cell the op reports population share drift (ppm, signed) and the
+    * L2 movement of the cell's mean vector — which cells grew/shrank
+    * and which moved.
+    *
+    * Determinism: assignment is the C23 rounded-argmax; per-dim means
+    * are BIGINT fixed-point sums with floor(sum/n) (order-free); the
+    * L2 fold runs over pos-sorted arrays so both engines sum in the
+    * same order on identical doubles.
+    *
+    * 100 TB: centroids broadcast; one (ver, cluster, dim) shuffle of
+    * fixed-point partials (map-side combinable); everything after is
+    * cells×dims-sized. */
+  def embCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val v1 = corpus(s, dir)
+    val v2 = v1.filter($"vec_id" % 3 =!= 0)
+      .withColumn("v", when($"vec_id" % 5 === 0,
+        transform($"v", (x, i) => when(i < 8, x + lit(0.05)).otherwise(x)))
+        .otherwise($"v"))
+    val cents = v1.filter($"vec_id" < 8)
+      .select($"vec_id".as("cluster"), $"v".as("cv"))
+    def assign(df: DataFrame, tag: String) = df.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cluster", $"v",
+        r4(expr("cosine_sim(v, cv)")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")))
+      .filter($"rn" === 1)
+      .select(lit(tag).as("ver"), $"cluster", $"v")
+    val both = assign(v1, "v1").unionByName(assign(v2, "v2"))
+    val means = both
+      .select($"ver", $"cluster", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"ver", $"cluster", $"pos")
+      .agg(sum(floor($"x" * 1000000 + 0.5).cast("long")).as("sfp"),
+        count(lit(1)).as("n"))
+      .select($"ver", $"cluster", $"pos", $"n",
+        floor($"sfp" * lit(1.0) / $"n").as("mfp"))
+      .groupBy($"ver", $"cluster")
+      .agg(max($"n").as("n"),
+        transform(array_sort(collect_list(struct($"pos", $"mfp"))),
+          e => e("mfp")).as("mean_fp"))
+    val m1 = means.filter($"ver" === "v1")
+      .select($"cluster", $"n".as("n_v1"), $"mean_fp".as("m1"))
+    val m2 = means.filter($"ver" === "v2")
+      .select($"cluster", $"n".as("n_v2"), $"mean_fp".as("m2"))
+    val t1 = both.filter($"ver" === "v1")
+      .agg(count(lit(1)).as("nt1"))
+    val t2 = both.filter($"ver" === "v2")
+      .agg(count(lit(1)).as("nt2"))
+    m1.join(m2, Seq("cluster"))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select($"cluster", $"n_v1", $"n_v2",
+        (expr("n_v2 * 1000000 div nt2") - expr("n_v1 * 1000000 div nt1"))
+          .as("share_delta_ppm"),
+        r4(sqrt(aggregate(zip_with($"m1", $"m2",
+            (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)) / 1000000)
+          .as("mean_shift"))
+      .orderBy($"cluster")
+  }
+  val embCentroidDriftSql: String = {
+    def chain(tag: String, src: String) =
+      s"""a_$tag AS (SELECT m.vec_id, c.cluster, m.v,
+         |    row_number() OVER (PARTITION BY m.vec_id ORDER BY
+         |      floor(list_sum(list_transform(list_zip(m.v, c.cv),
+         |        p -> p[1] * p[2])) / (m.nrm * c.cn) * 10000 + 0.5) / 10000
+         |        DESC, c.cluster) AS rn
+         |  FROM $src m CROSS JOIN centn c),
+         |g_$tag AS (SELECT cluster, v FROM a_$tag WHERE rn = 1),
+         |d_$tag AS (SELECT cluster, i.i AS pos,
+         |    sum(CAST(floor(v[i.i + 1] * 1000000 + 0.5) AS BIGINT)) AS sfp,
+         |    count(*) AS n
+         |  FROM g_$tag CROSS JOIN range(0, 64) i(i) GROUP BY 1, 2),
+         |mm_$tag AS (SELECT cluster, max(n) AS n,
+         |    list(floor(sfp * 1.0 / n) ORDER BY pos) AS mean_fp
+         |  FROM d_$tag GROUP BY 1),
+         |t_$tag AS (SELECT count(*) AS nt FROM g_$tag)""".stripMargin
+    s"""WITH n0 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |v1t AS (SELECT vec_id, v FROM n0),
+       |v2t AS (SELECT vec_id,
+       |    CASE WHEN vec_id % 5 = 0 THEN list_transform(v,
+       |      (x, i) -> CASE WHEN i <= 8 THEN x + 0.05 ELSE x END)
+       |    ELSE v END AS v
+       |  FROM n0 WHERE vec_id % 3 <> 0),
+       |m1n AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v1t),
+       |m2n AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v2t),
+       |centn AS (SELECT vec_id AS cluster, v AS cv,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+       |  FROM v1t WHERE vec_id < 8),
+       |${chain("1", "m1n")},
+       |${chain("2", "m2n")}
+       |SELECT a.cluster, CAST(a.n AS BIGINT) AS n_v1,
+       |  CAST(b.n AS BIGINT) AS n_v2,
+       |  CAST(b.n * 1000000 // (SELECT nt FROM t_2)
+       |    - a.n * 1000000 // (SELECT nt FROM t_1) AS BIGINT)
+       |    AS share_delta_ppm,
+       |  floor(sqrt(list_sum(list_transform(list_zip(a.mean_fp, b.mean_fp),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2])))) / 1000000 * 10000 + 0.5)
+       |    / 10000 AS mean_shift
+       |FROM mm_1 a JOIN mm_2 b USING (cluster) ORDER BY a.cluster""".stripMargin
+  }
+
   // --------------------------------------------------------------- C34
   /** Product quantization encode (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search"): 64d → 8 subspaces × 8d, each

@@ -994,6 +994,7 @@ object PipelineQueries {
     "emb_cluster_assign" -> (Ann.embClusterAssign _),
     "emb_random_projection" -> (Ann.embRandomProjection _),
     "emb_matryoshka" -> (Ann.embMatryoshka _),
+    "emb_centroid_drift" -> (Ann.embCentroidDrift _),
     "emb_pq_encode" -> (Ann.embPqEncode _),
     "text_langid" -> (TextOps.textLangid _),
     "text_quality" -> (TextOps.textQuality _),
@@ -1049,6 +1050,7 @@ object PipelineQueries {
     "emb_cluster_assign" -> Ann.embClusterAssignSql,
     "emb_random_projection" -> Ann.embRandomProjectionSql,
     "emb_matryoshka" -> Ann.embMatryoshkaSql,
+    "emb_centroid_drift" -> Ann.embCentroidDriftSql,
     "emb_pq_encode" -> Ann.embPqEncodeSql,
     "text_fingerprint" -> TextOps.textFingerprintSql,
     "text_decontaminate" -> TextOps.textDecontaminateSql,
