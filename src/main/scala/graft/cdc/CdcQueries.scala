@@ -498,6 +498,13 @@ object CdcQueries {
     * tail delete tombstones its snapshot row; a key deleted before
     * its chunk's W_c simply isn't in the snapshot.
     *
+    * The feed is RE-KEYED so a fifth of the keyspace retires over
+    * time (those keys carry an epoch suffix that rolls every 1000
+    * seqs) — real tables have cold keys; without them every key's
+    * last change post-dates any snapshot cut and the snapshot side
+    * would be vacuously dead (CdcQueriesSpec pins both provenances +
+    * the overlap window non-vacuous).
+    *
     * The oracle is the STRAIGHT full-feed materialization (A4's
     * latest-state) — any gap, double-apply, or ordering bug in the
     * bootstrap construction hash-fails, proving snapshot+tail is
@@ -510,7 +517,7 @@ object CdcQueries {
   def snapshotBootstrap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val C = 8
-    val changes = ChangeFeed.fromEvents(s, dir)
+    val changes = bootstrapChanges(s, dir)
     val bounds = changes.agg(
       floor(max($"seq") * 0.3).cast("long").as("w_lo"),
       floor(max($"seq") * 0.7).cast("long").as("w_hi"))
@@ -527,6 +534,25 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  /** A30's change feed: keys where user_id % 5 == 0 retire every 100
+    * seqs (a monotone, never-recurring epoch suffix) so cold keys
+    * exist at every SF — the snapshot side of the bootstrap has real
+    * work to do. The 1e6 spacing keeps suffixes collision-free up to
+    * 1e8 seqs. */
+  private[cdc] def bootstrapChanges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    ChangeFeed.fromEvents(s, dir).withColumn("key",
+      when(pmod($"key", lit(5)) === 0,
+        $"key" * 1000000L + expr("seq div 100"))
+        .otherwise($"key" * 1000000L))
+  }
+  private val bootstrapChangesSql: String =
+    """ch2 AS (SELECT seq, ts,
+      |    CASE WHEN key % 5 = 0 THEN key * 1000000 + seq // 100
+      |         ELSE key * 1000000 END AS key,
+      |    op, event_type, value, props
+      |  FROM changes)""".stripMargin
+
   // --------------------------------------------------------------- A31
   /** Transactional atomic apply — the consistency contract carried by
     * the reference's Begin(B)/Commit(C) envelope (main.go:299–365
@@ -538,6 +564,9 @@ object CdcQueries {
     * tx spanning the cut is the non-vacuous case: its early changes
     * have seq ≤ CUT but are EXCLUDED, where A19's plain seq-cut would
     * tear it — the materialized difference is what this query pins.
+    * The cut sits at floor(0.6·max)+3 — NOT on a tx boundary, so with
+    * the feed's dense seqs a spanning tx always exists
+    * (CdcQueriesSpec asserts it and that no torn change leaks).
     *
     * 100 TB: commit resolution is one map-side-combinable xid agg +
     * an xid-keyed join (txs are tiny groups, the agg collapses them
@@ -546,7 +575,8 @@ object CdcQueries {
     import s.implicits._
     val changes = ChangeFeed.fromEvents(s, dir)
       .withColumn("xid", expr("seq div 10"))
-    val cut = changes.agg(floor(max($"seq") * 0.6).cast("long").as("cut_lsn"))
+    val cut = changes.agg(
+      (floor(max($"seq") * 0.6).cast("long") + 3).as("cut_lsn"))
     val tagged = changes.crossJoin(broadcast(cut))
     val commits = tagged.groupBy($"xid").agg(max($"seq").as("commit_seq"))
     val committed = tagged.join(commits, "xid")
@@ -1166,7 +1196,7 @@ object CdcQueries {
     "cdc_tx_atomic_apply" ->
       s"""WITH $changesSql,
          |x AS (SELECT *, seq // 10 AS xid FROM changes),
-         |b AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS cut_lsn
+         |b AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) + 3 AS cut_lsn
          |      FROM changes),
          |cm AS (SELECT xid, max(seq) AS commit_seq FROM x GROUP BY 1),
          |cc AS (SELECT x.*, cm.commit_seq FROM x JOIN cm USING (xid)
@@ -1181,11 +1211,12 @@ object CdcQueries {
     // construction must be indistinguishable from an untruncated replay
     "cdc_snapshot_bootstrap" ->
       s"""WITH $changesSql,
+         |$bootstrapChangesSql,
          |b AS (SELECT CAST(floor(max(seq) * 0.3) AS BIGINT) AS w_lo
-         |      FROM changes),
+         |      FROM ch2),
          |r AS (SELECT *, row_number() OVER (PARTITION BY key
          |        ORDER BY seq DESC) AS rn
-         |      FROM changes)
+         |      FROM ch2)
          |SELECT key AS user_id, event_type AS last_event_type,
          |  value AS last_value, seq AS last_seq,
          |  seq <= (SELECT w_lo FROM b) AS from_snapshot
