@@ -619,6 +619,54 @@ object CdcQueries {
       .orderBy($"bucket")
   }
 
+  // --------------------------------------------------------------- A33
+  /** Late-arrival audit — the input to every watermark decision the
+    * A8/A10/A13 streaming operators take as given: for candidate
+    * delays {1 h, 6 h, 24 h}, how many changes would arrive BEHIND
+    * the watermark and be dropped? The watermark is modeled exactly
+    * the way Structured Streaming advances it: per arrival batch
+    * (seq div 1000 — the WAL-segment grain), the watermark a batch
+    * sees is the running max event time of all PRIOR batches; a
+    * change is late for delay D iff its event time + D still trails
+    * that watermark.
+    *
+    * The feed's event time is monotone with seq, so stragglers are
+    * INJECTED deterministically (every 17th change carries an event
+    * time 2–31 h older than its arrival position — a mobile client
+    * flushing its offline buffer): each delay tier then drops a
+    * different, non-zero share, which is the curve the audit exists
+    * to draw.
+    *
+    * 100 TB: per-batch maxima are one map-side-combinable agg; the
+    * running max runs over the BATCH table (segment-count rows —
+    * bounded metadata, the A19 scalar pattern), broadcast back; the
+    * three delay rollups share one tagged scan. */
+  def lateArrivalAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val changes = ChangeFeed.fromEvents(s, dir)
+      .withColumn("ts", when(pmod($"seq", lit(17)) === 0,
+        timestamp_micros(unix_micros($"ts") -
+          (lit(2L) + pmod($"seq", lit(30))) * 3600000000L))
+        .otherwise($"ts"))
+      .withColumn("batch", expr("seq div 1000"))
+    val wm = changes.groupBy($"batch").agg(max($"ts").as("bmax"))
+      .withColumn("wm_prev", max($"bmax").over(
+        Window.orderBy($"batch").rowsBetween(Window.unboundedPreceding, -1)))
+      .select($"batch", $"wm_prev")
+    val tagged = changes.join(broadcast(wm), "batch")
+    Seq(("wm_01h", 3600L), ("wm_06h", 21600L), ("wm_24h", 86400L))
+      .map { case (name, secs) =>
+        tagged.agg(
+          count(lit(1)).as("n_changes"),
+          count(when($"wm_prev".isNotNull &&
+            unix_micros($"ts") + secs * 1000000L <
+              unix_micros($"wm_prev"), 1)).as("n_late"))
+          .select(lit(name).as("delay"), $"n_changes", $"n_late",
+            expr("n_late * 1000000 div n_changes").as("late_ppm"))
+      }.reduce(_ unionByName _).orderBy($"delay")
+  }
+
   // --------------------------------------------------------------- A20
   /** Outbox-pattern consumption (the downstream-use pattern in the
     * reference's presentation): the relay delivers outbox messages
@@ -1112,6 +1160,7 @@ object CdcQueries {
     "cdc_snapshot_bootstrap" -> (snapshotBootstrap _),
     "cdc_tx_atomic_apply" -> (txAtomicApply _),
     "cdc_lag_metrics" -> (lagMetrics _),
+    "cdc_late_arrival_audit" -> (lateArrivalAudit _),
     "cdc_outbox_consume" -> (outboxConsume _),
     "cdc_stream_sliding" -> (streamSliding _),
     "cdc_stream_enrich" -> (streamEnrich _),
@@ -1168,6 +1217,34 @@ object CdcQueries {
         |ORDER BY p_id""".stripMargin
 
   private val oraclesHead: Map[String, String] = Map(
+    "cdc_late_arrival_audit" -> {
+      def one(name: String, secs: Long) =
+        s"""SELECT '$name' AS delay, count(*) AS n_changes,
+           |  count(CASE WHEN wm_prev IS NOT NULL
+           |    AND epoch_us(ts) + CAST($secs AS BIGINT) * 1000000
+           |      < epoch_us(wm_prev)
+           |    THEN 1 END) AS n_late
+           |FROM t""".stripMargin
+      s"""WITH $changesSql,
+         |lc AS (SELECT seq,
+         |    CASE WHEN seq % 17 = 0 THEN ts - to_microseconds(
+         |      (2 + seq % 30) * CAST(3600000000 AS BIGINT))
+         |    ELSE ts END AS ts
+         |  FROM changes),
+         |bt AS (SELECT *, seq // 1000 AS batch FROM lc),
+         |bm AS (SELECT batch, max(ts) AS bmax FROM bt GROUP BY 1),
+         |wm AS (SELECT batch, max(bmax) OVER (ORDER BY batch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_prev
+         |  FROM bm),
+         |t AS (SELECT bt.ts, wm.wm_prev FROM bt JOIN wm USING (batch)),
+         |u AS (${one("wm_01h", 3600L)}
+         |  UNION ALL ${one("wm_06h", 21600L)}
+         |  UNION ALL ${one("wm_24h", 86400L)})
+         |SELECT delay, CAST(n_changes AS BIGINT) AS n_changes,
+         |  CAST(n_late AS BIGINT) AS n_late,
+         |  CAST(n_late * 1000000 // n_changes AS BIGINT) AS late_ppm
+         |FROM u ORDER BY delay""".stripMargin
+    },
     "cdc_lag_metrics" ->
       s"""WITH $changesSql,
          |b AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS a

@@ -961,7 +961,55 @@ object PipelineQueries {
        |ORDER BY bucket""".stripMargin
   }
 
+  // --------------------------------------------------------------- C53
+  /** Filter-overlap matrix — which quality gates actually bite, and
+    * which are redundant: every C40 rule combination (pass/fail ×
+    * min-words, mean-word-length band, top-word dominance) becomes a
+    * cell with doc and token counts. Reading it answers "would
+    * dropping rule X change the corpus" (its fail-only cell) and
+    * "how correlated are X and Y" (joint-fail mass vs marginals) —
+    * the ablation a filtering pipeline owes its thresholds.
+    *
+    * 100 TB: one narrow scan computes the three booleans in-row
+    * (C40's exact expressions), then a single map-side-combinable
+    * rollup over ≤8 groups. */
+  def pipelineFilterOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = TextOps.textQualityRules(s, dir)
+      .select($"doc_id", $"n_words", $"r_len", $"r_shape", $"r_dominance")
+    rules
+      .groupBy($"r_len", $"r_shape", $"r_dominance")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
+      .withColumn("n_failed",
+        (when($"r_len", 0).otherwise(1) + when($"r_shape", 0).otherwise(1) +
+          when($"r_dominance", 0).otherwise(1)).cast("long"))
+      .select($"r_len", $"r_shape", $"r_dominance", $"n_failed",
+        $"n_docs", $"n_tokens")
+      .orderBy($"r_len", $"r_shape", $"r_dominance")
+  }
+  val pipelineFilterOverlapSql: String =
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    length(text) AS nc
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    len(w) >= 15 AS r_len,
+      |    (nc - len(w) + 1) * 1.0 / len(w) < 4.9 AS r_shape,
+      |    list_max(list_transform(list_distinct(w),
+      |      x -> len(list_filter(w, y -> y = x))))
+      |      * 1.0 / len(w) <= 0.18 AS r_dominance
+      |  FROM b)
+      |SELECT r_len, r_shape, r_dominance,
+      |  CAST(CASE WHEN r_len THEN 0 ELSE 1 END
+      |    + CASE WHEN r_shape THEN 0 ELSE 1 END
+      |    + CASE WHEN r_dominance THEN 0 ELSE 1 END AS BIGINT) AS n_failed,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+      |FROM r GROUP BY 1, 2, 3
+      |ORDER BY r_len, r_shape, r_dominance""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_filter_overlap" -> (pipelineFilterOverlap _),
     "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
     "pipeline_length_buckets" -> (pipelineLengthBuckets _),
     "pipeline_stream_ingest" -> (pipelineStreamIngest _),
@@ -1018,6 +1066,7 @@ object PipelineQueries {
     "mm_phash_neardup" -> (Multimodal.mmPhashNeardup _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_filter_overlap" -> pipelineFilterOverlapSql,
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,
     "pipeline_length_buckets" -> pipelineLengthBucketsSql,
     "pipeline_stream_ingest" -> pipelineStreamIngestSql,
