@@ -644,6 +644,10 @@ object Dedup {
         Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")))
       .filter($"rn" === 1)
       .select($"vec_id", $"cluster", $"v")
+      // persisted: three consumers (both pair-join sides + the stats
+      // rollup) would each recompute the centroid assignment;
+      // lifetime bounded by the caller's clearCache
+      .persist()
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id"))

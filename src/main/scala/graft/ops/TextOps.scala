@@ -612,10 +612,16 @@ object TextOps {
   def textDomainSignature(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // persisted: FOUR consumers (wTot, sTot, N, the scored join) —
+    // without it each branch re-explodes the token stream and the
+    // "one token-volume shuffle" claim silently becomes four
+    // (PlanAuditSpec asserts the cache is what the branches read);
+    // lifetime bounded by the caller's clearCache
     val sw = table(s, dir, "documents")
       .select($"source", explode(split($"text", " ")).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"source", $"word").agg(count(lit(1)).as("c_sw"))
+      .persist()
     val wTot = sw.groupBy($"word").agg(sum($"c_sw").as("c_w"))
     val sTot = sw.groupBy($"source").agg(sum($"c_sw").as("c_s"))
     val n = sw.agg(sum($"c_sw").as("n_tokens"))

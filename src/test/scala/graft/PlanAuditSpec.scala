@@ -190,6 +190,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$plan")
   }
 
+  test("dedup_semantic: within-cluster pairs stay an equi-join (no cartesian/BNLJ)") {
+    // the SemDeDup claim: cells BOUND the pair space — the self-join
+    // must hash on cluster, never materialize all-pairs (the centroid
+    // assignment crossJoin is the intended 8-row broadcast)
+    val plan = executed(ops.Dedup.dedupSemantic(spark, sf0001))
+    // the 8-row centroid-assignment broadcasts are the two intended
+    // nested-loop joins; the PAIR join must be a cluster equi-join
+    // and nothing may be a cartesian product
+    val cart = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cart.isEmpty, s"cartesian in plan:\n$plan")
+    val bnlj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    // `assigned` is persisted, so the one intended 8-row centroid
+    // broadcast appears at most once (in the cache-build subtree)
+    assert(bnlj.size <= 1, s"unexpected nested-loop joins:\n$plan")
+    def onCluster(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(_.toString.contains("cluster"))
+    val pairJoin = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if onCluster(j.leftKeys) => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if onCluster(j.leftKeys) => j
+      case j: BroadcastHashJoinExec if onCluster(j.leftKeys) => j
+    }
+    assert(pairJoin.nonEmpty, s"within-cluster pair join is not an equi-join:\n$plan")
+  }
+
+  test("text_domain_signature: the token stream is aggregated once and cached") {
+    // the (source, word) count is the ONLY pass over tokens — all four
+    // consumers (word totals, source totals, N, the scored join) must
+    // read the persisted distinct table, not re-explode the corpus
+    val plan = executed(ops.TextOps.textDomainSignature(spark, sf0001))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"source-totals/N join not broadcast:\n$plan")
+    val cached = plan.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    assert(cached.size >= 3, s"consumers not reading the cached sw table:\n$plan")
+    val explodes = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(explodes.size <= 1, s"token stream exploded ${explodes.size} times:\n$plan")
+  }
+
   test("q7: nation-pair predicate prunes supplier and customer scans") {
     val plan = executed(queries.Relational.q7VolumeShipping(spark, sf0001))
     // the IN-(two nations) halves of the pair predicate must reach the
