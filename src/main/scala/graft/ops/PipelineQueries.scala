@@ -1058,6 +1058,7 @@ object PipelineQueries {
     "text_vocab" -> (TextOps.textVocab _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_domain_signature" -> (TextOps.textDomainSignature _),
+    "text_langid_confusion" -> (TextOps.textLangidConfusion _),
     "text_quality_rules" -> (TextOps.textQualityRules _),
     "text_lm_bigram" -> (TextOps.textLmBigram _),
     "mm_manifest" -> (Multimodal.mmManifest _),
@@ -1115,6 +1116,7 @@ object PipelineQueries {
     "text_vocab" -> TextOps.textVocabSql,
     "text_entropy" -> TextOps.textEntropySql,
     "text_domain_signature" -> TextOps.textDomainSignatureSql,
+    "text_langid_confusion" -> TextOps.textLangidConfusionSql,
     "text_quality_rules" -> TextOps.textQualityRulesSql,
     "text_lm_bigram" -> TextOps.textLmBigramSql,
     "mm_manifest" -> Multimodal.mmManifestSql,

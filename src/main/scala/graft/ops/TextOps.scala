@@ -590,6 +590,67 @@ object TextOps {
       |WHERE cn.n > 0 AND wn.n > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C54
+  /** Language-ID confusion matrix — the audit of C8's marker-token
+    * heuristic against the corpus's labeled ground truth: per (true
+    * lang, predicted lang), document count and the share of the true
+    * language's documents landing in that cell (ppm). This is the
+    * classifier-quality card a pipeline owes any heuristic gate: it
+    * shows exactly where the heuristic is blind (zh has no Latin
+    * markers → predicted 'und') and what each language's hit rate is.
+    *
+    * 100 TB: one scan computes the marker scores + argmax in-row; the
+    * matrix is langs²-tiny after one map-side-combinable shuffle; the
+    * share window runs over that tiny matrix. */
+  def textLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = split($"text", " ")
+    val scores = Markers.map { case (lang, ms) =>
+      size(filter(words, w => ms.foldLeft(lit(false))((acc, m) => acc || w === m)))
+        .as(s"${lang}_score")
+    }
+    table(s, dir, "documents").select($"lang" +: scores: _*)
+      .select($"lang",
+        when($"en_score" > 0 && $"en_score" >= $"de_score" &&
+             $"en_score" >= $"es_score" && $"en_score" >= $"fr_score", "en")
+          .when($"de_score" > 0 && $"de_score" >= $"es_score" &&
+                $"de_score" >= $"fr_score", "de")
+          .when($"es_score" > 0 && $"es_score" >= $"fr_score", "es")
+          .when($"fr_score" > 0, "fr")
+          .otherwise("und").as("pred_lang"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total",
+        sum($"n_docs").over(Window.partitionBy($"lang")))
+      .select($"lang", $"pred_lang", $"n_docs",
+        expr("n_docs * 1000000 div lang_total").as("share_ppm"))
+      .orderBy($"lang", $"pred_lang")
+  }
+  val textLangidConfusionSql: String = {
+    val score = Markers.map { case (lang, ms) =>
+      val in = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS ${lang}_score"
+    }.mkString(",\n  ")
+    s"""WITH sc AS (SELECT lang, $score FROM documents),
+       |p AS (SELECT lang,
+       |    CASE
+       |      WHEN en_score > 0 AND en_score >= de_score AND en_score >= es_score
+       |           AND en_score >= fr_score THEN 'en'
+       |      WHEN de_score > 0 AND de_score >= es_score
+       |           AND de_score >= fr_score THEN 'de'
+       |      WHEN es_score > 0 AND es_score >= fr_score THEN 'es'
+       |      WHEN fr_score > 0 THEN 'fr'
+       |      ELSE 'und' END AS pred_lang
+       |  FROM sc),
+       |m AS (SELECT lang, pred_lang, count(*) AS n_docs
+       |  FROM p GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n_docs,
+       |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang)
+       |    AS BIGINT) AS share_ppm
+       |FROM m ORDER BY lang, pred_lang""".stripMargin
+  }
+
   // --------------------------------------------------------------- C49
   /** Per-source domain signatures — the top-5 words most DISTINCTIVE
     * of each source by pointwise mutual information,
