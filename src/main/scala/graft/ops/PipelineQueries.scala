@@ -1008,7 +1008,68 @@ object PipelineQueries {
       |FROM r GROUP BY 1, 2, 3
       |ORDER BY r_len, r_shape, r_dominance""".stripMargin
 
+  // --------------------------------------------------------------- C55
+  /** Train/val/test split + leakage audit — the holdout discipline an
+    * eval pipeline owes: an ~80/10/10 split by a reproducible md5
+    * coin (C17's RNG-free pattern — membership is a pure function of
+    * doc_id, stable across runs and engines), and, per split, the
+    * count of content digests that ALSO appear in another split —
+    * exact-duplicate leakage across the train/test boundary, the
+    * failure mode that silently inflates evals. Runs over the
+    * dup-injected feed, where id-keyed coins scatter the copies of a
+    * text across splits: the audit is non-vacuous by construction
+    * and shows exactly why dedup (C1/C22) must precede splitting.
+    *
+    * 100 TB: one digest shuffle finds spanning digests (digests
+    * only — text never leaves the scan); split rollups are map-side;
+    * the leak join carries spanning digests only. */
+  def pipelineSplitHoldout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Dedup.dupFeed(s, dir)
+      .select($"doc_id", $"text",
+        md5(concat(lit("split:"), $"doc_id".cast("string"))).as("c"))
+      .withColumn("split",
+        when(substring($"c", 1, 2) < "cc", "1_train")
+          .when(substring($"c", 1, 2) < "e6", "2_val")
+          .otherwise("3_test"))
+      .withColumn("dg", md5($"text"))
+    val spanning = d.groupBy($"dg")
+      .agg(count_distinct($"split").as("ns"))
+      .filter($"ns" > 1)
+      .select($"dg")
+    val leakPerSplit = d.join(spanning, "dg")
+      .groupBy($"split").agg(count_distinct($"dg").as("leaked_digests"))
+    d.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("n_tokens"))
+      .join(leakPerSplit, Seq("split"), "left")
+      .select($"split", $"n_docs", $"n_tokens",
+        coalesce($"leaked_digests", lit(0L)).as("leaked_digests"))
+      .orderBy($"split")
+  }
+  val pipelineSplitHoldoutSql: String =
+    s"""WITH ${Dedup.dupFeedSql},
+       |d AS (SELECT doc_id, text,
+       |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |           < 'cc' THEN '1_train'
+       |         WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |           < 'e6' THEN '2_val'
+       |         ELSE '3_test' END AS split,
+       |    md5(text) AS dg
+       |  FROM feed),
+       |sp AS (SELECT dg FROM (SELECT dg, count(DISTINCT split) AS ns
+       |    FROM d GROUP BY 1) WHERE ns > 1),
+       |lk AS (SELECT split, count(DISTINCT d.dg) AS leaked_digests
+       |  FROM d JOIN sp ON d.dg = sp.dg GROUP BY 1),
+       |st AS (SELECT split, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY 1)
+       |SELECT st.split, st.n_docs, st.n_tokens,
+       |  CAST(coalesce(lk.leaked_digests, 0) AS BIGINT) AS leaked_digests
+       |FROM st LEFT JOIN lk USING (split) ORDER BY st.split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split_holdout" -> (pipelineSplitHoldout _),
     "pipeline_filter_overlap" -> (pipelineFilterOverlap _),
     "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
     "pipeline_length_buckets" -> (pipelineLengthBuckets _),
@@ -1068,6 +1129,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_filter_overlap" -> pipelineFilterOverlapSql,
+    "pipeline_split_holdout" -> pipelineSplitHoldoutSql,
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,
     "pipeline_length_buckets" -> pipelineLengthBucketsSql,
     "pipeline_stream_ingest" -> pipelineStreamIngestSql,
