@@ -184,9 +184,12 @@ object Multimodal {
     * (band, value, id, hash64) rows per asset; candidate buckets are
     * equality-bounded (add C3's bucket cap for adversarial corpora);
     * confirm is one integer XOR+popcount per candidate. */
-  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** The C38/C56 asset feed: ASCII-normalized originals + re-encode
+    * variants (every 8th asset with byte 1 of each 64-byte chunk
+    * clobbered, id-shifted +3e6 — note 3e6 ≡ 0 mod 3, so a variant
+    * keeps its source's media_type class). */
+  private def phashFeed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.functions.GraftExpressions.register(s)
     val docs = table(s, dir, "documents").select($"doc_id",
       regexp_replace($"text", "[^\\x00-\\x7F]", "").as("text"))
     val variants = docs
@@ -196,7 +199,13 @@ object Multimodal {
           sequence(lit(0), expr("(length(text) - 1) div 64")),
           i => concat(lit("x"), $"text".substr(i * 64 + 2, lit(63))))
         ).as("text"))
-    val feed = docs.unionByName(variants).filter(length($"text") >= 32)
+    docs.unionByName(variants).filter(length($"text") >= 32)
+  }
+
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExpressions.register(s)
+    val feed = phashFeed(s, dir)
       .select($"doc_id", encode($"text", "UTF-8").as("payload"),
         expr("length(text) div 32").as("l"))
     val bsums = (0 until 32).map(b =>
@@ -223,8 +232,10 @@ object Multimodal {
       .select($"d1", $"d2", $"hamming")
       .orderBy($"d1", $"d2")
   }
-  val mmPhashNeardupSql: String =
-    """WITH ascii_docs AS (SELECT doc_id,
+  /** The C38 pair derivation as a CTE chain ending in `mpairs` —
+    * shared by the C38 oracle and C56's recursive clustering oracle. */
+  val phashPairCtes: String =
+    """ascii_docs AS (SELECT doc_id,
       |    regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS text
       |  FROM documents),
       |var AS (SELECT doc_id + 3000000 AS doc_id,
@@ -251,10 +262,66 @@ object Multimodal {
       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
       |    a.phash AS h1, b.phash AS h2
       |  FROM bands a JOIN bands b
-      |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
-      |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
-      |ORDER BY d1, d2""".stripMargin
+      |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |mpairs AS (SELECT d1, d2, h1, h2 FROM cand
+      |  WHERE bit_count(xor(h1, h2)) <= 3)""".stripMargin
+
+  val mmPhashNeardupSql: String =
+    s"""WITH $phashPairCtes
+       |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       |FROM mpairs ORDER BY d1, d2""".stripMargin
+
+  // --------------------------------------------------------------- C56
+  /** Canonical media selection — C27's text pipeline closed for the
+    * binary/media column: the C38 perceptual-hash pairs resolve into
+    * connected components via the C22 star-contraction (a re-encode
+    * CHAIN — original ↔ variant ↔ re-re-encode — needs transitive
+    * closure, not per-pair drops), every component keeps its lowest
+    * asset id, and the result is the per-media-type dedup card:
+    * assets, distinct canonical clusters, duplicates folded away.
+    *
+    * 100 TB: pairs come from the banded C38 join (payloads never
+    * shuffle); star-contraction is O(E) id-only shuffles per round,
+    * O(log n) rounds; the accounting is one map-side rollup. The
+    * oracle re-derives the full chain: pair CTEs + recursive
+    * min-reachability. */
+  def mmCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = mmPhashNeardup(s, dir)
+      .select($"d1".as("u"), $"d2".as("v"))
+    val (labels, _) = Dedup.starContract(pairs, 32)
+    val mediaType = expr(
+      "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+      "ELSE 'video' END")
+    phashFeed(s, dir).select($"doc_id")
+      .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"l", $"doc_id").as("canonical_id"))
+      .withColumn("media_type", mediaType)
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_assets"),
+        count_distinct($"canonical_id").as("n_clusters"),
+        count(when($"doc_id" =!= $"canonical_id", 1)).as("n_duplicates"))
+      .orderBy($"media_type")
+  }
+  val mmCanonicalSql: String =
+    s"""WITH RECURSIVE $phashPairCtes,
+       |und AS (SELECT d1 AS u, d2 AS v FROM mpairs
+       |        UNION SELECT d2, d1 FROM mpairs),
+       |reach (u, l) AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT und.u, reach.l FROM und JOIN reach ON reach.u = und.v),
+       |lbl AS (SELECT u AS doc_id, least(u, min(l)) AS canonical_id
+       |        FROM reach GROUP BY u),
+       |al AS (SELECT f.doc_id,
+       |    coalesce(lbl.canonical_id, f.doc_id) AS canonical_id
+       |  FROM f LEFT JOIN lbl USING (doc_id))
+       |SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |    ELSE 'video' END AS media_type,
+       |  count(*) AS n_assets,
+       |  count(DISTINCT canonical_id) AS n_clusters,
+       |  count(CASE WHEN doc_id <> canonical_id THEN 1 END) AS n_duplicates
+       |FROM al GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB oracle recomputes the feature arithmetic from the payload
     * *definition* — closed-form sum of ((doc_id + i) % 256, i < len):

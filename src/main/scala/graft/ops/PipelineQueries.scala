@@ -1125,7 +1125,8 @@ object PipelineQueries {
     "mm_manifest" -> (Multimodal.mmManifest _),
     "mm_frames" -> (Multimodal.mmFrames _),
     "mm_dedup" -> (Multimodal.mmDedup _),
-    "mm_phash_neardup" -> (Multimodal.mmPhashNeardup _))
+    "mm_phash_neardup" -> (Multimodal.mmPhashNeardup _),
+    "mm_canonical" -> (Multimodal.mmCanonical _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_filter_overlap" -> pipelineFilterOverlapSql,
@@ -1184,5 +1185,6 @@ object PipelineQueries {
     "mm_manifest" -> Multimodal.mmManifestSql,
     "mm_frames" -> Multimodal.mmFramesSql,
     "mm_dedup" -> Multimodal.mmDedupSql,
-    "mm_phash_neardup" -> Multimodal.mmPhashNeardupSql)
+    "mm_phash_neardup" -> Multimodal.mmPhashNeardupSql,
+    "mm_canonical" -> Multimodal.mmCanonicalSql)
 }
