@@ -922,7 +922,62 @@ object Relational {
       |  UNION ALL SELECT '5_diff', n_diff FROM y)
       |ORDER BY set_op""".stripMargin
 
+  // --------------------------------------------------------------- B36
+  /** Time-series gap filling (forward fill) — the dense-spine op
+    * every monitoring/finance table needs before resampling or
+    * joining on time: per user, the hourly value rollup is stretched
+    * over that user's FULL hour range (sequence-exploded spine, no
+    * generator UDF), hours without activity carry the last known
+    * value forward (`last(ignoreNulls)` over the user window) and
+    * are flagged `filled`. No self-join, no driver loop: spine
+    * build, join and fill are all user-keyed.
+    *
+    * 100 TB: one (user, hour) rollup shuffle + one user-keyed spine
+    * join + one user window; spine size is span-bounded per user
+    * (hours, not events), and the fill is O(1)/row state in the
+    * window — the same shape works partitioned by any entity key. */
+  def qWindowGapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = graft.Tables.events(s, dir)
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+      .agg(money(sum($"value")).as("v"))
+    val spine = hourly.groupBy($"user_id")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled", $"v".isNull)
+      .withColumn("v", last($"v", ignoreNulls = true).over(
+        Window.partitionBy($"user_id").orderBy($"hour")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"user_id",
+        date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"v", $"filled")
+      .orderBy($"user_id", $"hour")
+  }
+  val qWindowGapFillSql: String =
+    """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    floor(sum(value) * 100 + 0.5) / 100 AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      |  FROM h GROUP BY 1),
+      |sp AS (SELECT user_id,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM b),
+      |j AS (SELECT sp.user_id, sp.hour, h.v, h.v IS NULL AS filled
+      |  FROM sp LEFT JOIN h ON sp.user_id = h.user_id
+      |    AND sp.hour = h.hour),
+      |f AS (SELECT user_id, hour,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY hour ROWS UNBOUNDED PRECEDING) AS v,
+      |    filled
+      |  FROM j)
+      |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  v, filled
+      |FROM f ORDER BY user_id, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_gap_fill" -> (qWindowGapFill _),
     "q_sketch_set_ops" -> (qSketchSetOps _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -960,6 +1015,7 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_window_gap_fill" -> qWindowGapFillSql,
     "q_sketch_set_ops" -> qSketchSetOpsSql,
     "q_retention_cohorts" ->
       """WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
