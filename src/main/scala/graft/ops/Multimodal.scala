@@ -202,7 +202,10 @@ object Multimodal {
     docs.unionByName(variants).filter(length($"text") >= 32)
   }
 
-  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted C38 pair set — mmPhashNeardup adds only the
+    * presentation sort; C56 consumes this directly so no global sort
+    * sits mid-pipeline. */
+  private def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftExpressions.register(s)
     val feed = phashFeed(s, dir)
@@ -230,7 +233,11 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
       .filter($"hamming" <= 3)
       .select($"d1", $"d2", $"hamming")
-      .orderBy($"d1", $"d2")
+  }
+
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mmPhashPairs(s, dir).orderBy($"d1", $"d2")
   }
   /** The C38 pair derivation as a CTE chain ending in `mpairs` —
     * shared by the C38 oracle and C56's recursive clustering oracle. */
@@ -287,7 +294,7 @@ object Multimodal {
     * min-reachability. */
   def mmCanonical(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = mmPhashNeardup(s, dir)
+    val pairs = mmPhashPairs(s, dir)
       .select($"d1".as("u"), $"d2".as("v"))
     val (labels, _) = Dedup.starContract(pairs, 32)
     val mediaType = expr(
