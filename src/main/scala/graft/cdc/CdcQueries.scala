@@ -655,16 +655,17 @@ object CdcQueries {
         Window.orderBy($"batch").rowsBetween(Window.unboundedPreceding, -1)))
       .select($"batch", $"wm_prev")
     val tagged = changes.join(broadcast(wm), "batch")
-    Seq(("wm_01h", 3600L), ("wm_06h", 21600L), ("wm_24h", 86400L))
-      .map { case (name, secs) =>
-        tagged.agg(
-          count(lit(1)).as("n_changes"),
-          count(when($"wm_prev".isNotNull &&
-            unix_micros($"ts") + secs * 1000000L <
-              unix_micros($"wm_prev"), 1)).as("n_late"))
-          .select(lit(name).as("delay"), $"n_changes", $"n_late",
-            expr("n_late * 1000000 div n_changes").as("late_ppm"))
-      }.reduce(_ unionByName _).orderBy($"delay")
+    def late(secs: Long) = count(when($"wm_prev".isNotNull &&
+      unix_micros($"ts") + secs * 1000000L < unix_micros($"wm_prev"), 1))
+    tagged
+      .agg(count(lit(1)).as("n_changes"), late(3600L).as("late_01h"),
+        late(21600L).as("late_06h"), late(86400L).as("late_24h"))
+      .select($"n_changes", expr(
+        "stack(3, 'wm_01h', late_01h, 'wm_06h', late_06h, 'wm_24h', late_24h)" +
+          " as (delay, n_late)"))
+      .select($"delay", $"n_changes", $"n_late",
+        expr("n_late * 1000000 div n_changes").as("late_ppm"))
+      .orderBy($"delay")
   }
 
   // --------------------------------------------------------------- A20

@@ -366,9 +366,18 @@ object Ann {
       .select($"query_id", $"dims", $"neighbor_id")
     val full = tops.filter($"dims" === 64)
       .select($"query_id", $"neighbor_id")
-    tops.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+    val counts = tops.join(full, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy($"query_id", $"dims")
       .agg(count(lit(1)).as("overlap10"))
+    // queries×widths spine: a (query, d) whose truncated top-10 shares
+    // NOTHING with the full top-10 must surface as an explicit 0 row —
+    // groupBy alone would silently drop it and the curve would lose
+    // exactly its most interesting points
+    val spine = q.select($"query_id")
+      .crossJoin(broadcast(widths.toDF("dims")))
+    spine.join(counts, Seq("query_id", "dims"), "left")
+      .select($"query_id", $"dims",
+        coalesce($"overlap10", lit(0L)).as("overlap10"))
       .orderBy($"query_id", $"dims")
   }
   val embMatryoshkaSql: String = {
@@ -394,12 +403,19 @@ object Ann {
        |                       ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM sc),
        |tops AS (SELECT query_id, dims, neighbor_id FROM r WHERE rank <= $K),
-       |full_t AS (SELECT query_id, neighbor_id FROM tops WHERE dims = 64)
-       |SELECT t.query_id, CAST(t.dims AS INT) AS dims,
-       |  count(*) AS overlap10
-       |FROM tops t JOIN full_t f
-       |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |full_t AS (SELECT query_id, neighbor_id FROM tops WHERE dims = 64),
+       |ov AS (SELECT t.query_id, t.dims, count(*) AS overlap10
+       |  FROM tops t JOIN full_t f
+       |    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+       |  GROUP BY 1, 2),
+       |spine AS (SELECT q.query_id, w.dims
+       |  FROM (SELECT vec_id AS query_id FROM n WHERE vec_id < $QueryIds) q
+       |  CROSS JOIN (VALUES (8), (16), (32), (64)) AS w(dims))
+       |SELECT s.query_id, CAST(s.dims AS INT) AS dims,
+       |  CAST(coalesce(ov.overlap10, 0) AS BIGINT) AS overlap10
+       |FROM spine s LEFT JOIN ov
+       |  ON s.query_id = ov.query_id AND s.dims = ov.dims
+       |ORDER BY 1, 2""".stripMargin
   }
 
   // --------------------------------------------------------------- C52

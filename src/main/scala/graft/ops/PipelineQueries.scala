@@ -433,9 +433,25 @@ object PipelineQueries {
     * assert the prefix predicate lands in the scan's PartitionFilters
     * (i.e. the per-batch anti-join reads a slice of history, not all
     * of it). */
+  /** Declared schema for the ingest table — pfx is a hex digit, so a
+    * history containing only 0-9 partitions would otherwise make Spark
+    * INFER the partition column as integer and route the isin filter +
+    * anti-join key through implicit casts; declaring pfx STRING keeps
+    * the keys string-vs-string regardless of which partitions exist. */
+  private val ingestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text_md5",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pfx",
+      org.apache.spark.sql.types.StringType)))
+
   def prunedHistory(sp: SparkSession, tableDir: String,
       pfxs: Seq[String]): DataFrame =
-    sp.read.parquet(tableDir).filter(col("pfx").isin(pfxs: _*))
+    sp.read.schema(ingestSchema).parquet(tableDir)
+      .filter(col("pfx").isin(pfxs: _*))
 
   def pipelineStreamIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -507,7 +523,7 @@ object PipelineQueries {
         ()
       }.start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(tableDir)
+    s.read.schema(ingestSchema).parquet(tableDir)
       .select($"doc_id", $"text_md5", $"n_chars")
       .orderBy($"doc_id")
   }

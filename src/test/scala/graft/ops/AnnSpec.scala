@@ -97,6 +97,11 @@ class AnnSpec extends AnyFunSuite {
     val full = rows.filter(_._2 == 64)
     assert(full.length === Ann.QueryIds.toInt, s"missing full-width rows: ${full.length}")
     assert(full.forall(_._3 == 10L), s"full-width overlap not 10: ${full.toSeq}")
-    assert(rows.forall(r => r._3 >= 1L && r._3 <= 10L), s"overlap out of range")
+    // the spine guarantees EVERY (query, width) cell exists — a width
+    // whose truncated top-10 shares nothing with the exact top-10 must
+    // appear as an explicit 0, not vanish from the curve
+    assert(rows.length === Ann.QueryIds.toInt * 4,
+      s"spine incomplete: ${rows.length} rows")
+    assert(rows.forall(r => r._3 >= 0L && r._3 <= 10L), s"overlap out of range")
   }
 }
