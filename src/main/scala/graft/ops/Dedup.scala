@@ -611,6 +611,64 @@ object Dedup {
     * Bits scale as log2(N/bucket_size); the 128-id bucket cap bounds
     * a degenerate bucket's Σc² like C3's. */
   // --------------------------------------------------------------- C48
+  /** Embedding dimensionality of the test corpus (the oracle's SQL
+    * unrolls per-dim means over this). */
+  val EmbDim = 64
+  /** Cell-count rule: k = max(8, ceil(N / SemTargetCellRows)). The
+    * test value is tiny so the derivation is EXERCISED at test SFs
+    * (sf0.1: N=2500 → k=10 > the old fixed 8); production would set
+    * ~1e5–1e6 so cells stay executor-sized. */
+  val SemTargetCellRows = 256
+  /** Hard per-cell population budget for the pair join: a cell whose
+    * population exceeds it is split into ceil(n/cap) deterministic
+    * sub-cells, bounding the within-cell pair space to O(cap²) per
+    * sub-cell no matter how degenerate the feed. */
+  val SemCellCap = 256
+  val SemIters = 2
+
+  /** Fixed-point Lloyd-trained coarse quantizer — C7b's trainer
+    * ([[Ann.annIvf]]: seeds = k lowest vec_ids, assign via rounded
+    * cosine argmax, recompute element-wise means) under the C36
+    * determinism contract ([[Ann]] lloydRefine: means as BIGINT
+    * fixed-point sums, floor(sum/n) → 4-dp), so BOTH engines replay
+    * the identical training trajectory and a hash oracle can depend
+    * on the trained centroids. A cluster that loses all members keeps
+    * its previous centroid (coalesce, both sides). All steps are
+    * distributed DataFrame ops; nothing vector-sized reaches the
+    * driver. */
+  private[ops] def trainedCentroids(s: SparkSession, feed: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftExpressions.register(s)
+    var cents = feed.orderBy($"vec_id").limit(k)
+      .select(row_number().over(Window.orderBy($"vec_id"))
+          .cast("long").as("cluster"),
+        transform($"v", x => floor(x * 10000 + 0.5) / 10000).as("cv"))
+    for (_ <- 1 to iters) {
+      val asg = feed.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cluster", $"v",
+          r4(expr("cosine_sim(v, cv)")).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")))
+        .filter($"rn" === 1)
+      val upd = asg
+        .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cluster", $"pos")
+        .agg(sum(floor($"x" * 1000000 + 0.5).cast("long")).as("sfp"),
+          count(lit(1)).as("n"))
+        .select($"cluster", $"pos",
+          (floor(floor($"sfp" * lit(1.0) / $"n") / 100.0 + 0.5) / 10000.0)
+            .as("m"))
+        .groupBy($"cluster")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          e => e("m")).as("cv"))
+      cents = cents.as("p").join(upd.as("t"), Seq("cluster"), "left")
+        .select($"cluster", coalesce($"t.cv", $"p.cv").as("cv"))
+    }
+    cents
+  }
+
   /** Semantic dedup, the SemDeDup shape (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): cluster the embedding space first, then find
@@ -619,7 +677,25 @@ object Dedup {
     * space, which is the paper's answer to all-pairs at web scale
     * (C5 answers the same question with LSH buckets; SemDeDup's cells
     * double as the curriculum/domain partitioning). Emits per-cluster
-    * accounting: vectors, dropped, kept.
+    * accounting: vectors, dropped, kept, sub-cells.
+    *
+    * Round 8 — the 100 TB claim moved from comment to code:
+    * (a) the cell count is DERIVED from corpus size
+    *     (k = max(8, ceil(N / [[SemTargetCellRows]]))), so cells stay
+    *     target-sized as the corpus grows instead of N/8-sized;
+    * (b) centroids are the [[trainedCentroids]] Lloyd-trained coarse
+    *     quantizer (C7b's trainer, C36's fixed-point determinism), not
+    *     the first-8 raw vectors;
+    * (c) a cell whose population still exceeds [[SemCellCap]] (skewed
+    *     Voronoi cell, adversarial feed) is split into
+    *     ceil(n/cap) sub-cells by a deterministic md5-derived key, so
+    *     the pair join is O(cap²·n_subcells) even for a degenerate
+    *     all-one-cell feed — DedupSpec pins the budget. Splitting
+    *     trades the cross-sub-cell pairs away (bounded, documented
+    *     recall loss — the paper's answer is "raise k", the split is
+    *     the hard backstop for the skew k can't fix); the md5-ascii
+    *     key is engine-portable, so the oracle replays the SAME split
+    *     and the hash check covers the split path too.
     *
     * Determinism: cell assignment is the C23 rounded-cosine argmax
     * with id tie-break; pair confirm uses the rounded cosine; drops
@@ -627,16 +703,21 @@ object Dedup {
     * the published rule.
     *
     * 100 TB: centroids broadcast; the within-cluster self-join is an
-    * EQUI-join on cluster (never a cartesian — cluster count scales
-    * with corpus so cells stay executor-sized, the paper's own
-    * posture); accounting aggs are map-side-combinable. */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    * EQUI-join on (cluster, sub) — never a cartesian; accounting aggs
+    * are map-side-combinable. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    semanticCore(s, nearFeed(s, dir), SemTargetCellRows, SemCellCap)
+
+  /** [[dedupSemantic]]'s engine with the scale knobs explicit, so the
+    * spec can drive an adversarial feed through a small cap. */
+  private[ops] def semanticCore(s: SparkSession, feed: DataFrame,
+      targetCellRows: Int, cellCap: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftExpressions.register(s)
-    val feed = nearFeed(s, dir)
-    val cents = feed.filter($"vec_id" < 8)
-      .select($"vec_id".as("cluster"), $"v".as("cv"))
+    val n = feed.count()
+    val k = math.max(8L, (n + targetCellRows - 1) / targetCellRows).toInt
+    val cents = trainedCentroids(s, feed, k, SemIters)
     val assigned = feed.crossJoin(broadcast(cents))
       .select($"vec_id", $"cluster", $"v",
         r4(expr("cosine_sim(v, cv)")).as("cos"))
@@ -648,49 +729,117 @@ object Dedup {
       // rollup) would each recompute the centroid assignment;
       // lifetime bounded by the caller's clearCache
       .persist()
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    val counts = assigned.groupBy($"cluster").agg(count(lit(1)).as("cn"))
+      .withColumn("nsub", expr(s"(cn + ${cellCap - 1}) div $cellCap"))
+    // sub-key = the first 16 bits of md5(vec_id) decoded digit-by-digit
+    // (engine-portable, uniform — ascii codes of hex chars are bimodal
+    // and collapse mod powers of two, so decode to the digit VALUE)
+    def hx(i: Int): Column = {
+      val a = ascii(substring(col("h"), i, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val subbed = assigned.join(broadcast(counts), Seq("cluster"))
+      .withColumn("h", md5($"vec_id".cast("string")))
+      .withColumn("sub", pmod(
+        (hx(1) * 4096 + hx(2) * 256 + hx(3) * 16 + hx(4)).cast("long"),
+        $"nsub"))
+      .select($"vec_id", $"cluster", $"sub", $"v")
+    val pairs = subbed.as("a").join(subbed.as("b"),
         col("a.cluster") === col("b.cluster") &&
+          col("a.sub") === col("b.sub") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cluster").as("cluster"), col("b.vec_id").as("v2"),
         r4(expr("cosine_sim(a.v, b.v)")).as("cos"))
       .filter($"cos" >= 0.95)
     val dropped = pairs.select($"cluster", $"v2").distinct()
       .groupBy($"cluster").agg(count(lit(1)).as("n_dropped"))
-    assigned.groupBy($"cluster").agg(count(lit(1)).as("n_vectors"))
-      .join(dropped, Seq("cluster"), "left")
-      .select($"cluster", $"n_vectors",
+    counts.join(dropped, Seq("cluster"), "left")
+      .select($"cluster", $"cn".as("n_vectors"),
         coalesce($"n_dropped", lit(0L)).as("n_dropped"),
-        ($"n_vectors" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+        ($"cn" - coalesce($"n_dropped", lit(0L))).as("n_kept"),
+        $"nsub".as("n_subcells"))
       .orderBy($"cluster")
   }
-  val dedupSemanticSql: String =
+  /** One oracle-side Lloyd iteration over the full-dim feed — the
+    * exact SQL twin of one [[trainedCentroids]] pass (assign by
+    * rounded-cosine argmax, means as BIGINT fixed-point sums →
+    * floor(sum/n) → 4-dp, empty clusters keep the previous
+    * centroid). */
+  private def semIterSql(it: Int): String = {
+    val prev = s"cb${it - 1}"
+    s"""cn$it AS (SELECT cluster, cv,
+       |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM $prev),
+       |sc$it AS (SELECT m.vec_id, c.cluster, m.v,
+       |    floor(list_sum(list_transform(list_zip(m.v, c.cv),
+       |      p -> p[1] * p[2])) / (m.nrm * c.cn) * 10000 + 0.5) / 10000 AS cos
+       |  FROM m CROSS JOIN cn$it c),
+       |a$it AS (SELECT vec_id, cluster, v FROM (
+       |    SELECT vec_id, cluster, v, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, cluster) AS rn FROM sc$it) WHERE rn = 1),
+       |u$it AS (SELECT cluster, i.i AS pos,
+       |    sum(CAST(floor(v[i.i + 1] * 1000000 + 0.5) AS BIGINT)) AS sfp,
+       |    count(*) AS n
+       |  FROM a$it CROSS JOIN range(0, $EmbDim) i(i) GROUP BY 1, 2),
+       |g$it AS (SELECT cluster,
+       |    list(floor(floor(sfp * 1.0 / n) / 100.0 + 0.5) / 10000.0
+       |      ORDER BY pos) AS cv
+       |  FROM u$it GROUP BY 1),
+       |cb$it AS (SELECT c.cluster, coalesce(g.cv, c.cv) AS cv
+       |  FROM $prev c LEFT JOIN g$it g USING (cluster)),""".stripMargin
+  }
+
+  lazy val dedupSemanticSql: String = {
+    def hx(i: Int): String = {
+      val a = s"ascii(substring(md5(CAST(a.vec_id AS VARCHAR)), $i, 1))"
+      s"($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END)"
+    }
+    val subKey =
+      s"(${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)})"
     s"""WITH $nearFeedSql,
        |m AS (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM nf),
-       |cent AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn
-       |  FROM m WHERE vec_id < 8),
-       |a0 AS (SELECT m.vec_id, c.cluster,
+       |kk AS (SELECT greatest(8,
+       |    (count(*) + ${SemTargetCellRows - 1}) // $SemTargetCellRows) AS k
+       |  FROM nf),
+       |sd AS (SELECT vec_id, v,
+       |    row_number() OVER (ORDER BY vec_id) AS rn FROM nf),
+       |cb0 AS (SELECT CAST(rn AS BIGINT) AS cluster,
+       |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS cv
+       |  FROM sd WHERE rn <= (SELECT k FROM kk)),
+       |${(1 to SemIters).map(semIterSql).mkString("\n")}
+       |cnf AS (SELECT cluster, cv,
+       |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+       |  FROM cb$SemIters),
+       |scf AS (SELECT m.vec_id, c.cluster,
        |    floor(list_sum(list_transform(list_zip(m.v, c.cv),
        |      p -> p[1] * p[2])) / (m.nrm * c.cn) * 10000 + 0.5) / 10000 AS cos
-       |  FROM m CROSS JOIN cent c),
+       |  FROM m CROSS JOIN cnf c),
        |asg AS (SELECT vec_id, cluster FROM (
        |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY cos DESC, cluster) AS rn FROM a0) WHERE rn = 1),
+       |        ORDER BY cos DESC, cluster) AS rn FROM scf) WHERE rn = 1),
+       |ct AS (SELECT cluster, count(*) AS cn2,
+       |    (count(*) + ${SemCellCap - 1}) // $SemCellCap AS nsub
+       |  FROM asg GROUP BY 1),
+       |sb AS (SELECT a.vec_id, a.cluster,
+       |    $subKey % ct.nsub AS sub
+       |  FROM asg a JOIN ct USING (cluster)),
        |pairs AS (SELECT aa.cluster, bb.vec_id AS v2
-       |  FROM asg aa JOIN asg bb
-       |    ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+       |  FROM sb aa JOIN sb bb
+       |    ON aa.cluster = bb.cluster AND aa.sub = bb.sub
+       |      AND aa.vec_id < bb.vec_id
        |  JOIN m ma ON ma.vec_id = aa.vec_id
        |  JOIN m mb ON mb.vec_id = bb.vec_id
        |  WHERE floor(list_sum(list_transform(list_zip(ma.v, mb.v),
        |      p -> p[1] * p[2])) / (ma.nrm * mb.nrm) * 10000 + 0.5) / 10000
        |    >= 0.95),
        |drp AS (SELECT cluster, count(*) AS n_dropped
-       |  FROM (SELECT DISTINCT cluster, v2 FROM pairs) GROUP BY 1),
-       |st AS (SELECT cluster, count(*) AS n_vectors FROM asg GROUP BY 1)
-       |SELECT st.cluster, CAST(st.n_vectors AS BIGINT) AS n_vectors,
+       |  FROM (SELECT DISTINCT cluster, v2 FROM pairs) GROUP BY 1)
+       |SELECT ct.cluster, CAST(ct.cn2 AS BIGINT) AS n_vectors,
        |  CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
-       |  CAST(st.n_vectors - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept
-       |FROM st LEFT JOIN drp USING (cluster) ORDER BY cluster""".stripMargin
+       |  CAST(ct.cn2 - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept,
+       |  CAST(ct.nsub AS BIGINT) AS n_subcells
+       |FROM ct LEFT JOIN drp USING (cluster) ORDER BY cluster""".stripMargin
+  }
 
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

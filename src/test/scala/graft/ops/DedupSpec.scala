@@ -134,4 +134,44 @@ class DedupSpec extends AnyFunSuite {
     assert(dropped >= planted * 9 / 10,
       s"dropped $dropped < 90% of $planted planted near-copies")
   }
+
+  test("dedup_semantic: adversarial all-one-cell feed stays within the pair budget") {
+    import spark.implicits._
+    // 1000 IDENTICAL vectors: every row ties to every centroid at
+    // cos 1.0 and the id tie-break funnels the ENTIRE feed into
+    // cluster 1 — the degenerate Voronoi cell no k can fix. The cap
+    // must split it so the pair join does O(cap²·nsub) work, not O(n²).
+    val M = 1000
+    val cap = 64
+    import org.apache.spark.sql.functions.{array, lit}
+    val base = (0 until Dedup.EmbDim).map(i => math.sin(i + 1) / 8)
+    val feed = spark.range(M).select($"id".as("vec_id"),
+      array(base.map(lit): _*).as("v"))
+    val out = Dedup.semanticCore(spark, feed, 512, cap)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 1, s"expected one populated cell: ${out.toSeq}")
+    val (cl, nVec, nDrop, nKeep, nSub) = out.head
+    assert(cl === 1L && nVec === M.toLong)
+    assert(nDrop + nKeep === M.toLong, "accounting broken")
+    assert(nSub === (M + cap - 1) / cap, s"cell not split: nsub=$nSub")
+    // replay the md5 sub-key host-side: the deterministic spread keeps
+    // every sub-cell within 2×cap, so the pair join's worst unit is
+    // (2cap choose 2), never (n choose 2)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    def subOf(id: Long): Long = {
+      val h = mdig.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16) % nSub
+    }
+    val sizes = (0L until M.toLong).groupBy(subOf).values.map(_.size)
+    assert(sizes.max <= 2 * cap, s"sub-cell overflow: max ${sizes.max}")
+    val pairBudget = nSub * (2L * cap) * (2L * cap - 1) / 2
+    val actualPairs = sizes.map(s => s.toLong * (s - 1) / 2).sum
+    val unsplit = M.toLong * (M - 1) / 2
+    assert(actualPairs <= pairBudget && actualPairs * 4 < unsplit,
+      s"pair work not bounded: $actualPairs vs budget $pairBudget / unsplit $unsplit")
+    // identical vectors: every within-sub pair qualifies, so exactly
+    // the min id of each non-empty sub-cell survives
+    assert(nKeep === sizes.size.toLong, "kept != non-empty sub-cells")
+  }
 }
