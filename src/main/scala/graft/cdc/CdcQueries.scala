@@ -952,6 +952,88 @@ object CdcQueries {
       .orderBy($"user_id")
   }
 
+  // --------------------------------------------------------------- A34
+  /** Kafka-shaped TOPIC transport end-to-end — the last transport
+    * BASELINE.json names that A22/A23/A25 didn't model: the producer
+    * writes the change feed as a 4-partition offset log
+    * ([[graft.sources.v2.KafkaLogSource]] layout: `p=N/` dirs of
+    * `<baseOffset>-<count>.jsonl` segments, partition = key mod 4 —
+    * the KEYED partitioner, so each user's changes live in ONE
+    * partition in seq order, Kafka's per-key ordering contract), and
+    * the consumer under test readStreams `format("kafkalog")` —
+    * per-partition parallel splits, monotone (partition → offset)
+    * resume map — parses the JSON value, and materializes streaming
+    * latest-state. Same state contract as the wire trio; what's new
+    * is the transport: partitioned parallel reads + per-partition
+    * ordered offsets (the consumer-group position model).
+    *
+    * Records roll into a new segment every 1000 records, so every
+    * test SF exercises multi-segment partitions AND the by-name
+    * segment seek. Executors write segments (one writer per topic
+    * partition — the broker's per-partition append). */
+  def kafkaStreamSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val NPart = 4
+    val SegRecords = 1000
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val topicDir = graft.Scratch.dir("graft_kafka").toString
+    (0 until NPart).foreach(p => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(topicDir, s"p=$p")))
+    val keyed = changes.select(
+        pmod($"key", lit(NPart.toLong)).cast("int").as("part"),
+        $"key".cast("string").as("k"),
+        to_json(struct($"key", $"seq", $"op", $"event_type", $"value",
+          expr("unix_micros(ts)").as("ts_us"))).as("v"),
+        $"seq")
+      .withColumn("off", row_number().over(
+        Window.partitionBy($"part").orderBy($"seq")).cast("long") - 1)
+    keyed.repartition(NPart, $"part")
+      .sortWithinPartitions($"part", $"off")
+      .select($"part", $"off", $"k", $"v")
+      .as[(Int, Long, String, String)]
+      .mapPartitions { rows =>
+        // broker-side append: roll a segment every SegRecords records,
+        // named <baseOffset>-<count>.jsonl so the driver can compute
+        // log-end offsets from the listing alone
+        var written = 0
+        var curPart = -1
+        var base = 0L
+        var buf = new StringBuilder
+        var cnt = 0
+        def flush(): Unit = if (cnt > 0) {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(topicDir, s"p=$curPart",
+              f"$base%020d-$cnt.jsonl"),
+            buf.toString.getBytes("UTF-8"))
+          written += cnt; buf = new StringBuilder; cnt = 0
+        }
+        rows.foreach { case (part, off, k, v) =>
+          if (part != curPart || cnt >= SegRecords) {
+            flush(); curPart = part; base = off
+          }
+          buf.append(k).append('\t').append(v).append('\n'); cnt += 1
+        }
+        flush()
+        Iterator.single(written)
+      }.reduce(_ + _)
+    val vSchema = StructType(Seq(
+      StructField("key", LongType), StructField("seq", LongType),
+      StructField("op", StringType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("ts_us", LongType)))
+    val decoded = s.readStream.format("kafkalog").load(topicDir)
+      .select(from_json($"value", vSchema).as("r"))
+      .select($"r.key".as("key"), $"r.seq".as("seq"), $"r.op".as("op"),
+        $"r.event_type".as("event_type"), $"r.value".as("value"),
+        $"r.ts_us".as("tsMicros"))
+      .as[ChangeRecord]
+    CdcStream.runLatestStateBounded(s, decoded)
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        date_format(timestamp_micros($"tsMicros"), tsFmt).as("last_ts"))
+      .orderBy($"user_id")
+  }
+
   // --------------------------------------------------------------- A26
   /** Time travel over the MVCC upsert sink: the feed streams through
     * [[graft.sinks.MaterializedTable.upsertSink]] in two micro-batches
@@ -1156,6 +1238,7 @@ object CdcQueries {
     "cdc_stream_asof" -> (streamAsofQuery _),
     "cdc_wal2json_stream" -> (wal2jsonStreamSource _),
     "cdc_replication_source" -> (replicationSource _),
+    "cdc_kafka_stream" -> (kafkaStreamSource _),
     "cdc_typed_decode" -> (typedDecode _),
     "cdc_resume_from_lsn" -> (resumeFromLsn _),
     "cdc_snapshot_bootstrap" -> (snapshotBootstrap _),
@@ -1460,6 +1543,7 @@ object CdcQueries {
     "cdc_replication_source" -> latestOracle,
     "cdc_wal2json_stream" -> latestOracle,
     "cdc_debezium_stream" -> latestOracle,
+    "cdc_kafka_stream" -> latestOracle,
     "cdc_time_travel" ->
       s"""WITH $changesSql,
          |cut AS (SELECT CAST(floor(max(seq) / 2) AS BIGINT) AS c FROM changes),
