@@ -54,6 +54,19 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
   }
 
+  /** binary → 32-band mean-threshold perceptual hash, one pass over
+    * the payload (replaces 32 × substring + byte_sum — see
+    * [[HashOps.phash32]] for the band arithmetic contract). */
+  case class Phash32(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.phash32(input.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$H.phash32($c)")
+    override protected def withNewChildInternal(c: Expression): Phash32 = copy(child = c)
+  }
+
   /** binary → sum of unsigned byte values (payload checksum kernel). */
   case class ByteSum(child: Expression) extends UnaryExpression {
     override def nullIntolerant: Boolean = true
@@ -101,6 +114,7 @@ object GraftExpressions {
       es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("byte_sum", es => ByteSum(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("phash32", es => Phash32(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket",

@@ -93,6 +93,33 @@ object HashOps {
     s
   }
 
+  /** 32-band mean-threshold perceptual hash over a payload, ONE pass:
+    * band b covers bytes [b·l, b·l+l) with l = len/32 (the trailing
+    * len%32 bytes fall outside every band — the same arithmetic as the
+    * 32 × substring + byte_sum derivation this replaces, which copied
+    * the payload 32 times); bit b is set iff its band sum exceeds the
+    * 32-band mean. */
+  def phash32(bytes: Array[Byte]): Long = {
+    val l = bytes.length / 32
+    val sums = new Array[Long](32)
+    var b = 0
+    while (b < 32) {
+      var i = b * l
+      val end = i + l
+      var s = 0L
+      while (i < end) { s += bytes(i) & 0xff; i += 1 }
+      sums(b) = s
+      b += 1
+    }
+    var tot = 0L
+    b = 0
+    while (b < 32) { tot += sums(b); b += 1 }
+    var h = 0L
+    b = 0
+    while (b < 32) { if (sums(b) * 32 > tot) h |= 1L << b; b += 1 }
+    h
+  }
+
   /** Cosine similarity of two double vectors (one fused pass: dot +
     * both norms). Returns 0 when either norm is 0. */
   def cosine(a: ArrayData, b: ArrayData): Double = {

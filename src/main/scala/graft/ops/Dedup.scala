@@ -468,9 +468,14 @@ object Dedup {
     * otherwise grows by one join per round and Catalyst re-analyzes
     * the whole history each time — measured 0.9 s → 3.3 s per round
     * at sf0.1; with the lineage cut each round stays flat. */
-  def starContract(edges0: DataFrame, parts: Int): (DataFrame, Int) = {
-    val s = edges0.sparkSession
+  def starContract(edges0raw: DataFrame, parts: Int): (DataFrame, Int) = {
+    val s = edges0raw.sparkSession
     import s.implicits._
+    // materialize the caller's edge derivation ONCE: verts and the
+    // round-0 canonicalization below would otherwise each recompute
+    // the full upstream pair-generation subtree (banded joins, feature
+    // hashing) — at sf0.1 that was a second multi-second pass (r8)
+    val edges0 = edges0raw.localCheckpoint()
     val verts = edges0.select($"u")
       .unionByName(edges0.select($"v".as("u")))
       .distinct().localCheckpoint()
@@ -486,7 +491,8 @@ object Dedup {
         .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v")))
         .localCheckpoint()
       var rounds = 0
-      var converged = edges.isEmpty
+      var prevCount = edges.count()
+      var converged = prevCount == 0
       val wl = Window.partitionBy($"u")
       // 50-round guard is a runaway backstop, not an accuracy knob:
       // log2 of any physically possible vertex count is < 50, so
@@ -507,10 +513,17 @@ object Dedup {
           .unionByName(sm.select($"u", $"m".as("v")))
           .filter($"u" =!= $"v"))
           .localCheckpoint()
-        // fixpoint test: both sides are distinct sets, so equal counts
-        // + empty one-sided difference ⟺ set equality
-        converged = next.count() == edges.count() &&
-          next.exceptAll(edges).isEmpty
+        // count-gated fixpoint test (r8): while actively contracting,
+        // the canonical edge count changes nearly every round, and the
+        // count is a free scan of the just-checkpointed partitions —
+        // so the exact set-equality shuffle (exceptAll; both sides are
+        // distinct sets, so equal counts + empty one-sided difference
+        // ⟺ set equality) runs only on rounds whose counts tie,
+        // typically once at the true fixpoint. One shuffle saved per
+        // active round, exactness untouched.
+        val c = next.count()
+        converged = c == prevCount && next.exceptAll(edges).isEmpty
+        prevCount = c
         edges = next
         rounds += 1
       }

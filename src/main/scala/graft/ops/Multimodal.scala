@@ -202,24 +202,25 @@ object Multimodal {
     docs.unionByName(variants).filter(length($"text") >= 32)
   }
 
-  /** Unsorted C38 pair set — mmPhashNeardup adds only the
-    * presentation sort; C56 consumes this directly so no global sort
-    * sits mid-pipeline. */
-  private def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Every asset's 64-bit perceptual hash — ONE pass over the feed
+    * via the single-pass [[graft.functions.HashOps.phash32]] kernel
+    * (r8: the previous 32 × substring + byte_sum projection copied
+    * every payload 32 times per row; HashOpsSpec pins kernel == that
+    * derivation). C56 reuses this frame as its asset list, so the
+    * string-transform feed is built once per query, not twice. */
+  private def phashHashed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftExpressions.register(s)
-    val feed = phashFeed(s, dir)
-      .select($"doc_id", encode($"text", "UTF-8").as("payload"),
-        expr("length(text) div 32").as("l"))
-    val bsums = (0 until 32).map(b =>
-      expr(s"byte_sum(substring(payload, $b * l + 1, l))").as(s"bs$b"))
-    val tot = (0 until 32).map(b => col(s"bs$b")).reduce(_ + _)
-    val phash = (0 until 32).map(b =>
-      when(col(s"bs$b") * 32 > $"tot", lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    val hashed = feed.select($"doc_id" +: bsums: _*)
-      .withColumn("tot", tot)
-      .select($"doc_id", phash.as("phash"))
+    phashFeed(s, dir)
+      .select($"doc_id", expr("phash32(encode(text, 'UTF-8'))").as("phash"))
+  }
+
+  /** Unsorted C38 pair set from a (doc_id, phash) frame —
+    * mmPhashNeardup adds only the presentation sort; C56 consumes
+    * this directly so no global sort sits mid-pipeline. */
+  private def pairsFromHashed(hashed: DataFrame): DataFrame = {
+    val s = hashed.sparkSession
+    import s.implicits._
     val bands = hashed.select($"doc_id", $"phash", explode(array(
       (0 until 4).map(k => struct(lit(k).as("k"),
         expr(s"shiftright(phash, ${8 * k}) & 255").as("bv"))): _*)).as("bd"))
@@ -235,9 +236,13 @@ object Multimodal {
       .select($"d1", $"d2", $"hamming")
   }
 
+  /** Dev-probe alias for the C38 pair set (ContractProbe). */
+  private[graft] def phashPairsProbe(s: SparkSession, dir: String): DataFrame =
+    pairsFromHashed(phashHashed(s, dir))
+
   def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mmPhashPairs(s, dir).orderBy($"d1", $"d2")
+    pairsFromHashed(phashHashed(s, dir)).orderBy($"d1", $"d2")
   }
   /** The C38 pair derivation as a CTE chain ending in `mpairs` —
     * shared by the C38 oracle and C56's recursive clustering oracle. */
@@ -294,13 +299,17 @@ object Multimodal {
     * min-reachability. */
   def mmCanonical(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = mmPhashPairs(s, dir)
+    // one feed pass: the hashed frame is both the pair-generator input
+    // and the asset list for the rollup (r8 — previously the string-
+    // transform feed was rebuilt for the final join)
+    val hashed = phashHashed(s, dir).localCheckpoint()
+    val pairs = pairsFromHashed(hashed)
       .select($"d1".as("u"), $"d2".as("v"))
     val (labels, _) = Dedup.starContract(pairs, 32)
     val mediaType = expr(
       "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
       "ELSE 'video' END")
-    phashFeed(s, dir).select($"doc_id")
+    hashed.select($"doc_id")
       .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"l", $"doc_id").as("canonical_id"))
       .withColumn("media_type", mediaType)

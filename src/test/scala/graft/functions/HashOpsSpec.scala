@@ -64,4 +64,22 @@ class HashOpsSpec extends AnyFunSuite {
     val opp = HashOps.hyperplaneCode(dbls(-0.5, 0.25, -0.125, -1.0), 6, 42L)
     assert((c ^ opp) === 63)
   }
+
+  test("phash32 kernel equals the 32-band substring+byte_sum derivation") {
+    // the C38/C56 pair generators replaced a 32 × substring projection
+    // with this one-pass kernel; the band arithmetic (l = len/32,
+    // trailing len%32 bytes outside every band, bit set iff band sum
+    // beats the 32-band mean) must stay bit-identical
+    val rnd = new scala.util.Random(42)
+    for (len <- Seq(32, 33, 63, 64, 100, 2048, 4097)) {
+      val payload = Array.fill[Byte](len)(rnd.nextInt(256).toByte)
+      val l = len / 32
+      val sums = (0 until 32).map(b =>
+        payload.slice(b * l, b * l + l).map(x => (x & 0xff).toLong).sum)
+      val tot = sums.sum
+      val want = (0 until 32)
+        .map(b => if (sums(b) * 32 > tot) 1L << b else 0L).sum
+      assert(HashOps.phash32(payload) === want, s"len=$len")
+    }
+  }
 }
