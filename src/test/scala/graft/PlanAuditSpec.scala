@@ -237,6 +237,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(explodes.size <= 1, s"token stream exploded ${explodes.size} times:\n$plan")
   }
 
+  test("mm pair generation stays banded (no cartesian/BNLJ) for C38/C56") {
+    // the shared phash pair generator behind mm_phash_neardup AND
+    // mm_canonical: candidates must come from the 4×8-bit band
+    // equi-join — all-pairs over assets must never materialize
+    val plan = executed(ops.Multimodal.phashPairsProbe(spark, sf0001))
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty, s"quadratic join in pair generation:\n$plan")
+  }
+
+  test("q_window_gap_fill: spine join and fill ride the rollup's exchanges") {
+    // the B36 claim: one (user, hour) rollup shuffle + one user
+    // shuffle shared by the spine agg/join/window, + the presentation
+    // sort — and never a single-partition funnel
+    val plan = executed(queries.Relational.qWindowGapFill(spark, sf0001))
+    val xs = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(xs.size <= 3, s"got ${xs.size} exchanges:\n$plan")
+    val single = xs.filter(_.outputPartitioning ==
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(single.isEmpty, s"single-partition exchange in plan:\n$plan")
+  }
+
+  test("cdc_snapshot_bootstrap: snapshot + merge are exactly two key shuffles") {
+    // the A30 claim: one latest() fold per side — two hash exchanges
+    // on the change key; everything else is the broadcast one-row
+    // bounds scalar (SinglePartition on one row) and the final sort
+    val plan = executed(cdc.CdcQueries.queries("cdc_snapshot_bootstrap")(spark, sf0001))
+    val xs = plan.collect { case e: ShuffleExchangeExec => e }
+    val keyed = xs.filter(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.exists(_.toString.contains("key"))
+      case _ => false
+    })
+    assert(keyed.size === 2, s"expected 2 key shuffles, got ${keyed.size}:\n$plan")
+  }
+
   test("q7: nation-pair predicate prunes supplier and customer scans") {
     val plan = executed(queries.Relational.q7VolumeShipping(spark, sf0001))
     // the IN-(two nations) halves of the pair predicate must reach the
