@@ -26,12 +26,15 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    // Best-of-3 per query: single-shot timings on a shared box are
-    // ±3× noise (measured r1 vs r2 with identical code); the min is
-    // the query's real cost. Cache is cleared between runs so each
-    // timing does its own IO + shuffle work, and persisted branches
-    // from one query never pin executor memory into the next.
-    val Runs = 3
+    // Best + median per query over 5 runs (r7 verdict: single-shot
+    // timings on a shared box are ±3× noise, and with only best-of-3
+    // a phantom swing is indistinguishable from a regression — the
+    // median self-diagnoses: best moved AND median moved ⇒ real;
+    // best moved, median stable ⇒ one noisy run). The min remains the
+    // query's real cost. Cache is cleared between runs so each timing
+    // does its own IO + shuffle work, and persisted branches from one
+    // query never pin executor memory into the next.
+    val Runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
@@ -40,20 +43,26 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         if (ok) sec else -1.0
-      }
-      name -> (if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else -1.0)
+      }.filter(_ >= 0)
+      val best = if (secs.nonEmpty) secs.min else -1.0
+      val med = if (secs.nonEmpty) secs.sorted.apply(secs.size / 2) else -1.0
+      (name, best, med)
     }
     // The driver retains only the LAST ~2000 bytes of output (r6
     // evidence: BENCH tail truncation hid 50 of 110 per-query times),
-    // so order the line for tail survival: per-query times ascending
-    // (slowest LAST, 3-decimal) and the headline total/sf AFTER the
-    // map. Key order is irrelevant to any JSON parser; the tail now
-    // always shows the slowest queries + the total.
+    // so order the line for tail survival: the median map first (its
+    // head may truncate), then per-query best ascending (slowest
+    // LAST, 3-decimal), then the headline totals/sf. Key order is
+    // irrelevant to any JSON parser; the tail always shows the
+    // slowest queries + both totals.
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def jmap(kv: Seq[(String, Double)]) =
+      kv.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val meds = jmap(results.map(r => (r._1, r._3)).sortBy(_._2))
+    val qs = jmap(results.map(r => (r._1, r._2)).sortBy(_._2))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    val medTotal = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"queries_median":$meds,"queries":$qs,"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

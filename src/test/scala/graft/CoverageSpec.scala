@@ -56,4 +56,24 @@ class CoverageSpec extends AnyFunSuite {
     assert(tc.contains(actualTests),
       s"§8 says '${tc.orNull} ScalaTest tests', test tree has $actualTests")
   }
+
+  // r7 verdict: the §8 bench figure hand-drifted (88.1 vs the driver's
+  // 88.740) while the counts were already build-enforced — stamp the
+  // bench line the same way: §8 must quote the newest committed
+  // BENCH_r*.json total verbatim.
+  test("SURVEY §8 bench figure matches the newest committed BENCH_r*.json") {
+    val benches = Option(new java.io.File(".").listFiles()).get
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    assume(benches.nonEmpty, "no BENCH files committed yet")
+    val latest = java.nio.file.Files.readString(benches.last.toPath)
+    // the driver wraps stdout with escaped quotes; match either form
+    val total = """\\?"metric\\?":\\?"total\\?",\\?"value\\?":([0-9.]+)"""
+      .r.findFirstMatchIn(latest).map(_.group(1))
+    assert(total.nonEmpty, s"no total in ${benches.last.getName}")
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8").mkString
+    val quoted = """last driver measurement \*\*([0-9.]+) s\*\*"""
+      .r.findFirstMatchIn(survey).map(_.group(1))
+    assert(quoted === total,
+      s"§8 quotes '${quoted.orNull} s', ${benches.last.getName} says '${total.orNull}'")
+  }
 }
