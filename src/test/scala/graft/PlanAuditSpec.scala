@@ -275,6 +275,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keyed.size === 2, s"expected 2 key shuffles, got ${keyed.size}:\n$plan")
   }
 
+  test("runtime bloom filter injects on a selective shuffle join (100 TB scan-pruning path)") {
+    // At cluster scale a selective dimension predicate should prune
+    // the fact scan BEFORE the shuffle via Spark's runtime bloom
+    // filter (InjectRuntimeFilter). Prove the engine's query shapes
+    // are eligible: with broadcast off (forcing the shuffle join the
+    // 100 TB fact side would take) and the size thresholds opened up
+    // for toy data, the optimizer must plant a might_contain()
+    // pre-filter on the application side.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import spark.implicits._
+      val li = graft.Tables.table(spark, sf0001, "lineitem")
+      val ord = graft.Tables.table(spark, sf0001, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val q = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum($"l_extendedprice").as("rev"))
+      val plan = executed(q)
+      assert(plan.toString.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q7: nation-pair predicate prunes supplier and customer scans") {
     val plan = executed(queries.Relational.q7VolumeShipping(spark, sf0001))
     // the IN-(two nations) halves of the pair predicate must reach the

@@ -28,6 +28,43 @@ class AsOfJoinSpec extends AnyFunSuite {
     ))
   }
 
+  test("merge exec matches the union+last(ignoreNulls) window formulation on a random feed") {
+    // the AsOfProbe equivalence, pinned: both formulations must agree
+    // row-for-row on a seeded feed dense in the adversarial shapes —
+    // (key, ts) duplicates on both sides, left-only and right-only
+    // keys, and exact ts ties across sides (inclusive at-or-before)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(8)
+    // ts drawn from 0..19 so same-(key, ts) collisions are common
+    val left = Seq.tabulate(400)(i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(20).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = Seq.tabulate(600)(i =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(20).toLong, i.toLong, s"v$i"))
+      .toDF("rk", "rt", "rid", "v")
+    val merge = AsOf.join(left, right, "k", "t", "lid", "rk", "rt", "rid")
+      .select($"lid", $"rid", $"v")
+    val st = right.select($"rk".as("u"), $"rt".as("ts"), lit(0).as("side"),
+      $"rid", $"v", lit(null).cast("long").as("lid"))
+    val pu = left.select($"k".as("u"), $"t".as("ts"), lit(1).as("side"),
+      lit(null).cast("long").as("rid"), lit(null).cast("string").as("v"),
+      $"lid")
+    val w = Window.partitionBy($"u")
+      .orderBy($"ts", $"side", coalesce($"rid", lit(Long.MaxValue)))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val window = st.unionByName(pu)
+      .withColumn("lrid", last($"rid", ignoreNulls = true).over(w))
+      .withColumn("lv", last($"v", ignoreNulls = true).over(w))
+      .filter($"lid".isNotNull)
+      .select($"lid", $"lrid".as("rid"), $"lv".as("v"))
+    val a = merge.orderBy($"lid").collect().map(_.toString).toSeq
+    val b = window.orderBy($"lid").collect().map(_.toString).toSeq
+    assert(a.size === 400)
+    assert(a === b)
+  }
+
   test("physical plan is the custom merge-scan exec with co-partitioned sides") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf0001)
