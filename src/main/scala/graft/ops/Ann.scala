@@ -530,6 +530,72 @@ object Ann {
        |FROM mm_1 a JOIN mm_2 b USING (cluster) ORDER BY a.cluster""".stripMargin
   }
 
+  // --------------------------------------------------------------- C57
+  /** Per-dimension embedding distribution stats — the collapsed-
+    * encoder / dominated-dimension audit run before trusting a vector
+    * corpus (and before picking a Matryoshka truncation width, C47):
+    * for every dimension its mean, variance, and share of the total
+    * variance (energy, ppm). A healthy isotropic embedding spreads
+    * energy near-uniformly; a few dims holding most ppm means cosine
+    * similarity is effectively ranking on those dims alone.
+    *
+    * Determinism: per-dim sums are BIGINT fixed-point (Σ floor(x·1e6),
+    * Σ floor(x²·1e6) — order-free); mean/E[x²] via floor-division;
+    * variance from the fixed-point moments with the same integer
+    * expression in both engines; 4-dp presentation.
+    *
+    * 100 TB: posexplode fans ×64 but partial aggregation collapses to
+    * 64 groups per task before the exchange, so the one shuffle
+    * carries 64 rows per partition; the energy join broadcasts a
+    * one-row total. */
+  def embDimStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val moments = corpus(s, dir)
+      .select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"x" * 1000000 + 0.5).cast("long")).as("sfp"),
+        sum(floor($"x" * $"x" * 1000000 + 0.5).cast("long")).as("sfp2"))
+      .select($"dim", $"n",
+        floor($"sfp" * 1.0 / $"n").cast("long").as("mean_fp"),
+        floor($"sfp2" * 1.0 / $"n").cast("long").as("ex2_fp"))
+      .select($"dim", $"n", $"mean_fp",
+        greatest(lit(0L),
+          ($"ex2_fp" - expr("mean_fp * mean_fp div 1000000")).cast("long"))
+          .as("var_fp"))
+    val total = moments.agg(sum($"var_fp").as("tot_fp"))
+    moments.crossJoin(broadcast(total))
+      .select($"dim".cast("long").as("dim"), $"n",
+        (floor($"mean_fp" / 100.0 + 0.5) / 10000).as("mean_r4"),
+        (floor($"var_fp" / 100.0 + 0.5) / 10000).as("var_r4"),
+        expr("var_fp * 1000000 div tot_fp").as("energy_ppm"))
+      .orderBy($"dim")
+  }
+  val embDimStatsSql: String =
+    """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |    AS v FROM embeddings),
+      |e AS (SELECT i.i AS dim, v[i.i + 1] AS x
+      |  FROM v CROSS JOIN range(0, 64) i(i)),
+      |m AS (SELECT dim, count(*) AS n,
+      |    sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS sfp,
+      |    sum(CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)) AS sfp2
+      |  FROM e GROUP BY 1),
+      |mm AS (SELECT dim, n,
+      |    CAST(floor(sfp * 1.0 / n) AS BIGINT) AS mean_fp,
+      |    CAST(floor(sfp2 * 1.0 / n) AS BIGINT) AS ex2_fp
+      |  FROM m),
+      |vv AS (SELECT dim, n, mean_fp,
+      |    greatest(CAST(0 AS BIGINT),
+      |      ex2_fp - mean_fp * mean_fp // CAST(1000000 AS BIGINT)) AS var_fp
+      |  FROM mm),
+      |t AS (SELECT sum(var_fp) AS tot_fp FROM vv)
+      |SELECT dim, n,
+      |  floor(mean_fp / 100.0 + 0.5) / 10000 AS mean_r4,
+      |  floor(var_fp / 100.0 + 0.5) / 10000 AS var_r4,
+      |  CAST(var_fp * CAST(1000000 AS BIGINT) // tot_fp AS BIGINT)
+      |    AS energy_ppm
+      |FROM vv CROSS JOIN t ORDER BY dim""".stripMargin
+
   // --------------------------------------------------------------- C34
   /** Product quantization encode (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search"): 64d → 8 subspaces × 8d, each

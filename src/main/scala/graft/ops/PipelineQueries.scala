@@ -1084,7 +1084,81 @@ object PipelineQueries {
        |  CAST(coalesce(lk.leaked_digests, 0) AS BIGINT) AS leaked_digests
        |FROM st LEFT JOIN lk USING (split) ORDER BY st.split""".stripMargin
 
+  // --------------------------------------------------------------- C58
+  /** Domain-mix planner — the closed-form first step of weighting a
+    * training mixture (the DoReMi / Pile recipe shape): given a
+    * global token budget (half the corpus here) and uniform target
+    * shares across sources, compute each source's sampling rate.
+    * Sources smaller than their target cap at rate 1 (a filter
+    * pipeline can't upsample); their unused budget is redistributed
+    * equally across the uncapped sources in one closed-form round,
+    * and the op reports both the naive and final targets, the rate
+    * (ppm), and the expected token yield — the numbers a mix config
+    * is actually written from.
+    *
+    * Determinism: all arithmetic is BIGINT (token counts, ppm rates,
+    * floor-division); no floats anywhere.
+    *
+    * 100 TB: one map-side-combinable rollup on source (the only data
+    * shuffle); everything after runs on a sources-count-sized table
+    * with one-row broadcast totals. */
+  def pipelineDomainMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = graft.Tables.table(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("tokens_avail"))
+    val totals = perSource.agg(
+      sum($"tokens_avail").as("tot_tokens"),
+      count(lit(1)).as("k"))
+    val targeted = perSource.crossJoin(broadcast(totals))
+      .withColumn("target", expr("(tot_tokens div 2) div k"))
+      .withColumn("capped", $"tokens_avail" <= $"target")
+    val redistribution = targeted.agg(
+      sum(when($"capped", $"target" - $"tokens_avail").otherwise(0L))
+        .as("surplus"),
+      sum(when($"capped", 0L).otherwise(1L)).as("k_open"))
+    targeted.crossJoin(broadcast(redistribution))
+      .withColumn("final_target",
+        when($"capped", $"tokens_avail")
+          .otherwise($"target" + expr("surplus div k_open")))
+      .select($"source", $"n_docs", $"tokens_avail", $"target", $"capped",
+        $"final_target",
+        least(lit(1000000L), expr("final_target * 1000000 div tokens_avail"))
+          .as("rate_ppm"),
+        expr("tokens_avail * least(1000000, final_target * 1000000 div tokens_avail) div 1000000")
+          .as("expected_tokens"))
+      .orderBy($"source")
+  }
+  val pipelineDomainMixSql: String =
+    """WITH ps AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(tokens_avail) AS BIGINT) AS tot_tokens,
+      |    CAST(count(*) AS BIGINT) AS k FROM ps),
+      |tg AS (SELECT ps.*, (tot_tokens // 2) // k AS target,
+      |    tokens_avail <= (tot_tokens // 2) // k AS capped
+      |  FROM ps CROSS JOIN t),
+      |rd AS (SELECT
+      |    CAST(sum(CASE WHEN capped THEN target - tokens_avail
+      |      ELSE 0 END) AS BIGINT) AS surplus,
+      |    CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS k_open
+      |  FROM tg),
+      |fin AS (SELECT tg.*,
+      |    CASE WHEN capped THEN tokens_avail
+      |      ELSE target + surplus // k_open END AS final_target
+      |  FROM tg CROSS JOIN rd)
+      |SELECT source, n_docs, tokens_avail, target, capped, final_target,
+      |  least(CAST(1000000 AS BIGINT),
+      |    final_target * CAST(1000000 AS BIGINT) // tokens_avail) AS rate_ppm,
+      |  tokens_avail * least(CAST(1000000 AS BIGINT),
+      |    final_target * CAST(1000000 AS BIGINT) // tokens_avail)
+      |    // CAST(1000000 AS BIGINT) AS expected_tokens
+      |FROM fin ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_domain_mix" -> (pipelineDomainMix _),
+    "emb_dim_stats" -> (Ann.embDimStats _),
     "pipeline_split_holdout" -> (pipelineSplitHoldout _),
     "pipeline_filter_overlap" -> (pipelineFilterOverlap _),
     "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
@@ -1145,6 +1219,8 @@ object PipelineQueries {
     "mm_canonical" -> (Multimodal.mmCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_domain_mix" -> pipelineDomainMixSql,
+    "emb_dim_stats" -> Ann.embDimStatsSql,
     "pipeline_filter_overlap" -> pipelineFilterOverlapSql,
     "pipeline_split_holdout" -> pipelineSplitHoldoutSql,
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,
