@@ -309,6 +309,62 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition (runtime skew backstop)") {
+    // B14/B24 salt the skew we KNOW about at plan time; for the whale
+    // key nobody predicted, AQE's skew-join split is the runtime
+    // backstop SCALING.md leans on. Prove the engine's join shapes
+    // are eligible: one key holding ~90% of the left side, broadcast
+    // off, thresholds scaled to toy bytes -> the final adaptive
+    // sort-merge join must run with isSkewJoin (the whale partition
+    // read as parallel sub-ranges instead of one straggler task).
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // payload must be id-derived AND incompressible: a constant
+      // folds above the join, and a repeated pad lz4-compresses the
+      // whale partition below the skew thresholds this test is about
+      val skewed = spark.range(200000)
+        .select((when($"id" % 10 =!= 0, lit(0L)).otherwise($"id")).as("k"),
+          concat(md5($"id".cast("string")),
+            md5(concat(lit("b"), $"id".cast("string")))).as("payload"))
+      val dim = spark.range(20000).select($"id".as("k"),
+        concat(lit("d"), $"id").as("dv"))
+      // aggregate OVER the payload so column pruning can't drop it
+      // from the join shuffle (a bare count would), and collect()
+      // THIS DataFrame — count() builds a separate QueryExecution,
+      // leaving this plan unexecuted and therefore never re-planned
+      // by AQE
+      val joined = skewed.join(dim, "k")
+        .agg(sum(length($"payload")).as("bytes"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the SMJ lives inside a ResultQueryStage (a leaf wrapper that
+      // plan.collect can't descend into) — assert on the rendered plan
+      assert(plan.toString.contains("SortMergeJoin(skew=true)"),
+        s"no skew-split SMJ in adaptive plan:\n$plan")
+      assert(plan.toString.contains("AQEShuffleRead coalesced and skewed"),
+        s"whale partition not split into sub-reads:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q7: nation-pair predicate prunes supplier and customer scans") {
     val plan = executed(queries.Relational.q7VolumeShipping(spark, sf0001))
     // the IN-(two nations) halves of the pair predicate must reach the
