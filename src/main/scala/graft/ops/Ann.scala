@@ -596,6 +596,94 @@ object Ann {
       |    AS energy_ppm
       |FROM vv CROSS JOIN t ORDER BY dim""".stripMargin
 
+  // --------------------------------------------------------------- C59
+  /** Per-vector z-score audit against the corpus per-dim moments
+    * (C57's chain): standardize every dimension by the corpus
+    * mean/std and report each vector's whitened L2 norm, its worst
+    * |z|, and how many dims sit beyond 3σ — the broken-embedding /
+    * out-of-distribution scan run before vectors enter an index
+    * (a healthy 64-dim vector's z-norm concentrates near √64 ≈ 8).
+    *
+    * Determinism: moments are C57's BIGINT fixed-point; per-dim z is
+    * IEEE double arithmetic on identical inputs in both engines,
+    * fixed-pointed to 1e-6 BIGINT before the per-vector sum
+    * (order-free); 4-dp presentation; constant dims (var 0) define
+    * z = 0.
+    *
+    * 100 TB: the 64-row moment rollup is the only exchange; moments
+    * broadcast as ONE array row and every per-vector statistic is
+    * in-row array math at scan parallelism — no data shuffle. */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val moments = corpus(s, dir)
+      .select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"x" * 1000000 + 0.5).cast("long")).as("sfp"),
+        sum(floor($"x" * $"x" * 1000000 + 0.5).cast("long")).as("sfp2"))
+      .select($"dim",
+        floor($"sfp" * 1.0 / $"n").cast("long").as("mean_fp"),
+        greatest(lit(0L),
+          (floor($"sfp2" * 1.0 / $"n").cast("long") -
+            expr("cast(floor(sfp * 1.0 / n) as bigint) * cast(floor(sfp * 1.0 / n) as bigint) div 1000000"))
+            .cast("long")).as("var_fp"))
+    val marr = moments
+      .agg(transform(array_sort(collect_list(struct($"dim", $"mean_fp"))),
+          e => e("mean_fp")).as("means"),
+        transform(array_sort(collect_list(struct($"dim", $"var_fp"))),
+          e => e("var_fp")).as("vars"))
+    corpus(s, dir).crossJoin(broadcast(marr))
+      .select($"vec_id",
+        expr("""transform(v, (x, i) ->
+            CASE WHEN vars[i] = 0 THEN cast(0.0 as double)
+            ELSE (x - means[i] / 1000000.0) / sqrt(vars[i] / 1000000.0)
+            END)""").as("z"))
+      .select($"vec_id",
+        r4(sqrt(expr(
+          """aggregate(z, cast(0 as bigint),
+             (acc, zz) -> acc + cast(floor(zz * zz * 1000000 + 0.5) as bigint))""")
+          / 1000000)).as("z_norm"),
+        r4(array_max(expr("transform(z, zz -> abs(zz))"))).as("z_max"),
+        expr("cast(size(filter(z, zz -> abs(zz) > 3.0)) as bigint)")
+          .as("n_z_gt3"))
+      .orderBy($"vec_id")
+  }
+  val embOutliersSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e AS (SELECT i.i AS dim, v.vec_id, v.v[i.i + 1] AS x
+      |  FROM v CROSS JOIN range(0, 64) i(i)),
+      |m AS (SELECT dim, count(*) AS n,
+      |    sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS sfp,
+      |    sum(CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)) AS sfp2
+      |  FROM e GROUP BY 1),
+      |mv AS (SELECT dim,
+      |    CAST(floor(sfp * 1.0 / n) AS BIGINT) AS mean_fp,
+      |    greatest(CAST(0 AS BIGINT),
+      |      CAST(floor(sfp2 * 1.0 / n) AS BIGINT)
+      |        - CAST(floor(sfp * 1.0 / n) AS BIGINT)
+      |          * CAST(floor(sfp * 1.0 / n) AS BIGINT)
+      |          // CAST(1000000 AS BIGINT)) AS var_fp
+      |  FROM m),
+      |ma AS (SELECT list(mean_fp ORDER BY dim) AS means,
+      |    list(var_fp ORDER BY dim) AS vars FROM mv),
+      |z AS (SELECT vec_id,
+      |    list_transform(v, (x, i) ->
+      |      CASE WHEN vars[i] = 0 THEN CAST(0.0 AS DOUBLE)
+      |        ELSE (x - means[i] / 1000000.0) / sqrt(vars[i] / 1000000.0)
+      |        END) AS z
+      |  FROM v CROSS JOIN ma)
+      |SELECT vec_id,
+      |  floor(sqrt(list_sum(list_transform(z,
+      |      zz -> CAST(floor(zz * zz * 1000000 + 0.5) AS BIGINT)))
+      |    / 1000000) * 10000 + 0.5) / 10000 AS z_norm,
+      |  floor(list_max(list_transform(z, zz -> abs(zz))) * 10000 + 0.5)
+      |    / 10000 AS z_max,
+      |  CAST(len(list_filter(z, zz -> abs(zz) > 3.0)) AS BIGINT)
+      |    AS n_z_gt3
+      |FROM z ORDER BY vec_id""".stripMargin
+
   // --------------------------------------------------------------- C34
   /** Product quantization encode (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search"): 64d → 8 subspaces × 8d, each

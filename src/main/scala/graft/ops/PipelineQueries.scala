@@ -1159,6 +1159,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_domain_mix" -> (pipelineDomainMix _),
     "emb_dim_stats" -> (Ann.embDimStats _),
+    "emb_outliers" -> (Ann.embOutliers _),
     "pipeline_split_holdout" -> (pipelineSplitHoldout _),
     "pipeline_filter_overlap" -> (pipelineFilterOverlap _),
     "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
@@ -1221,6 +1222,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "pipeline_domain_mix" -> pipelineDomainMixSql,
     "emb_dim_stats" -> Ann.embDimStatsSql,
+    "emb_outliers" -> Ann.embOutliersSql,
     "pipeline_filter_overlap" -> pipelineFilterOverlapSql,
     "pipeline_split_holdout" -> pipelineSplitHoldoutSql,
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,

@@ -87,6 +87,28 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.70, f"mean recall $mean%.3f below floor")
   }
 
+  test("emb_outliers: whitening identity holds and the flag columns agree") {
+    import spark.implicits._
+    val rows = Ann.embOutliers(spark, sf0001)
+      .select("vec_id", "z_norm", "z_max", "n_z_gt3")
+      .as[(Long, Double, Double, Long)].collect()
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(rows.length.toLong === n, s"one row per vector expected, got ${rows.length}")
+    // z standardizes by the corpus's own per-dim moments, so the
+    // corpus mean of z_norm² is 64 by construction (population
+    // variance identity) — a non-vacuous whole-pipeline check that
+    // catches any mean/var/index misalignment, not just NaNs
+    val meanSq = rows.map(r => r._2 * r._2).sum / rows.length
+    assert(math.abs(meanSq - 64.0) < 64.0 * 0.02,
+      f"mean z_norm² $meanSq%.2f strays from the 64 identity")
+    // the two tail columns must tell the same story (4-dp rounding
+    // can only disagree exactly at the 3.0000 boundary)
+    rows.foreach { case (id, _, zmax, ngt3) =>
+      if (zmax > 3.0001) assert(ngt3 >= 1L, s"vec $id: z_max $zmax but n_z_gt3 0")
+      if (zmax < 2.9999) assert(ngt3 === 0L, s"vec $id: z_max $zmax but n_z_gt3 $ngt3")
+    }
+  }
+
   test("emb_matryoshka: full width reproduces the exact baseline, overlaps bounded") {
     import spark.implicits._
     val rows = Ann.embMatryoshka(spark, sf0001)
