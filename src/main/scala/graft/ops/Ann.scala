@@ -684,6 +684,180 @@ object Ann {
       |    AS n_z_gt3
       |FROM z ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- C60
+  /** Anisotropy audit ("All-but-the-Top", Mu et al. 2018): the top
+    * principal direction of the centered embedding corpus by
+    * DISTRIBUTED power iteration, plus the share of total variance
+    * it captures. A healthy isotropic corpus spreads energy across
+    * dims (share ≈ 1/64); a dominant common direction (share ≫ that)
+    * is the published signal that mean-removal + top-PC projection
+    * will sharpen downstream cosine similarity.
+    *
+    * Shape: k=3 power iterations, each ONE corpus scan computing
+    * in-row dot = (x−μ)·v then per-dim contribution partials that
+    * combine map-side to a 64-row exchange (the MLlib treeAggregate
+    * shape); the only collects are 64-row iteration states. The
+    * normalize step runs driver-side on those 64 numbers.
+    *
+    * Determinism (engine-replayable trajectory, the ann_ivf_pq Lloyd
+    * convention): μ and every cross-row / cross-dim sum are BIGINT
+    * fixed-point (1e-6); each iteration rescales by the max |s| via
+    * BIGINT floor-division then renormalizes with in-row double math
+    * on identical inputs, and re-fixed-points v before the next scan
+    * — so DuckDB re-runs the exact same 3 iterations. v0 = 1/√64
+    * (exactly 0.125) on every dim; sign follows the all-positive
+    * start. At 100 TB the contribution accumulator bound is kept by
+    * folding 1/n into v per iteration (documented, not needed at
+    * bench SFs). */
+  def embAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val mom = c
+      .select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"x" * 1000000 + 0.5).cast("long")).as("sfp"),
+        sum(floor($"x" * $"x" * 1000000 + 0.5).cast("long")).as("sfp2"))
+      .select($"dim",
+        floor($"sfp" * 1.0 / $"n").cast("long").as("mean_fp"),
+        greatest(lit(0L),
+          (floor($"sfp2" * 1.0 / $"n").cast("long") -
+            expr("cast(floor(sfp * 1.0 / n) as bigint) * cast(floor(sfp * 1.0 / n) as bigint) div 1000000"))
+            .cast("long")).as("var_fp"))
+      .orderBy($"dim").collect()                  // 64 rows: bounded
+    val meanFp = mom.map(_.getLong(1))
+    val totVarFp = mom.map(_.getLong(2)).sum
+    val maCol = array(meanFp.map(m => lit(m / 1e6)): _*)
+
+    def withDot(vfp: Array[Long]): DataFrame = c
+      .withColumn("ma", maCol)
+      .withColumn("va", array(vfp.map(f => lit(f / 1e6)): _*))
+      .withColumn("dot_fp", expr(
+        """aggregate(transform(v, (x, i) ->
+           cast(floor((x - ma[i]) * va[i] * 1000000 + 0.5) as bigint)),
+           cast(0 as bigint), (a, b) -> a + b)"""))
+
+    var vfp = Array.fill(64)(125000L)             // 1/√64 exactly
+    for (_ <- 1 to 3) {
+      val sFp = withDot(vfp)
+        .select(posexplode(expr(
+          """transform(v, (x, i) ->
+             cast(floor((x - ma[i]) * (dot_fp / 1000000.0) * 1000000 + 0.5)
+             as bigint))""")).as(Seq("dim", "cfp")))
+        .groupBy($"dim").agg(sum($"cfp").as("s_fp"))
+        .orderBy($"dim").collect().map(_.getLong(1))   // 64 rows
+      val smax = sFp.map(math.abs).max
+      if (smax > 0L) {
+        val uFp = sFp.map(x => Math.floorDiv(x * 1000000L, smax))
+        val nsq = uFp.map { u =>
+          val d = u / 1000000.0
+          math.floor(d * d * 1000000 + 0.5).toLong
+        }.sum
+        val norm = math.sqrt(nsq / 1000000.0)
+        vfp = uFp.map(u =>
+          math.floor((u / 1000000.0) / norm * 1000000 + 0.5).toLong)
+      }
+    }
+    val lam = withDot(vfp)
+      .agg(count(lit(1)).as("n"),
+        sum(expr(
+          """cast(floor((dot_fp / 1000000.0) * (dot_fp / 1000000.0) * 1000000
+             + 0.5) as bigint)""")).as("lsum"))
+      .collect().head
+    val ppm = math.floor(
+      (lam.getLong(1).toDouble / lam.getLong(0)) / totVarFp * 1000000 + 0.5
+    ).toLong
+    (0 until 64).map(d => (d.toLong, r4d(vfp(d) / 1e6), ppm))
+      .toDF("dim", "pc1_loading", "pc1_share_ppm")
+      .orderBy($"dim")
+  }
+  val embAnisotropySql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e AS (SELECT i.i AS dim, v.vec_id, v.v[i.i + 1] AS x
+      |  FROM v CROSS JOIN range(0, 64) i(i)),
+      |m AS (SELECT dim, count(*) AS n,
+      |    sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS sfp,
+      |    sum(CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)) AS sfp2
+      |  FROM e GROUP BY 1),
+      |mv AS (SELECT dim,
+      |    CAST(floor(sfp * 1.0 / n) AS BIGINT) AS mean_fp,
+      |    greatest(CAST(0 AS BIGINT),
+      |      CAST(floor(sfp2 * 1.0 / n) AS BIGINT)
+      |        - CAST(floor(sfp * 1.0 / n) AS BIGINT)
+      |          * CAST(floor(sfp * 1.0 / n) AS BIGINT)
+      |          // CAST(1000000 AS BIGINT)) AS var_fp
+      |  FROM m),
+      |ma AS (SELECT list(mean_fp ORDER BY dim) AS means FROM mv),
+      |tot AS (SELECT sum(var_fp) AS totvar_fp FROM mv),
+      |v0 AS (SELECT list_transform(range(0, 64),
+      |    x -> CAST(125000 AS BIGINT)) AS vfp FROM (SELECT 1)),
+      |d1 AS (SELECT v.v, list_sum(list_transform(v.v, (x, i) ->
+      |      CAST(floor((x - means[i] / 1000000.0) * (vfp[i] / 1000000.0)
+      |        * 1000000 + 0.5) AS BIGINT))) AS dot_fp
+      |  FROM v CROSS JOIN ma CROSS JOIN v0),
+      |s1 AS (SELECT i.i AS dim,
+      |    sum(CAST(floor((d1.v[i.i + 1] - means[i.i + 1] / 1000000.0)
+      |      * (dot_fp / 1000000.0) * 1000000 + 0.5) AS BIGINT)) AS s_fp
+      |  FROM d1 CROSS JOIN ma CROSS JOIN range(0, 64) i(i) GROUP BY 1),
+      |n1 AS (SELECT max(abs(s_fp)) AS smax FROM s1),
+      |u1 AS (SELECT dim, (s_fp * 1000000) // smax AS u_fp
+      |  FROM s1 CROSS JOIN n1),
+      |q1 AS (SELECT sum(CAST(floor((u_fp / 1000000.0) * (u_fp / 1000000.0)
+      |    * 1000000 + 0.5) AS BIGINT)) AS nsq FROM u1),
+      |w1 AS (SELECT dim, CAST(floor((u_fp / 1000000.0)
+      |    / sqrt(nsq / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS vfp
+      |  FROM u1 CROSS JOIN q1),
+      |v1 AS (SELECT list(vfp ORDER BY dim) AS vfp FROM w1),
+      |d2 AS (SELECT v.v, list_sum(list_transform(v.v, (x, i) ->
+      |      CAST(floor((x - means[i] / 1000000.0) * (vfp[i] / 1000000.0)
+      |        * 1000000 + 0.5) AS BIGINT))) AS dot_fp
+      |  FROM v CROSS JOIN ma CROSS JOIN v1),
+      |s2 AS (SELECT i.i AS dim,
+      |    sum(CAST(floor((d2.v[i.i + 1] - means[i.i + 1] / 1000000.0)
+      |      * (dot_fp / 1000000.0) * 1000000 + 0.5) AS BIGINT)) AS s_fp
+      |  FROM d2 CROSS JOIN ma CROSS JOIN range(0, 64) i(i) GROUP BY 1),
+      |n2 AS (SELECT max(abs(s_fp)) AS smax FROM s2),
+      |u2 AS (SELECT dim, (s_fp * 1000000) // smax AS u_fp
+      |  FROM s2 CROSS JOIN n2),
+      |q2 AS (SELECT sum(CAST(floor((u_fp / 1000000.0) * (u_fp / 1000000.0)
+      |    * 1000000 + 0.5) AS BIGINT)) AS nsq FROM u2),
+      |w2 AS (SELECT dim, CAST(floor((u_fp / 1000000.0)
+      |    / sqrt(nsq / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS vfp
+      |  FROM u2 CROSS JOIN q2),
+      |v2 AS (SELECT list(vfp ORDER BY dim) AS vfp FROM w2),
+      |d3 AS (SELECT v.v, list_sum(list_transform(v.v, (x, i) ->
+      |      CAST(floor((x - means[i] / 1000000.0) * (vfp[i] / 1000000.0)
+      |        * 1000000 + 0.5) AS BIGINT))) AS dot_fp
+      |  FROM v CROSS JOIN ma CROSS JOIN v2),
+      |s3 AS (SELECT i.i AS dim,
+      |    sum(CAST(floor((d3.v[i.i + 1] - means[i.i + 1] / 1000000.0)
+      |      * (dot_fp / 1000000.0) * 1000000 + 0.5) AS BIGINT)) AS s_fp
+      |  FROM d3 CROSS JOIN ma CROSS JOIN range(0, 64) i(i) GROUP BY 1),
+      |n3 AS (SELECT max(abs(s_fp)) AS smax FROM s3),
+      |u3 AS (SELECT dim, (s_fp * 1000000) // smax AS u_fp
+      |  FROM s3 CROSS JOIN n3),
+      |q3 AS (SELECT sum(CAST(floor((u_fp / 1000000.0) * (u_fp / 1000000.0)
+      |    * 1000000 + 0.5) AS BIGINT)) AS nsq FROM u3),
+      |w3 AS (SELECT dim, CAST(floor((u_fp / 1000000.0)
+      |    / sqrt(nsq / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS vfp
+      |  FROM u3 CROSS JOIN q3),
+      |v3 AS (SELECT list(vfp ORDER BY dim) AS vfp FROM w3),
+      |d4 AS (SELECT list_sum(list_transform(v.v, (x, i) ->
+      |      CAST(floor((x - means[i] / 1000000.0) * (vfp[i] / 1000000.0)
+      |        * 1000000 + 0.5) AS BIGINT))) AS dot_fp
+      |  FROM v CROSS JOIN ma CROSS JOIN v3),
+      |lam AS (SELECT count(*) AS n,
+      |    sum(CAST(floor((dot_fp / 1000000.0) * (dot_fp / 1000000.0)
+      |      * 1000000 + 0.5) AS BIGINT)) AS lsum FROM d4),
+      |share AS (SELECT CAST(floor((lsum * 1.0 / n) / totvar_fp * 1000000
+      |    + 0.5) AS BIGINT) AS pc1_share_ppm FROM lam CROSS JOIN tot)
+      |SELECT CAST(w3.dim AS BIGINT) AS dim,
+      |  floor((w3.vfp / 1000000.0) * 10000 + 0.5) / 10000 AS pc1_loading,
+      |  share.pc1_share_ppm
+      |FROM w3 CROSS JOIN share ORDER BY dim""".stripMargin
+
   // --------------------------------------------------------------- C34
   /** Product quantization encode (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search"): 64d → 8 subspaces × 8d, each

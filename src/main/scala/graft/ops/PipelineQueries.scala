@@ -1160,6 +1160,7 @@ object PipelineQueries {
     "pipeline_domain_mix" -> (pipelineDomainMix _),
     "emb_dim_stats" -> (Ann.embDimStats _),
     "emb_outliers" -> (Ann.embOutliers _),
+    "emb_anisotropy" -> (Ann.embAnisotropy _),
     "pipeline_split_holdout" -> (pipelineSplitHoldout _),
     "pipeline_filter_overlap" -> (pipelineFilterOverlap _),
     "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
@@ -1223,6 +1224,7 @@ object PipelineQueries {
     "pipeline_domain_mix" -> pipelineDomainMixSql,
     "emb_dim_stats" -> Ann.embDimStatsSql,
     "emb_outliers" -> Ann.embOutliersSql,
+    "emb_anisotropy" -> Ann.embAnisotropySql,
     "pipeline_filter_overlap" -> pipelineFilterOverlapSql,
     "pipeline_split_holdout" -> pipelineSplitHoldoutSql,
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,

@@ -109,6 +109,51 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_anisotropy: matches a plain-double power iteration and stays unit-norm") {
+    import spark.implicits._
+    val out = Ann.embAnisotropy(spark, sf0001)
+      .select("dim", "pc1_loading", "pc1_share_ppm")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.length === 64)
+    val loading = out.map(_._2)
+    val unit = loading.map(x => x * x).sum
+    assert(math.abs(unit - 1.0) < 1e-3, f"PC1 not unit norm: $unit%.5f")
+    // exact recomputation: same 3 power iterations in plain doubles
+    // (no fixed-point) — the op's trajectory may differ by ~1e-6 per
+    // step, so compare directions by cosine, not elementwise
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].collect()
+    val n = vecs.length
+    val mu = Array.tabulate(64)(d => vecs.map(_(d)).sum / n)
+    var v = Array.fill(64)(1.0 / 8.0)
+    for (_ <- 1 to 3) {
+      val sAcc = new Array[Double](64)
+      vecs.foreach { x =>
+        var dot = 0.0
+        var i = 0
+        while (i < 64) { dot += (x(i) - mu(i)) * v(i); i += 1 }
+        i = 0
+        while (i < 64) { sAcc(i) += (x(i) - mu(i)) * dot; i += 1 }
+      }
+      val nrm = math.sqrt(sAcc.map(x => x * x).sum)
+      v = sAcc.map(_ / nrm)
+    }
+    val cos = loading.zip(v).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.999, f"PC1 direction diverged: cos $cos%.5f")
+    // energy share agrees with the plain-double Rayleigh quotient
+    val lam = vecs.map { x =>
+      val dot = x.indices.map(i => (x(i) - mu(i)) * v(i)).sum
+      dot * dot
+    }.sum / n
+    val totVar = (0 until 64).map { d =>
+      vecs.map(x => (x(d) - mu(d)) * (x(d) - mu(d))).sum / n
+    }.sum
+    val specPpm = lam / totVar * 1e6
+    val opPpm = out.head._3.toDouble
+    assert(math.abs(opPpm - specPpm) < specPpm * 0.02,
+      f"share drifted: op $opPpm%.0f ppm vs spec $specPpm%.0f ppm")
+  }
+
   test("emb_matryoshka: full width reproduces the exact baseline, overlaps bounded") {
     import spark.implicits._
     val rows = Ann.embMatryoshka(spark, sf0001)
