@@ -100,7 +100,14 @@ object Dedup {
     * collisions only — this is what survives a 100× corpus. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val t = 0.8
+    jaccardPairs(s, dir, 0.8).orderBy($"d1", $"d2")
+  }
+
+  /** PPJoin pair generation at threshold `t`: exact-Jaccard pairs
+    * (d1 < d2, jac ≥ t) — C2's machinery, parameterized so C61's
+    * survival curve can run it once at its lowest threshold. */
+  private def jaccardPairs(s: SparkSession, dir: String, t: Double): DataFrame = {
+    import s.implicits._
     // four plan branches consume the shingles (freq, both join sides,
     // verify) — persist so shingling runs once, not per branch; the
     // returned frame is lazy, so lifetime is bounded by the caller
@@ -131,7 +138,6 @@ object Dedup {
         r4(size(array_intersect($"x.sh", $"y.sh")).cast("double") /
            size(array_union($"x.sh", $"y.sh"))).as("jac"))
       .filter($"jac" >= t)
-      .orderBy($"d1", $"d2")
   }
   val dedupNgramJaccardSql: String =
     s"""WITH $shingledSql,
@@ -144,6 +150,58 @@ object Dedup {
        |        floor(inter * 1.0 / (x.n + y.n - inter) * 10000 + 0.5) / 10000 AS jac
        |      FROM co JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2)
        |SELECT d1, d2, jac FROM j WHERE jac >= 0.8 ORDER BY d1, d2""".stripMargin
+
+  // --------------------------------------------------------------- C61
+  /** Dedup survival curve — the threshold-tuning input for C2/C3:
+    * for t ∈ {0.50 … 0.90}, how many exact-Jaccard pairs exist, how
+    * many docs the greedy rule drops (a doc is dropped when it has a
+    * ≥t pair to a LOWER id — C2's pair orientation), and what
+    * fraction of the shingle-eligible corpus survives. One PPJoin
+    * pass at the LOWEST threshold (0.5) generates every pair the
+    * whole curve needs; the sweep itself is a 5-row broadcast theta
+    * join over that pair set — its cost is a constant ×5 expand of
+    * the (tiny) pair list, never of the corpus. Threshold compares
+    * run on the 4-dp fixed-point jac (integer vs integer), so the
+    * curve is immune to double-literal drift. */
+  def dedupSurvivalCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, dir, 0.5)
+      .select($"d2", floor($"jac" * 10000 + 0.5).cast("long").as("jfp"))
+    val nDocs = shingled(s, dir).agg(count(lit(1)).as("n_docs"))
+    Seq(50L, 60L, 70L, 80L, 90L).toDF("t_pct")
+      .join(pairs, $"jfp" >= $"t_pct" * 100, "left")
+      .groupBy($"t_pct")
+      .agg(count($"d2").as("n_pairs"),
+        countDistinct($"d2").as("n_dropped"))
+      .crossJoin(broadcast(nDocs))
+      .select($"t_pct", $"n_pairs", $"n_dropped",
+        ($"n_docs" - $"n_dropped").as("n_survivors"),
+        floor(($"n_docs" - $"n_dropped") * 1000000.0 / $"n_docs" + 0.5)
+          .cast("long").as("survival_ppm"))
+      .orderBy($"t_pct")
+  }
+  val dedupSurvivalCurveSql: String =
+    s"""WITH $shingledSql,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |jp AS (SELECT d2, CAST(floor(inter * 1.0 / (x.n + y.n - inter)
+       |          * 10000 + 0.5) AS BIGINT) AS jfp
+       |       FROM co JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |       WHERE floor(inter * 1.0 / (x.n + y.n - inter) * 10000 + 0.5)
+       |         >= 5000),
+       |t AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT) AS t_pct),
+       |p AS (SELECT t_pct, count(d2) AS n_pairs,
+       |         count(DISTINCT d2) AS n_dropped
+       |       FROM t LEFT JOIN jp ON jfp >= t_pct * 100 GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM sh)
+       |SELECT t_pct, n_pairs, n_dropped,
+       |  n_docs - n_dropped AS n_survivors,
+       |  CAST(floor((n_docs - n_dropped) * 1000000.0 / n_docs + 0.5)
+       |    AS BIGINT) AS survival_ppm
+       |FROM p CROSS JOIN n ORDER BY t_pct""".stripMargin
 
   // --------------------------------------------------------------- C28
   /** Fragment-injected feed for the containment join: every 9th doc

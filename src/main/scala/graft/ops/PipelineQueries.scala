@@ -1130,6 +1130,62 @@ object PipelineQueries {
           .as("expected_tokens"))
       .orderBy($"source")
   }
+  // --------------------------------------------------------------- C62
+  /** Temperature-scaled source sampling (the multilingual-LM recipe:
+    * p_i ∝ (n_i/Σn)^α) at α = 1/2, i.e. T = 2 — C58's complement:
+    * domain_mix targets UNIFORM shares, this flattens the NATURAL
+    * distribution partway, up-weighting small sources without
+    * drowning large ones. Per source: token count, natural share,
+    * temperature share, and the boost factor temp/natural.
+    *
+    * α = 1/2 is deliberately the sqrt point: IEEE-754 sqrt is
+    * correctly rounded in both engines (pow is libm-dependent and
+    * banned by the determinism conventions). Each source's √tokens
+    * is fixed-pointed to 1e-6 BIGINT before the cross-source sum, so
+    * the normalizer is addition-order-free.
+    *
+    * 100 TB: one map-side-combinable source rollup is the only data
+    * shuffle; the share algebra runs on a sources-sized table with a
+    * one-row broadcast total. */
+  def pipelineTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = graft.Tables.table(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("tokens"))
+      .withColumn("sfp",
+        floor(sqrt($"tokens".cast("double")) * 1000000 + 0.5).cast("long"))
+    val tot = perSource.agg(
+      sum($"tokens").as("tot_tokens"), sum($"sfp").as("tot_sfp"))
+    perSource.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"tokens",
+        floor($"tokens" * 1000000.0 / $"tot_tokens" + 0.5).cast("long")
+          .as("natural_ppm"),
+        floor($"sfp" * 1000000.0 / $"tot_sfp" + 0.5).cast("long")
+          .as("temp_ppm"),
+        (floor(($"sfp" * 1000000.0 / $"tot_sfp")
+          / ($"tokens" * 1000000.0 / $"tot_tokens") * 10000 + 0.5) / 10000)
+          .as("boost"))
+      .orderBy($"source")
+  }
+  val pipelineTemperatureMixSql: String =
+    """WITH ps AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |ps2 AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000
+      |    + 0.5) AS BIGINT) AS sfp FROM ps),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+      |    CAST(sum(sfp) AS BIGINT) AS tot_sfp FROM ps2)
+      |SELECT source, n_docs, tokens,
+      |  CAST(floor(tokens * 1000000.0 / tot_tokens + 0.5) AS BIGINT)
+      |    AS natural_ppm,
+      |  CAST(floor(sfp * 1000000.0 / tot_sfp + 0.5) AS BIGINT)
+      |    AS temp_ppm,
+      |  floor((sfp * 1000000.0 / tot_sfp)
+      |    / (tokens * 1000000.0 / tot_tokens) * 10000 + 0.5) / 10000
+      |    AS boost
+      |FROM ps2 CROSS JOIN t ORDER BY source""".stripMargin
+
   val pipelineDomainMixSql: String =
     """WITH ps AS (SELECT source, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
@@ -1158,6 +1214,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_domain_mix" -> (pipelineDomainMix _),
+    "pipeline_temperature_mix" -> (pipelineTemperatureMix _),
     "emb_dim_stats" -> (Ann.embDimStats _),
     "emb_outliers" -> (Ann.embOutliers _),
     "emb_anisotropy" -> (Ann.embAnisotropy _),
@@ -1181,6 +1238,7 @@ object PipelineQueries {
     "pipeline_mix_sample" -> (pipelineMixSample _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_survival_curve" -> (Dedup.dedupSurvivalCurve _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhashAudit _),
     "dedup_cluster" -> (Dedup.dedupCluster _),
@@ -1222,6 +1280,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_domain_mix" -> pipelineDomainMixSql,
+    "pipeline_temperature_mix" -> pipelineTemperatureMixSql,
     "emb_dim_stats" -> Ann.embDimStatsSql,
     "emb_outliers" -> Ann.embOutliersSql,
     "emb_anisotropy" -> Ann.embAnisotropySql,
@@ -1245,6 +1304,7 @@ object PipelineQueries {
     "pipeline_mix_sample" -> pipelineMixSampleSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_survival_curve" -> Dedup.dedupSurvivalCurveSql,
     "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashAuditSql,
     "dedup_cluster" -> Dedup.dedupClusterSql,

@@ -174,4 +174,26 @@ class DedupSpec extends AnyFunSuite {
     // the min id of each non-empty sub-cell survives
     assert(nKeep === sizes.size.toLong, "kept != non-empty sub-cells")
   }
+
+  test("dedup_survival_curve is monotone and its t=0.8 point equals C2 exactly") {
+    import spark.implicits._
+    val curve = Dedup.dedupSurvivalCurve(spark, sf0001)
+      .select("t_pct", "n_pairs", "n_dropped", "n_survivors")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq === Seq(50L, 60L, 70L, 80L, 90L))
+    // tightening the threshold can only shed pairs and revive docs
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, s"pairs grew: $lo -> $hi")
+      assert(hi._3 <= lo._3, s"dropped grew: $lo -> $hi")
+      assert(hi._4 >= lo._4, s"survivors shrank: $lo -> $hi")
+    }
+    // cross-op identity: the curve's 0.8 point must count exactly the
+    // pairs dedup_ngram_jaccard emits — same PPJoin, different route
+    val c2Pairs = Dedup.dedupNgramJaccard(spark, sf0001).count()
+    val p80 = curve.find(_._1 == 80L).get._2
+    assert(p80 === c2Pairs, s"t=0.8 pair count $p80 != C2's $c2Pairs")
+    // the dup-free documents table still has SOME near-dup mass at
+    // 0.5, or the whole curve is vacuous
+    assert(curve.head._2 > 0L, "no pairs at t=0.5: curve is vacuous")
+  }
 }
