@@ -685,31 +685,11 @@ object Ann {
       |FROM z ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------- C60
-  /** Anisotropy audit ("All-but-the-Top", Mu et al. 2018): the top
-    * principal direction of the centered embedding corpus by
-    * DISTRIBUTED power iteration, plus the share of total variance
-    * it captures. A healthy isotropic corpus spreads energy across
-    * dims (share ≈ 1/64); a dominant common direction (share ≫ that)
-    * is the published signal that mean-removal + top-PC projection
-    * will sharpen downstream cosine similarity.
-    *
-    * Shape: k=3 power iterations, each ONE corpus scan computing
-    * in-row dot = (x−μ)·v then per-dim contribution partials that
-    * combine map-side to a 64-row exchange (the MLlib treeAggregate
-    * shape); the only collects are 64-row iteration states. The
-    * normalize step runs driver-side on those 64 numbers.
-    *
-    * Determinism (engine-replayable trajectory, the ann_ivf_pq Lloyd
-    * convention): μ and every cross-row / cross-dim sum are BIGINT
-    * fixed-point (1e-6); each iteration rescales by the max |s| via
-    * BIGINT floor-division then renormalizes with in-row double math
-    * on identical inputs, and re-fixed-points v before the next scan
-    * — so DuckDB re-runs the exact same 3 iterations. v0 = 1/√64
-    * (exactly 0.125) on every dim; sign follows the all-positive
-    * start. At 100 TB the contribution accumulator bound is kept by
-    * folding 1/n into v per iteration (documented, not needed at
-    * bench SFs). */
-  def embAnisotropy(s: SparkSession, dir: String): DataFrame = {
+  /** Shared C60/C63 core: per-dim fixed-point means, total variance,
+    * and the PC1 direction after 3 engine-replayable power
+    * iterations. Returns (meanFp, totVarFp, vfp) — all 1e-6 BIGINT
+    * fixed-point. The only collects are 64-row iteration states. */
+  private def topPc(s: SparkSession, dir: String): (Array[Long], Long, Array[Long]) = {
     import s.implicits._
     val c = corpus(s, dir)
     val mom = c
@@ -729,7 +709,7 @@ object Ann {
     val totVarFp = mom.map(_.getLong(2)).sum
     val maCol = array(meanFp.map(m => lit(m / 1e6)): _*)
 
-    def withDot(vfp: Array[Long]): DataFrame = c
+    def withDotLocal(vfp: Array[Long]): DataFrame = c
       .withColumn("ma", maCol)
       .withColumn("va", array(vfp.map(f => lit(f / 1e6)): _*))
       .withColumn("dot_fp", expr(
@@ -739,7 +719,7 @@ object Ann {
 
     var vfp = Array.fill(64)(125000L)             // 1/√64 exactly
     for (_ <- 1 to 3) {
-      val sFp = withDot(vfp)
+      val sFp = withDotLocal(vfp)
         .select(posexplode(expr(
           """transform(v, (x, i) ->
              cast(floor((x - ma[i]) * (dot_fp / 1000000.0) * 1000000 + 0.5)
@@ -748,7 +728,10 @@ object Ann {
         .orderBy($"dim").collect().map(_.getLong(1))   // 64 rows
       val smax = sFp.map(math.abs).max
       if (smax > 0L) {
-        val uFp = sFp.map(x => Math.floorDiv(x * 1000000L, smax))
+        // truncating division on purpose: DuckDB BIGINT `//` truncates
+        // toward zero (verified: -7//2 = -3), same as Scala `/` — a
+        // floorDiv here diverges on negative dims
+        val uFp = sFp.map(x => x * 1000000L / smax)
         val nsq = uFp.map { u =>
           val d = u / 1000000.0
           math.floor(d * d * 1000000 + 0.5).toLong
@@ -758,7 +741,51 @@ object Ann {
           math.floor((u / 1000000.0) / norm * 1000000 + 0.5).toLong)
       }
     }
-    val lam = withDot(vfp)
+    (meanFp, totVarFp, vfp)
+  }
+
+  /** (x−μ)·v dot products over the corpus for fixed-point μ and v —
+    * the shared C60/C63 scan shape (dot itself is fixed-pointed
+    * per element before the in-row sum, so it is engine-exact). */
+  private def withDot(s: SparkSession, dir: String,
+      meanFp: Array[Long], vfp: Array[Long]): DataFrame = {
+    corpus(s, dir)
+      .withColumn("ma", array(meanFp.map(m => lit(m / 1e6)): _*))
+      .withColumn("va", array(vfp.map(f => lit(f / 1e6)): _*))
+      .withColumn("dot_fp", expr(
+        """aggregate(transform(v, (x, i) ->
+           cast(floor((x - ma[i]) * va[i] * 1000000 + 0.5) as bigint)),
+           cast(0 as bigint), (a, b) -> a + b)"""))
+  }
+
+  /** Anisotropy audit ("All-but-the-Top", Mu et al. 2018): the top
+    * principal direction of the centered embedding corpus by
+    * DISTRIBUTED power iteration, plus the share of total variance
+    * it captures. A healthy isotropic corpus spreads energy across
+    * dims (share ≈ 1/64); a dominant common direction (share ≫ that)
+    * is the published signal that mean-removal + top-PC projection
+    * will sharpen downstream cosine similarity.
+    *
+    * Shape: k=3 power iterations, each ONE corpus scan computing
+    * in-row dot = (x−μ)·v then per-dim contribution partials that
+    * combine map-side to a 64-row exchange (the MLlib treeAggregate
+    * shape); the only collects are 64-row iteration states. The
+    * normalize step runs driver-side on those 64 numbers.
+    *
+    * Determinism (engine-replayable trajectory, the ann_ivf_pq Lloyd
+    * convention): μ and every cross-row / cross-dim sum are BIGINT
+    * fixed-point (1e-6); each iteration rescales by the max |s| via
+    * BIGINT truncating division then renormalizes with in-row double math
+    * on identical inputs, and re-fixed-points v before the next scan
+    * — so DuckDB re-runs the exact same 3 iterations. v0 = 1/√64
+    * (exactly 0.125) on every dim; sign follows the all-positive
+    * start. At 100 TB the contribution accumulator bound is kept by
+    * folding 1/n into v per iteration (documented, not needed at
+    * bench SFs). */
+  def embAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (meanFp, totVarFp, vfp) = topPc(s, dir)
+    val lam = withDot(s, dir, meanFp, vfp)
       .agg(count(lit(1)).as("n"),
         sum(expr(
           """cast(floor((dot_fp / 1000000.0) * (dot_fp / 1000000.0) * 1000000
@@ -771,8 +798,11 @@ object Ann {
       .toDF("dim", "pc1_loading", "pc1_share_ppm")
       .orderBy($"dim")
   }
-  val embAnisotropySql: String =
-    """WITH v AS (SELECT vec_id,
+  /** DuckDB twin of [[topPc]]: moments + the three fixed-point power
+    * iterations, ending at `v3` (the PC1 list) — shared by the C60
+    * and C63 oracles. */
+  private val powerIterCtes: String =
+    """v AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |e AS (SELECT i.i AS dim, v.vec_id, v.v[i.i + 1] AS x
@@ -843,7 +873,10 @@ object Ann {
       |w3 AS (SELECT dim, CAST(floor((u_fp / 1000000.0)
       |    / sqrt(nsq / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS vfp
       |  FROM u3 CROSS JOIN q3),
-      |v3 AS (SELECT list(vfp ORDER BY dim) AS vfp FROM w3),
+      |v3 AS (SELECT list(vfp ORDER BY dim) AS vfp FROM w3)""".stripMargin
+
+  val embAnisotropySql: String =
+    s"""WITH $powerIterCtes,
       |d4 AS (SELECT list_sum(list_transform(v.v, (x, i) ->
       |      CAST(floor((x - means[i] / 1000000.0) * (vfp[i] / 1000000.0)
       |        * 1000000 + 0.5) AS BIGINT))) AS dot_fp
@@ -857,6 +890,65 @@ object Ann {
       |  floor((w3.vfp / 1000000.0) * 10000 + 0.5) / 10000 AS pc1_loading,
       |  share.pc1_share_ppm
       |FROM w3 CROSS JOIN share ORDER BY dim""".stripMargin
+
+  // --------------------------------------------------------------- C63
+  /** All-but-the-Top APPLIED (C60's corrective step, Mu et al. 2018):
+    * center every vector and remove its projection onto the trained
+    * PC1 — the published post-processing that sharpens cosine
+    * similarity on anisotropic corpora. Reports per vector the
+    * centered norm, the corrected norm, and |projection coefficient|
+    * (how much common-direction mass the vector carried).
+    *
+    * Shape: the C60 training passes, then ONE output pass — centered
+    * vector, fixed-point dot with the broadcast PC1, element-wise
+    * removal, norms via the emb_outliers fixed-point-sum convention.
+    * All per-vector math is in-row at scan parallelism; no data
+    * shuffle. Pythagoras (before² = after² + coef²) is spec-pinned,
+    * non-vacuous because PC1 is unit-norm. */
+  def embWhiten(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (meanFp, _, vfp) = topPc(s, dir)
+    withDot(s, dir, meanFp, vfp)
+      .select($"vec_id", $"ma", $"va", $"dot_fp",
+        expr("transform(v, (x, i) -> x - ma[i])").as("c"))
+      .select($"vec_id",
+        r4(sqrt(expr(
+          """aggregate(transform(c, x ->
+             cast(floor(x * x * 1000000 + 0.5) as bigint)),
+             cast(0 as bigint), (a, b) -> a + b)""") / 1000000))
+          .as("norm_before"),
+        r4(sqrt(expr(
+          """aggregate(transform(c, (x, i) ->
+             cast(floor((x - (dot_fp / 1000000.0) * va[i])
+               * (x - (dot_fp / 1000000.0) * va[i]) * 1000000 + 0.5)
+             as bigint)),
+             cast(0 as bigint), (a, b) -> a + b)""") / 1000000))
+          .as("norm_after"),
+        r4(abs($"dot_fp" / 1000000.0)).as("proj_abs"))
+      .orderBy($"vec_id")
+  }
+  val embWhitenSql: String =
+    s"""WITH $powerIterCtes,
+      |wh AS (SELECT vec_id,
+      |    list_transform(v.v, (x, i) -> x - means[i] / 1000000.0) AS c,
+      |    vfp
+      |  FROM v CROSS JOIN ma CROSS JOIN v3),
+      |co AS (SELECT vec_id, c, vfp,
+      |    list_sum(list_transform(c, (x, i) ->
+      |      CAST(floor(x * (vfp[i] / 1000000.0) * 1000000 + 0.5)
+      |        AS BIGINT))) AS dot_fp
+      |  FROM wh)
+      |SELECT vec_id,
+      |  floor(sqrt(list_sum(list_transform(c, x ->
+      |      CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)))
+      |    / 1000000.0) * 10000 + 0.5) / 10000 AS norm_before,
+      |  floor(sqrt(list_sum(list_transform(c, (x, i) ->
+      |      CAST(floor((x - (dot_fp / 1000000.0) * (vfp[i] / 1000000.0))
+      |        * (x - (dot_fp / 1000000.0) * (vfp[i] / 1000000.0))
+      |        * 1000000 + 0.5) AS BIGINT)))
+      |    / 1000000.0) * 10000 + 0.5) / 10000 AS norm_after,
+      |  floor(abs(dot_fp / 1000000.0) * 10000 + 0.5) / 10000 AS proj_abs
+      |FROM co ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------- C34
   /** Product quantization encode (Jégou et al., "Product Quantization

@@ -1218,6 +1218,7 @@ object PipelineQueries {
     "emb_dim_stats" -> (Ann.embDimStats _),
     "emb_outliers" -> (Ann.embOutliers _),
     "emb_anisotropy" -> (Ann.embAnisotropy _),
+    "emb_whiten" -> (Ann.embWhiten _),
     "pipeline_split_holdout" -> (pipelineSplitHoldout _),
     "pipeline_filter_overlap" -> (pipelineFilterOverlap _),
     "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
@@ -1284,6 +1285,7 @@ object PipelineQueries {
     "emb_dim_stats" -> Ann.embDimStatsSql,
     "emb_outliers" -> Ann.embOutliersSql,
     "emb_anisotropy" -> Ann.embAnisotropySql,
+    "emb_whiten" -> Ann.embWhitenSql,
     "pipeline_filter_overlap" -> pipelineFilterOverlapSql,
     "pipeline_split_holdout" -> pipelineSplitHoldoutSql,
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,

@@ -154,6 +154,27 @@ class AnnSpec extends AnyFunSuite {
       f"share drifted: op $opPpm%.0f ppm vs spec $specPpm%.0f ppm")
   }
 
+  test("emb_whiten: Pythagoras holds and removal never grows a vector") {
+    import spark.implicits._
+    val rows = Ann.embWhiten(spark, sf0001)
+      .select("vec_id", "norm_before", "norm_after", "proj_abs")
+      .as[(Long, Double, Double, Double)].collect()
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(rows.length.toLong === n)
+    var removed = 0
+    rows.foreach { case (id, before, after, proj) =>
+      // PC1 is unit-norm, so removing the projection obeys
+      // before² = after² + proj² (up to 4-dp rounding slack)
+      val slack = 3e-4 * (before + after + proj + 1)
+      assert(math.abs(before * before - (after * after + proj * proj)) < slack,
+        s"vec $id: Pythagoras broken ($before, $after, $proj)")
+      assert(after <= before + 1e-4, s"vec $id grew: $before -> $after")
+      if (proj > 0.05) removed += 1
+    }
+    // non-vacuous: the corpus must carry SOME common-direction mass
+    assert(removed > 0, "no vector had meaningful PC1 mass — vacuous feed")
+  }
+
   test("emb_matryoshka: full width reproduces the exact baseline, overlaps bounded") {
     import spark.implicits._
     val rows = Ann.embMatryoshka(spark, sf0001)
