@@ -1267,6 +1267,7 @@ object PipelineQueries {
     "text_repetition" -> (TextOps.textRepetition _),
     "text_idf_rarity" -> (TextOps.textIdfRarity _),
     "text_lm_score" -> (TextOps.textLmScore _),
+    "text_ccnet_buckets" -> (TextOps.textCcnetBuckets _),
     "text_vocab" -> (TextOps.textVocab _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_domain_signature" -> (TextOps.textDomainSignature _),
@@ -1334,6 +1335,7 @@ object PipelineQueries {
     "text_repetition" -> TextOps.textRepetitionSql,
     "text_idf_rarity" -> TextOps.textIdfRaritySql,
     "text_lm_score" -> TextOps.textLmScoreSql,
+    "text_ccnet_buckets" -> TextOps.textCcnetBucketsSql,
     "text_vocab" -> TextOps.textVocabSql,
     "text_entropy" -> TextOps.textEntropySql,
     "text_domain_signature" -> TextOps.textDomainSignatureSql,

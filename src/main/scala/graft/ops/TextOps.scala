@@ -466,6 +466,82 @@ object TextOps {
       |    * 10000 + 0.5) / 10000 AS nll_score
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C64
+  /** CCNet-style quality buckets: per detected language, split docs
+    * into head/middle/tail TERCILES of the C29 unigram-LM score
+    * (CCNet partitions Common Crawl by per-language LM perplexity
+    * exactly this way) and report each bucket's doc count, token
+    * mass, and mean NLL — the table that decides which slice of a
+    * crawl is worth keeping per language.
+    *
+    * Determinism: tercile assignment is ntile(3) over the 4-dp NLL
+    * with doc_id tie-break (total order → identical group sizes both
+    * engines); bucket means are BIGINT sums of the 4-dp scores.
+    *
+    * Scale: C29's scoring is the dominant cost and already carries
+    * its Zipf head/tail split; the ntile window is a per-language
+    * sort, whose 100 TB form is the B21/C32 sketch-quantile cut
+    * (two KLL cut points per language instead of a total order) —
+    * exact ntile kept here for oracle exactness, the sketch is the
+    * documented drop-in. */
+  def textCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = textLmScore(s, dir)
+      .select($"doc_id", $"n_tokens", $"nll_score")
+    val langs = textLangid(s, dir).select($"doc_id", $"pred_lang")
+    val w = Window.partitionBy($"pred_lang")
+      .orderBy($"nll_score", $"doc_id")
+    scored.join(langs, "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy($"pred_lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("tokens"),
+        sum(floor($"nll_score" * 10000 + 0.5).cast("long")).as("sfp"))
+      .select($"pred_lang", $"bucket", $"n_docs", $"tokens",
+        r4($"sfp".cast("double") / ($"n_docs" * 10000).cast("double"))
+          .as("mean_nll"))
+      .orderBy($"pred_lang", $"bucket")
+  }
+  val textCcnetBucketsSql: String = {
+    val score = Markers.map { case (lang, ms) =>
+      val in = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), w -> w IN ($in))) AS ${lang}_score"
+    }.mkString(",\n  ")
+    val langCase =
+      s"""SELECT doc_id,
+         |  CASE
+         |    WHEN en_score > 0 AND en_score >= de_score AND en_score >= es_score
+         |         AND en_score >= fr_score THEN 'en'
+         |    WHEN de_score > 0 AND de_score >= es_score AND de_score >= fr_score THEN 'de'
+         |    WHEN es_score > 0 AND es_score >= fr_score THEN 'es'
+         |    WHEN fr_score > 0 THEN 'fr'
+         |    ELSE 'und' END AS pred_lang
+         |  FROM (SELECT doc_id, $score FROM documents) lsc""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |tf AS (SELECT word, count(*) AS tf FROM tok GROUP BY word),
+       |tot AS (SELECT count(*) AS t FROM tok),
+       |j AS (SELECT doc_id,
+       |    CAST(floor(ln(t * 1.0 / tf) * 1000000 + 0.5) AS BIGINT) AS nll_fp
+       |  FROM tok JOIN tf USING (word) CROSS JOIN tot),
+       |g AS (SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(nll_fp) AS BIGINT) AS sfp FROM j GROUP BY doc_id),
+       |sc0 AS (SELECT doc_id, n_tokens,
+       |    floor(CAST(sfp AS DOUBLE) / CAST(1000000 * n_tokens AS DOUBLE)
+       |      * 10000 + 0.5) / 10000 AS nll_score FROM g),
+       |lang AS ($langCase),
+       |b AS (SELECT sc0.doc_id, n_tokens, nll_score, pred_lang,
+       |    CAST(ntile(3) OVER (PARTITION BY pred_lang
+       |      ORDER BY nll_score, sc0.doc_id) AS BIGINT) AS bucket
+       |  FROM sc0 JOIN lang ON sc0.doc_id = lang.doc_id)
+       |SELECT pred_lang, bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |  floor(sum(CAST(floor(nll_score * 10000 + 0.5) AS BIGINT)) * 1.0
+       |    / (count(*) * 10000) * 10000 + 0.5) / 10000 AS mean_nll
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // --------------------------------------------------------------- C37
   /** Corpus vocabulary build — the tokenizer-fit front-end: top-200
     * words by corpus frequency with rank and cumulative-coverage ppm
