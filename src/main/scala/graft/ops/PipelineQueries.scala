@@ -1268,6 +1268,7 @@ object PipelineQueries {
     "text_idf_rarity" -> (TextOps.textIdfRarity _),
     "text_lm_score" -> (TextOps.textLmScore _),
     "text_ccnet_buckets" -> (TextOps.textCcnetBuckets _),
+    "text_dup_ngram_coverage" -> (TextOps.textDupNgramCoverage _),
     "text_vocab" -> (TextOps.textVocab _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_domain_signature" -> (TextOps.textDomainSignature _),
@@ -1336,6 +1337,7 @@ object PipelineQueries {
     "text_idf_rarity" -> TextOps.textIdfRaritySql,
     "text_lm_score" -> TextOps.textLmScoreSql,
     "text_ccnet_buckets" -> TextOps.textCcnetBucketsSql,
+    "text_dup_ngram_coverage" -> TextOps.textDupNgramCoverageSql,
     "text_vocab" -> TextOps.textVocabSql,
     "text_entropy" -> TextOps.textEntropySql,
     "text_domain_signature" -> TextOps.textDomainSignatureSql,

@@ -276,6 +276,61 @@ object TextOps {
       |FROM corpus c JOIN bench b ON c.s = b.s
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- C65
+  /** Duplicated-n-gram coverage (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): per doc, the
+    * fraction of its 13-gram SLOTS whose gram occurs in ≥2 distinct
+    * docs — the memorization-risk score that near-dup pair detection
+    * (C2/C3) does not give you, because partial boilerplate never
+    * crosses a pair threshold yet still trains verbatim recall.
+    *
+    * Shape: positions explode once (persisted — both the df branch
+    * and the coverage branch consume them); distinct (doc, gram)
+    * pairs → per-gram doc frequency (map-side combinable) → dup-gram
+    * set left-joins back to positions; one doc_id rollup. Exchanges
+    * carry gram keys; the 100 TB form shuffles xxhash64(gram) with a
+    * string confirm (the C19 convention) and broadcasts the
+    * boilerplate head (the C29 Zipf split) — exact strings kept here
+    * so the oracle is collision-free by construction. */
+  def textDupNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pos = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size($"w") >= 13)
+      .select($"doc_id", explode(
+        transform(sequence(lit(0), size($"w") - 13),
+          i => concat_ws(" ", slice($"w", i + 1, lit(13))))).as("g"))
+      .persist()
+    val dupGrams = pos.select($"doc_id", $"g").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("ndocs"))
+      .filter($"ndocs" >= 2)
+      .select($"g", lit(1L).as("dup"))
+    pos.join(dupGrams, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_slots"),
+        sum(when($"dup".isNotNull, 1L).otherwise(0L)).as("n_dup_slots"))
+      .select($"doc_id", $"n_slots", $"n_dup_slots",
+        floor($"n_dup_slots" * 1000000.0 / $"n_slots" + 0.5).cast("long")
+          .as("dup_ppm"))
+      .orderBy($"doc_id")
+  }
+  val textDupNgramCoverageSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pos AS (SELECT doc_id, unnest([array_to_string(w[i:i+12], ' ')
+      |         FOR i IN range(1, len(w) - 11)]) AS g
+      |       FROM words WHERE len(w) >= 13),
+      |dg AS (SELECT g, CAST(1 AS BIGINT) AS dup FROM (
+      |         SELECT g, count(DISTINCT doc_id) AS ndocs FROM pos GROUP BY g)
+      |       WHERE ndocs >= 2)
+      |SELECT doc_id, count(*) AS n_slots,
+      |  CAST(sum(CASE WHEN dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_slots,
+      |  CAST(floor(sum(CASE WHEN dup IS NOT NULL THEN 1 ELSE 0 END)
+      |    * 1000000.0 / count(*) + 0.5) AS BIGINT) AS dup_ppm
+      |FROM pos LEFT JOIN dg USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C20
   /** Fixed-window chunking with overlap: 50-word windows at stride 40
     * (10-word overlap), the split step before tokenize-and-pack. The
