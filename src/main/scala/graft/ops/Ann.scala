@@ -227,6 +227,81 @@ object Ann {
        |SELECT vec_id, cluster, cos FROM r WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- C66
+  /** IVF index shard-layout planner — the "how do I spread the cells
+    * of a coarse quantizer across S executors/index servers" step
+    * that follows C7b/C36: per-cell vector counts, then cells are
+    * snake-assigned (boustrophedon over the size-descending rank —
+    * each shard takes one cell per round, direction alternating) to
+    * 8 shards, reporting per shard its cell count, vector load, and
+    * load vs the ideal even split (ppm, 1e6 = perfectly balanced).
+    *
+    * Scale: the only corpus-sized work is the C23-shaped assignment
+    * (broadcast centroids, one cell rollup); ranking and snake
+    * arithmetic run on the CELLS table (≤32 rows — that global
+    * window orders cells, never data). Cells with zero vectors never
+    * reach the planner; closed-form assignment keeps the oracle
+    * exact where an LPT greedy loop would not be SQL-expressible. */
+  def embIndexShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val cells = 32
+    val shards = 8
+    val c = corpus(s, dir)
+    val cent = c.filter($"vec_id" < cells)
+      .select($"vec_id".as("cell"), $"v".as("cv"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cell")
+    val sizes = c.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cell", r4(expr("cosine_sim(v, cv)")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+    val rw = Window.orderBy($"n_vectors".desc, $"cell")
+    val assigned = sizes
+      .withColumn("rk", row_number().over(rw).cast("long") - 1)
+      .withColumn("shard",
+        when(expr(s"(rk div $shards) % 2") === 0, $"rk" % shards)
+          .otherwise(lit(shards - 1) - ($"rk" % shards)))
+    val tot = assigned.agg(sum($"n_vectors").as("tot"))
+    assigned.groupBy($"shard")
+      .agg(count(lit(1)).as("n_cells"), sum($"n_vectors").as("n_vectors"))
+      .crossJoin(broadcast(tot))
+      .select($"shard", $"n_cells", $"n_vectors",
+        floor($"n_vectors" * lit(1000000.0) * shards / $"tot" + 0.5)
+          .cast("long").as("load_ppm"))
+      .orderBy($"shard")
+  }
+  val embIndexShardsSql: String =
+    """WITH n AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
+      |q AS (SELECT vec_id AS cell, v AS cv, nrm AS cn
+      |      FROM m WHERE vec_id < 32),
+      |sc AS (SELECT m.vec_id, q.cell,
+      |    floor(list_sum(list_transform(list_zip(m.v, q.cv),
+      |      p -> p[1] * p[2])) / (m.nrm * q.cn) * 10000 + 0.5) / 10000 AS cos
+      |  FROM m CROSS JOIN q),
+      |r AS (SELECT vec_id, cell,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY cos DESC, cell) AS rn
+      |  FROM sc),
+      |sz AS (SELECT cell, count(*) AS n_vectors FROM r WHERE rn = 1
+      |       GROUP BY 1),
+      |rk AS (SELECT cell, n_vectors,
+      |    row_number() OVER (ORDER BY n_vectors DESC, cell) - 1 AS rk
+      |  FROM sz),
+      |asg AS (SELECT cell, n_vectors,
+      |    CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+      |      ELSE 7 - rk % 8 END AS shard
+      |  FROM rk),
+      |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS tot FROM asg)
+      |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_cells,
+      |  CAST(sum(n_vectors) AS BIGINT) AS n_vectors,
+      |  CAST(floor(sum(n_vectors) * 1000000.0 * 8 / tot + 0.5) AS BIGINT)
+      |    AS load_ppm
+      |FROM asg CROSS JOIN tot GROUP BY shard, tot ORDER BY shard""".stripMargin
+
   // ---------------------------------------------------------------- C7
   /** Approximate NN: random-hyperplane codes; a query probes its own
     * bucket plus all single-bit-flip buckets (multiprobe), exact cosine

@@ -1219,6 +1219,7 @@ object PipelineQueries {
     "emb_outliers" -> (Ann.embOutliers _),
     "emb_anisotropy" -> (Ann.embAnisotropy _),
     "emb_whiten" -> (Ann.embWhiten _),
+    "emb_index_shards" -> (Ann.embIndexShards _),
     "pipeline_split_holdout" -> (pipelineSplitHoldout _),
     "pipeline_filter_overlap" -> (pipelineFilterOverlap _),
     "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
@@ -1288,6 +1289,7 @@ object PipelineQueries {
     "emb_outliers" -> Ann.embOutliersSql,
     "emb_anisotropy" -> Ann.embAnisotropySql,
     "emb_whiten" -> Ann.embWhitenSql,
+    "emb_index_shards" -> Ann.embIndexShardsSql,
     "pipeline_filter_overlap" -> pipelineFilterOverlapSql,
     "pipeline_split_holdout" -> pipelineSplitHoldoutSql,
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,

@@ -175,6 +175,39 @@ class AnnSpec extends AnyFunSuite {
     assert(removed > 0, "no vector had meaningful PC1 mass — vacuous feed")
   }
 
+  test("emb_index_shards matches a driver-side snake assignment exactly") {
+    import spark.implicits._
+    val out = Ann.embIndexShards(spark, sf0001)
+      .select("shard", "n_cells", "n_vectors", "load_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .orderBy("vec_id")
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].collect()
+    def cos4(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / (na * nb) * 10000 + 0.5) / 10000
+    }
+    val cents = vecs.take(32)
+    val cellSizes = vecs.indices
+      .map { i =>
+        cents.indices.map(c => (-cos4(vecs(i), cents(c)), c)).min._2
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = cellSizes.toSeq.sortBy { case (c, n) => (-n, c) }
+    val loads = Array.fill(8)(0L); val cellsPer = Array.fill(8)(0L)
+    ranked.zipWithIndex.foreach { case ((_, n), rk) =>
+      val sh = if ((rk / 8) % 2 == 0) rk % 8 else 7 - rk % 8
+      loads(sh) += n; cellsPer(sh) += 1
+    }
+    val totalV = loads.sum
+    assert(totalV === vecs.length.toLong, "vectors lost in assignment")
+    val expected = (0 until 8).map(sh => (sh.toLong, cellsPer(sh), loads(sh),
+      math.floor(loads(sh) * 1000000.0 * 8 / totalV + 0.5).toLong))
+    assert(out.toSeq === expected, s"shard table diverged:\n$out\n$expected")
+  }
+
   test("emb_matryoshka: full width reproduces the exact baseline, overlaps bounded") {
     import spark.implicits._
     val rows = Ann.embMatryoshka(spark, sf0001)
