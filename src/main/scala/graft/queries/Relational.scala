@@ -983,7 +983,49 @@ object Relational {
       |  v, filled
       |FROM f ORDER BY user_id, hour""".stripMargin
 
+  // --------------------------------------------------------------- B37
+  /** Event-type transition matrix (the next-event / Markov-chain
+    * table behind session-flow dashboards and path analysis): for
+    * each ordered per-user event pair (lead over ts with event_id
+    * tie-break), count (from_type → to_type) and the row-conditional
+    * probability P(to | from) in ppm.
+    *
+    * 100 TB: ONE user-keyed exchange feeds the lead window (event
+    * sequencing is per-user state, exactly the sessionize shape);
+    * the pair rollup map-side combines to |types|² rows and the
+    * conditional normalization is a window over that tiny matrix —
+    * never over events. */
+  def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = graft.Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p_ppm",
+        floor($"n" * 1000000.0 /
+          sum($"n").over(Window.partitionBy($"from_type")) + 0.5)
+          .cast("long"))
+      .orderBy($"from_type", $"to_type")
+  }
+  val qEventTransitionsSql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |p AS (SELECT event_type AS from_type, to_type, count(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(floor(n * 1000000.0
+      |    / sum(n) OVER (PARTITION BY from_type) + 0.5) AS BIGINT)
+      |    AS p_ppm
+      |FROM p ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (qEventTransitions _),
     "q_window_gap_fill" -> (qWindowGapFill _),
     "q_sketch_set_ops" -> (qSketchSetOps _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
@@ -1022,6 +1064,7 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" -> qEventTransitionsSql,
     "q_window_gap_fill" -> qWindowGapFillSql,
     "q_sketch_set_ops" -> qSketchSetOpsSql,
     "q_retention_cohorts" ->

@@ -70,4 +70,24 @@ class RelationalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("q_event_transitions: row-stochastic matrix over exactly the user pairs") {
+    import spark.implicits._
+    val rows = Relational.qEventTransitions(spark, sf0001)
+      .select("from_type", "to_type", "n", "p_ppm")
+      .as[(String, String, Long, Long)].collect()
+    // each user with k events contributes exactly k-1 ordered pairs
+    val ev = graft.Tables.events(spark, sf0001)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === nEvents - nUsers,
+      s"pair count ${rows.map(_._3).sum} != events $nEvents - users $nUsers")
+    // conditional probabilities are normalized per from_type (each
+    // cell rounds half-up, so a row of k cells lands within ±k/2 ppm)
+    rows.groupBy(_._1).foreach { case (from, cells) =>
+      val sum = cells.map(_._4).sum
+      assert(math.abs(sum - 1000000L) <= cells.length,
+        s"row $from not stochastic: $sum ppm over ${cells.length} cells")
+    }
+  }
 }
