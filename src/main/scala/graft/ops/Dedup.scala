@@ -53,8 +53,9 @@ object Dedup {
     shingleDocs(s, table(s, dir, "documents"))
 
   /** Shingling over any (doc_id, text) frame — shared by the
-    * documents-table path and C28's fragment-injected feed. */
-  private def shingleDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    * documents-table path, C28's fragment-injected feed, and C67's
+    * per-micro-batch shingling. */
+  private[ops] def shingleDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     docs
       .select($"doc_id", split($"text", " ").as("w"))

@@ -535,6 +535,183 @@ object PipelineQueries {
        |  CAST(min(length(text)) AS BIGINT) AS n_chars
        |FROM g GROUP BY text_md5 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C67
+  private val neardupKeptSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_sh",
+      org.apache.spark.sql.types.LongType)))
+
+  private def hasParts(tableDir: String, prefix: String): Boolean = {
+    val files = new java.io.File(tableDir).listFiles()
+    files != null && files.exists(_.getName.startsWith(prefix))
+  }
+
+  /** Streaming NEAR-dup ingest — C39's exact-digest gate upgraded to
+    * MinHash/LSH: each micro-batch shingles its docs, bands their
+    * 128-hash signatures (16×8), mines within-batch candidates AND
+    * joins the batch's bands against the banded HISTORY table, exact-
+    * Jaccard-confirms every candidate (estimates never decide), and
+    * drops a doc when a confirmed ≥0.8 partner with a lower id has
+    * been seen. SEEN policy on purpose: every batch doc's bands and
+    * shingles append to history whether kept or dropped, so "dropped
+    * iff any lower-id confirmed partner" holds globally and the
+    * result is batch-cut-invariant (and SQL-derivable — a kept-only
+    * history would need the greedy-MIS recursion no oracle can run).
+    *
+    * Scale: band exchanges carry (doc_id, band, bh) only; the history
+    * band join prunes on bh%16 partitions before shuffling; confirm
+    * fetches ONLY candidate partners' shingle rows, partition-pruned
+    * by their id buckets (two bounded ≤16-value collects per batch,
+    * the C39 convention). Bucket caps bound degenerate bands exactly
+    * as in C3. Recall at t=0.8 with 16×8 banding is complete on this
+    * corpus — proven by C3 hash-matching C2's exact pair set at every
+    * SF — so the oracle can re-derive drops from the exact pair set. */
+  def pipelineStreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExpressions.register(s)
+    val docs = graft.Tables.table(s, dir, "documents")
+      .select($"doc_id", $"text")
+    val inDir = graft.Scratch.dir("graft_neardup_in")
+    val maxId = docs.agg(max($"doc_id")).as[Long].head()
+    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+    val batchDefs = Seq(
+      ("00", docs.filter($"doc_id" <= cut1)),
+      ("01", docs.filter($"doc_id" > cut1 && $"doc_id" <= cut2)),
+      ("02", docs.filter($"doc_id" > cut2)))
+    batchDefs.zipWithIndex.foreach { case ((name, part), i) =>
+      val tmp = graft.Scratch.dir(s"graft_neardup_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (f.hasNext && !moved) {
+        val p = f.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dst = inDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+          moved = true
+        }
+      }
+    }
+    val bandsDir = graft.Scratch.dir("graft_neardup_bands").toString
+    val shDir = graft.Scratch.dir("graft_neardup_sh").toString
+    val keptDir = graft.Scratch.dir("graft_neardup_kept").toString
+    val bandSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bh",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pfx",
+        org.apache.spark.sql.types.StringType)))
+    val shSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types
+        .ArrayType(org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("dpfx",
+        org.apache.spark.sql.types.StringType)))
+    val inSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = s.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val bsh = Dedup.shingleDocs(sp, batch)
+          .withColumn("sig", expr("minhash_sig(sh, 128)")).persist()
+        val bands = bsh.select($"doc_id",
+            explode(array((0 until 16).map(b =>
+              struct(lit(b).as("band"),
+                xxhash64(slice($"sig", b * 8 + 1, 8)).as("bh"))): _*)).as("e"))
+          .select($"doc_id", $"e.band".as("band"), $"e.bh".as("bh"))
+          .withColumn("pfx", pmod($"bh", lit(16)).cast("string"))
+          .persist()
+        // within-batch candidates: the C3 bucket shape, 64-id cap
+        val wbCand = bands.groupBy($"band", $"bh")
+          .agg(slice(sort_array(collect_list($"doc_id")), 1, 64).as("ids"))
+          .filter(size($"ids") > 1)
+          .select(explode($"ids").as("d1"), $"ids")
+          .select($"d1", explode($"ids").as("d2"))
+          .filter($"d1" < $"d2")
+          .dropDuplicates("d1", "d2")
+        val full = bsh.select($"doc_id", $"sh")
+        val wbDrop = wbCand
+          .join(full.as("x"), $"d1" === $"x.doc_id")
+          .join(full.as("y"), $"d2" === $"y.doc_id")
+          .filter(
+            size(array_intersect($"x.sh", $"y.sh")).cast("double") /
+              size(array_union($"x.sh", $"y.sh")) >= 0.8)
+          .select($"d2".as("doc_id"))
+        // history candidates: band join pruned to this batch's bh%16
+        // partitions, then shingles of ONLY the matched partners,
+        // pruned to their id buckets
+        var cand: DataFrame = null
+        val histDrop =
+          if (!hasParts(bandsDir, "pfx=")) wbDrop.limit(0)
+          else {
+            val pfxs = bands.select($"pfx").distinct()
+              .collect().map(_.getString(0)).toSeq
+            val hist = sp.read.schema(bandSchema).parquet(bandsDir)
+              .filter($"pfx".isin(pfxs: _*))
+            cand = bands.join(hist
+                .select($"band", $"bh", $"doc_id".as("hist_id")),
+                Seq("band", "bh"))
+              .select($"hist_id", $"doc_id").dropDuplicates().persist()
+            val dpfxs = cand.select(pmod($"hist_id", lit(8)).cast("string"))
+              .distinct().collect().map(_.getString(0)).toSeq
+            val histSh = sp.read.schema(shSchema).parquet(shDir)
+              .filter($"dpfx".isin(dpfxs: _*))
+              .select($"doc_id".as("hist_id"), $"sh".as("hsh"))
+            cand.join(histSh, "hist_id")
+              .join(full, "doc_id")
+              .filter(
+                size(array_intersect($"hsh", $"sh")).cast("double") /
+                  size(array_union($"hsh", $"sh")) >= 0.8)
+              .select($"doc_id")
+          }
+        val kept = bsh.select($"doc_id", size($"sh").cast("long").as("n_sh"))
+          .join(wbDrop.union(histDrop).distinct(), Seq("doc_id"), "left_anti")
+        kept.write.mode("append").parquet(keptDir)
+        // SEEN policy: every batch doc enters history, kept or not.
+        // Task-per-partition writes (the B31 convention): shingling runs
+        // at full parallelism, so an unrepartitioned partitionBy would
+        // fan every writer task across every pfx dir — tasks × dirs tiny
+        // files per batch, and the NEXT batch's history read pays the
+        // file-listing bill.
+        bands.repartition($"pfx")
+          .write.mode("append").partitionBy("pfx").parquet(bandsDir)
+        bsh.select($"doc_id", $"sh",
+            pmod($"doc_id", lit(8)).cast("string").as("dpfx"))
+          .repartition($"dpfx")
+          .write.mode("append").partitionBy("dpfx").parquet(shDir)
+        bsh.unpersist(); bands.unpersist()
+        if (cand != null) cand.unpersist()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema(neardupKeptSchema).parquet(keptDir)
+      .orderBy($"doc_id")
+  }
+  val pipelineStreamNeardupSql: String =
+    s"""WITH ${Dedup.shingledSql},
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |dr AS (SELECT DISTINCT d2 FROM co
+       |       JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |       WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8)
+       |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh
+       |FROM sh WHERE doc_id NOT IN (SELECT d2 FROM dr)
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C41
   /** Corpus validation — the expectations/contract check a pipeline
     * runs before accepting a delivery (Great-Expectations shape): one
@@ -1241,6 +1418,7 @@ object PipelineQueries {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_survival_curve" -> (Dedup.dedupSurvivalCurve _),
+    "pipeline_stream_neardup" -> (pipelineStreamNeardup _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhashAudit _),
     "dedup_cluster" -> (Dedup.dedupCluster _),
@@ -1311,6 +1489,7 @@ object PipelineQueries {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_survival_curve" -> Dedup.dedupSurvivalCurveSql,
+    "pipeline_stream_neardup" -> pipelineStreamNeardupSql,
     "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashAuditSql,
     "dedup_cluster" -> Dedup.dedupClusterSql,
