@@ -541,11 +541,46 @@ object PipelineQueries {
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("n_sh",
       org.apache.spark.sql.types.LongType)))
+  private val neardupBandSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bh",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pfx",
+      org.apache.spark.sql.types.StringType)))
+  private val neardupShSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types
+      .ArrayType(org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("dpfx",
+      org.apache.spark.sql.types.StringType)))
 
   private def hasParts(tableDir: String, prefix: String): Boolean = {
     val files = new java.io.File(tableDir).listFiles()
     files != null && files.exists(_.getName.startsWith(prefix))
   }
+
+  /** C67's band-history read pruned to the prefixes a batch's bands
+    * hash into — factored like [[prunedHistory]] so PlanAuditSpec can
+    * assert the isin predicate lands in the scan's PartitionFilters
+    * (the per-batch band join reads a slice of history, not all of
+    * it). Schemas declared so digit-valued partition values can't be
+    * inferred as integers (the r7 advisor's C39 finding). */
+  private[graft] def prunedBands(sp: SparkSession, tableDir: String,
+      pfxs: Seq[String]): DataFrame =
+    sp.read.schema(neardupBandSchema).parquet(tableDir)
+      .filter(col("pfx").isin(pfxs: _*))
+
+  /** C67's shingle-history read pruned to the id buckets of the
+    * batch's candidate partners — only confirmed-candidate shingle
+    * rows are ever fetched. */
+  private[graft] def prunedShingles(sp: SparkSession, tableDir: String,
+      dpfxs: Seq[String]): DataFrame =
+    sp.read.schema(neardupShSchema).parquet(tableDir)
+      .filter(col("dpfx").isin(dpfxs: _*))
 
   /** Streaming NEAR-dup ingest — C39's exact-digest gate upgraded to
     * MinHash/LSH: each micro-batch shingles its docs, bands their
@@ -598,22 +633,6 @@ object PipelineQueries {
     val bandsDir = graft.Scratch.dir("graft_neardup_bands").toString
     val shDir = graft.Scratch.dir("graft_neardup_sh").toString
     val keptDir = graft.Scratch.dir("graft_neardup_kept").toString
-    val bandSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("band",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("bh",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("pfx",
-        org.apache.spark.sql.types.StringType)))
-    val shSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types
-        .ArrayType(org.apache.spark.sql.types.StringType)),
-      org.apache.spark.sql.types.StructField("dpfx",
-        org.apache.spark.sql.types.StringType)))
     val inSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -657,16 +676,14 @@ object PipelineQueries {
           else {
             val pfxs = bands.select($"pfx").distinct()
               .collect().map(_.getString(0)).toSeq
-            val hist = sp.read.schema(bandSchema).parquet(bandsDir)
-              .filter($"pfx".isin(pfxs: _*))
+            val hist = prunedBands(sp, bandsDir, pfxs)
             cand = bands.join(hist
                 .select($"band", $"bh", $"doc_id".as("hist_id")),
                 Seq("band", "bh"))
               .select($"hist_id", $"doc_id").dropDuplicates().persist()
             val dpfxs = cand.select(pmod($"hist_id", lit(8)).cast("string"))
               .distinct().collect().map(_.getString(0)).toSeq
-            val histSh = sp.read.schema(shSchema).parquet(shDir)
-              .filter($"dpfx".isin(dpfxs: _*))
+            val histSh = prunedShingles(sp, shDir, dpfxs)
               .select($"doc_id".as("hist_id"), $"sh".as("hsh"))
             cand.join(histSh, "hist_id")
               .join(full, "doc_id")

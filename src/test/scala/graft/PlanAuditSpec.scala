@@ -164,6 +164,48 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan read ${scan.metrics("numFiles").value} files — not pruned to pfx=a,b")
   }
 
+  test("pipeline_stream_neardup: both history reads prune to the batch's partitions") {
+    // the C67 claim: the per-batch band join reads only the bh%16
+    // partitions the batch's bands hash into, and the exact-confirm
+    // fetches only the candidate partners' doc_id%8 shingle buckets —
+    // both isin predicates must land in the scans' PartitionFilters
+    // and the file counts must match exactly the named partitions
+    import org.apache.spark.sql.functions._
+    val bandsDir = Scratch.dir("graft_neardup_audit_bands").toString
+    spark.range(256).toDF("doc_id")
+      .withColumn("band", (col("doc_id") % 16).cast("int"))
+      .withColumn("bh", xxhash64(col("doc_id")))
+      .withColumn("pfx", pmod(col("bh"), lit(16)).cast("string"))
+      .repartition(col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx").parquet(bandsDir)
+    val shDir = Scratch.dir("graft_neardup_audit_sh").toString
+    spark.range(256).toDF("doc_id")
+      .withColumn("sh", array(md5(col("doc_id").cast("string"))))
+      .withColumn("dpfx", pmod(col("doc_id"), lit(8)).cast("string"))
+      .repartition(col("dpfx"))
+      .write.mode("overwrite").partitionBy("dpfx").parquet(shDir)
+    def auditScan(df: org.apache.spark.sql.DataFrame, dir: String,
+        keyCol: String, keep: Seq[String]): Unit = {
+      df.collect()
+      val scan = (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).collect { case s: FileSourceScanExec => s }.head
+      assert(scan.partitionFilters.exists(_.toString.contains(keyCol)),
+        s"$keyCol predicate not in partition filters:\n${scan.metadata}")
+      val expect = keep.map { v =>
+        Option(new java.io.File(dir, s"$keyCol=$v").listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      }.sum
+      assert(scan.metrics("numFiles").value === expect,
+        s"scan read ${scan.metrics("numFiles").value} files, expected $expect")
+    }
+    auditScan(ops.PipelineQueries.prunedBands(spark, bandsDir, Seq("3", "7")),
+      bandsDir, "pfx", Seq("3", "7"))
+    auditScan(ops.PipelineQueries.prunedShingles(spark, shDir, Seq("0", "5")),
+      shDir, "dpfx", Seq("0", "5"))
+  }
+
   test("q_funnel_steps: chained windows + rollup ride ONE user exchange") {
     // the B32 claim: all three step windows AND the per-user rollup
     // share the user_id partitioning — one data exchange, plus only
