@@ -1466,6 +1466,7 @@ object PipelineQueries {
     "text_ccnet_buckets" -> (TextOps.textCcnetBuckets _),
     "text_dup_ngram_coverage" -> (TextOps.textDupNgramCoverage _),
     "text_vocab" -> (TextOps.textVocab _),
+    "text_bpe_pairs" -> (TextOps.textBpePairs _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_domain_signature" -> (TextOps.textDomainSignature _),
     "text_langid_confusion" -> (TextOps.textLangidConfusion _),
@@ -1537,6 +1538,7 @@ object PipelineQueries {
     "text_ccnet_buckets" -> TextOps.textCcnetBucketsSql,
     "text_dup_ngram_coverage" -> TextOps.textDupNgramCoverageSql,
     "text_vocab" -> TextOps.textVocabSql,
+    "text_bpe_pairs" -> TextOps.textBpePairsSql,
     "text_entropy" -> TextOps.textEntropySql,
     "text_domain_signature" -> TextOps.textDomainSignatureSql,
     "text_langid_confusion" -> TextOps.textLangidConfusionSql,

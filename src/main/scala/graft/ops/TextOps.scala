@@ -979,6 +979,52 @@ object TextOps {
           when($"r_dominance", 0).otherwise(1)).cast("long"))
       .orderBy($"doc_id")
   }
+  // --------------------------------------------------------------- C68
+  /** BPE merge-candidate mining — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al.), run the way a corpus-scale
+    * trainer must: adjacent-symbol pair counts are assembled on the
+    * DISTINCT word table weighted by word frequency, never on the
+    * token stream. Output: every character pair with its corpus count
+    * and merge rank (count desc, pair asc — rank 1 is the pair the
+    * first BPE merge would create).
+    *
+    * 100 TB: the word-frequency rollup is ONE map-side-combinable
+    * shuffle (the wordcount shape — partial agg collapses the Zipf
+    * head per task, same argument as C37); pair explode then runs
+    * over the VOCABULARY (≤ millions of rows) not the corpus
+    * (trillions of tokens), and the pair rollup's key space is
+    * alphabet², so it combines map-side to nothing. Later BPE
+    * iterations rewrite only words containing the merged pair — a
+    * vocabulary-sized join, same scaling. */
+  def textBpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = table(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("tf"))
+    val agg = tf.filter(length($"word") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+        .as("pair"), $"tf")
+      .groupBy($"pair").agg(sum($"tf").as("n"))
+    agg.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"n".desc, $"pair")).cast("long").as("rank"),
+        $"pair", $"n")
+      .orderBy($"rank")
+  }
+  val textBpePairsSql: String =
+    """WITH tf AS (
+      |  SELECT word, count(*) AS tf
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY 1),
+      |pairs AS (
+      |  SELECT unnest([word[i:i+1] FOR i IN range(1, length(word))]) AS pair, tf
+      |  FROM tf WHERE length(word) >= 2),
+      |agg AS (SELECT pair, CAST(sum(tf) AS BIGINT) AS n FROM pairs GROUP BY 1)
+      |SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank, pair, n
+      |FROM agg ORDER BY rank""".stripMargin
+
   val textQualityRulesSql: String =
     """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
       |    length(text) AS nc FROM documents),
