@@ -1024,7 +1024,203 @@ object Relational {
       |    AS p_ppm
       |FROM p ORDER BY from_type, to_type""".stripMargin
 
+  // --------------------------------------------------------------- B38
+  /** TPC-H Q2 shape — min-cost supplier with join-back (no partsupp
+    * table in this schema, so supply cost is derived from lineitem:
+    * the min fixed-point unit price each supplier ever charged for
+    * the part). For small STANDARD parts, find the cheapest EUROPE
+    * supplier; ties broken by lowest suppkey via row_number.
+    * 100 TB: the (part, supplier) cost rollup is ONE map-side-
+    * combinable shuffle on the fact; region→nation→supplier is a
+    * broadcast chain onto that rollup's output; the filtered part dim
+    * is small → AQE broadcasts it; the per-part min + tie-break ride
+    * one partkey exchange. Unit price is fixed-pointed to BIGINT
+    * before min/equality so the join-back never compares floats. */
+  def q2MinCostSupp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val euro = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(euro), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val parts = t(s, dir, "part")
+      .filter($"p_size" <= 10 && $"p_type" === "STANDARD")
+      .select($"p_partkey", $"p_brand")
+    val cost = t(s, dir, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min(floor($"l_extendedprice" / $"l_quantity" * 10000 + 0.5)
+        .cast("long")).as("cost_fp"))
+    val w = Window.partitionBy($"l_partkey")
+    cost.join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(parts, $"l_partkey" === $"p_partkey")
+      .withColumn("best", min($"cost_fp").over(w))
+      .filter($"cost_fp" === $"best")
+      .withColumn("rnk", row_number().over(w.orderBy($"s_suppkey")))
+      .filter($"rnk" === 1)
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+        $"p_brand", $"cost_fp")
+      .orderBy($"s_acctbal".desc, $"p_partkey")
+      .limit(100)
+  }
+  val q2MinCostSuppSql: String =
+    """WITH rn AS (SELECT n_nationkey, n_name FROM nation
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+      |sp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN rn ON s_nationkey = n_nationkey),
+      |pt AS (SELECT p_partkey, p_brand FROM part
+      |  WHERE p_size <= 10 AND p_type = 'STANDARD'),
+      |cost AS (SELECT l_partkey, l_suppkey,
+      |    CAST(min(floor(l_extendedprice / l_quantity * 10000 + 0.5))
+      |      AS BIGINT) AS cost_fp
+      |  FROM lineitem GROUP BY 1, 2),
+      |j AS (SELECT * FROM cost JOIN sp ON l_suppkey = s_suppkey
+      |  JOIN pt ON l_partkey = p_partkey),
+      |b AS (SELECT *, min(cost_fp) OVER (PARTITION BY l_partkey) AS best
+      |  FROM j),
+      |f AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+      |    ORDER BY s_suppkey) AS rnk
+      |  FROM b WHERE cost_fp = best)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost_fp
+      |FROM f WHERE rnk = 1
+      |ORDER BY s_acctbal DESC, p_partkey LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------- B39
+  /** TPC-H Q17 shape — per-group correlated scalar driving a filter:
+    * revenue that would be lost by refusing small-quantity orders of
+    * PROMO parts (lines with quantity below 20% of that part's mean
+    * quantity), reported as avg yearly revenue. The "compare each row
+    * against its group's statistic" primitive, done without the
+    * correlated-subquery rescan: the mean rides a window over the
+    * SAME partkey partition the join already produced.
+    * 100 TB: one partkey exchange feeds the window; the part dim is
+    * filter-pruned then broadcast; extendedprice is fixed-pointed to
+    * cents BEFORE the order-free sum. Q17's literal form rescans
+    * lineitem per part — this plan scans it once. */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promo = t(s, dir, "part").filter($"p_type" === "PROMO")
+      .select($"p_partkey")
+    t(s, dir, "lineitem")
+      .join(promo, $"l_partkey" === $"p_partkey")
+      .withColumn("avg_qty",
+        avg($"l_quantity").over(Window.partitionBy($"l_partkey")))
+      .filter($"l_quantity" < $"avg_qty" * 0.2)
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(floor($"l_extendedprice" * 100 + 0.5).cast("long"))
+          / lit(100.0) / lit(7.0)).as("avg_yearly"))
+  }
+  val q17SmallQtyRevenueSql: String =
+    """WITH j AS (SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'PROMO'),
+      |w AS (SELECT *, avg(l_quantity)
+      |    OVER (PARTITION BY l_partkey) AS avg_qty
+      |  FROM j)
+      |SELECT count(*) AS n_lines,
+      |  CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+      |    / 100.0 / 7.0 AS avg_yearly
+      |FROM w WHERE l_quantity < avg_qty * 0.2""".stripMargin
+
+  // --------------------------------------------------------------- B40
+  /** TPC-H Q19 shape — disjunctive bracket predicates: revenue from
+    * three OR'd (brand, size-range, quantity-range) brackets spanning
+    * BOTH join sides. The point is what the optimizer does with the
+    * OR: Catalyst's CNF conversion extracts the common implications —
+    * brand IN (3 brands) AND size BETWEEN 1..15 push to the part
+    * scan, quantity BETWEEN 1..30 pushes to the lineitem scan — so
+    * each side is pruned before the join even though no single
+    * bracket alone is pushable.
+    * 100 TB: filter-pruned part side broadcasts; one scan each side;
+    * the residual OR evaluates post-join in codegen. */
+  def q19DisjunctiveBrackets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 5) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(20, 30)))
+      .agg(count(lit(1)).as("n_lines"),
+        money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"))
+  }
+  val q19DisjunctiveBracketsSql: String =
+    """SELECT count(*) AS n_lines,
+      |  floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+      |    AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // --------------------------------------------------------------- B41
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: late lines
+    * (shipped >1400 days after the order date — this schema has no
+    * commit/receipt dates, so lateness is ship lag) on multi-supplier
+    * finished orders where NO other supplier was late. Q21's literal
+    * form is an EXISTS plus a NOT EXISTS, each a correlated rescan of
+    * lineitem; here both collapse into ONE per-order rollup —
+    * n_supp ≥ 2 ⇔ the EXISTS, n_late_supp = 1 ⇔ the NOT EXISTS
+    * (l1's own supplier is late, so "exactly one late supplier" means
+    * "no OTHER late supplier"). The DuckDB oracle runs the literal
+    * EXISTS/NOT EXISTS form, so the rewrite's equivalence is what the
+    * hash match proves.
+    * 100 TB: one orderkey rollup (map-side-combinable distincts over
+    * ~4 suppliers/order) + one orderkey join back, instead of two
+    * correlated fact self-joins; the nation-filtered supplier dim
+    * broadcasts. */
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lateLine = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 1400 DAYS")
+    val base = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey", lateLine.as("late"))
+    val perOrder = base.groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
+    val n3supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    base.filter($"late")
+      .join(perOrder, Seq("l_orderkey"))
+      .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+      .join(broadcast(n3supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+  val q21WaitingSupplierSql: String =
+    """SELECT s_name, count(*) AS numwait FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 1400 DAY
+      |AND EXISTS (SELECT 1 FROM lineitem l2
+      |  WHERE l2.l_orderkey = l1.l_orderkey
+      |    AND l2.l_suppkey <> l1.l_suppkey)
+      |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      |  WHERE l3.l_orderkey = l1.l_orderkey
+      |    AND l3.l_suppkey <> l1.l_suppkey
+      |    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 1400 DAY)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supp" -> (q2MinCostSupp _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q19_disjunctive_brackets" -> (q19DisjunctiveBrackets _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_window_gap_fill" -> (qWindowGapFill _),
     "q_sketch_set_ops" -> (qSketchSetOps _),
@@ -1064,6 +1260,10 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supp" -> q2MinCostSuppSql,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
+    "q19_disjunctive_brackets" -> q19DisjunctiveBracketsSql,
+    "q21_waiting_supplier" -> q21WaitingSupplierSql,
     "q_event_transitions" -> qEventTransitionsSql,
     "q_window_gap_fill" -> qWindowGapFillSql,
     "q_sketch_set_ops" -> qSketchSetOpsSql,

@@ -206,6 +206,20 @@ class PlanAuditSpec extends AnyFunSuite {
       shDir, "dpfx", Seq("0", "5"))
   }
 
+  test("q19: CNF extraction pushes bracket implications to BOTH scans") {
+    // the B40 claim: no single OR bracket is pushable alone, but the
+    // common implications are — brand/size reach the part scan and
+    // the quantity envelope reaches the lineitem scan
+    val plan = executed(queries.Relational.q19DisjunctiveBrackets(spark, sf0001))
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    val part = scans.find(_.metadata("Location").contains("part.parquet")).get
+    val li = scans.find(_.metadata("Location").contains("lineitem")).get
+    assert(part.metadata("PushedFilters").contains("p_brand"),
+      s"no brand filter on part scan: ${part.metadata("PushedFilters")}")
+    assert(li.metadata("PushedFilters").contains("l_quantity"),
+      s"no quantity filter on lineitem scan: ${li.metadata("PushedFilters")}")
+  }
+
   test("q_funnel_steps: chained windows + rollup ride ONE user exchange") {
     // the B32 claim: all three step windows AND the per-user rollup
     // share the user_id partitioning — one data exchange, plus only
