@@ -1025,6 +1025,131 @@ object Ann {
       |  floor(abs(dot_fp / 1000000.0) * 10000 + 0.5) / 10000 AS proj_abs
       |FROM co ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- C69
+  /** k-NN GRAPH construction — every corpus vector gets its top-5
+    * cosine neighbors (the input HNSW builders, graph clustering and
+    * SemDeDup refinement consume). All-pairs is off the table at any
+    * scale, so candidates come from the IVF coarse quantizer:
+    * [[Dedup.trainedCentroids]] cells with the cell count DERIVED
+    * from corpus size (k = max(8, ceil(N/256)), the C48 convention —
+    * cells stay ~256-row-sized as the corpus grows), each vector
+    * probes its 4 nearest cells, exact rounded-cosine rerank inside
+    * the probed cells, id tie-break — then ONE NN-descent refinement
+    * round (Dong et al.) expands each vector's candidates to its
+    * undirected 2-hop neighborhood and re-ranks, which is what lifts
+    * recall past the coarse quantizer's ceiling on isotropic data.
+    *
+    * 100 TB: centroids broadcast; the member/probe join is an
+    * EQUI-join on cluster whose per-key population is bounded by the
+    * derived cell size (pair work O(N·2·256), linear in N); the
+    * top-5 window shuffles on vec_id. Nothing vector-sized reaches
+    * the driver (the corpus count is the one scalar). */
+  val KnnK = 5
+  val KnnProbes = 4
+  private[ops] def embKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val c = corpus(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val n = c.count()
+    val k = math.max(8L, (n + 255) / 256).toInt
+    val cents = Dedup.trainedCentroids(s, c, k, 2)
+    val assigned = c.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cluster", $"v",
+        r4(expr("cosine_sim(v, cv)")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")))
+      .persist()
+    val members = assigned.filter($"rn" === 1)
+      .select($"cluster", $"vec_id".as("neighbor_id"), $"v".as("nv"))
+    val probes = assigned.filter($"rn" <= KnnProbes)
+      .select($"vec_id", $"cluster", $"v")
+    val scored = probes.join(members, Seq("cluster"))
+      .filter($"vec_id" =!= $"neighbor_id")
+      .select($"vec_id", $"neighbor_id",
+        r4(expr("cosine_sim(v, nv)")).as("cos"))
+      // a neighbor can surface via both probed cells — dedup before rank
+      .groupBy($"vec_id", $"neighbor_id").agg(max($"cos").as("cos"))
+    val edges0 = scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id")))
+      .filter($"rank" <= KnnK)
+      .select($"vec_id", $"neighbor_id", $"cos")
+      .persist()
+    // One NN-descent refinement round (Dong et al., "Efficient k-nearest
+    // neighbor graph construction"): a vector's true neighbors are
+    // usually neighbors of its current neighbors — expand candidates to
+    // the UNDIRECTED 2-hop set, exact-rerank, keep the best 5. Linear:
+    // ≤ (2·KnnK)² candidates per vector, two id-keyed joins for the
+    // vector payloads.
+    val vlook = c.select($"vec_id", $"v")
+    val und = edges0.select($"vec_id", $"neighbor_id".as("nb"))
+      .union(edges0.select($"neighbor_id".as("vec_id"), $"vec_id".as("nb")))
+    val hop2 = und.as("a").join(und.as("b"), col("a.nb") === col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.nb").as("neighbor_id"))
+      .filter($"vec_id" =!= $"neighbor_id")
+      .distinct()
+      .join(vlook.select($"vec_id", $"v".as("qv2")), Seq("vec_id"))
+      .join(vlook.select($"vec_id".as("neighbor_id"), $"v".as("nv2")),
+        Seq("neighbor_id"))
+      .select($"vec_id", $"neighbor_id",
+        r4(expr("cosine_sim(qv2, nv2)")).as("cos"))
+    edges0.union(hop2)
+      .groupBy($"vec_id", $"neighbor_id").agg(max($"cos").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"neighbor_id")))
+      .filter($"rank" <= KnnK)
+      .select($"vec_id", $"rank", $"neighbor_id", $"cos")
+  }
+
+  /** C69's registered face — the C7/C7b driver-gate pattern: a
+    * deterministic 1-in-37 sample of vectors is exact-reranked against
+    * the whole corpus and the graph's edges must recover ≥ 1 of each
+    * sampled vector's true top-5 (TOTAL row −1 pins the 0.70 mean
+    * floor). Measured: min-hits 2, mean 0.78–0.84 across SFs (4-probe
+    * IVF alone plateaus at 0.56–0.76 on this near-isotropic synthetic
+    * corpus — the same ceiling annLsh's 0.35 floor reflects — and the
+    * NN-descent round buys the rest), so the floors trip only on a
+    * real regression. Edge-level shape is spec-pinned in AnnSpec. */
+  def embKnnGraphAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val edges = embKnnGraph(s, dir)
+    val c = corpus(s, dir)
+    val sample = c.filter($"vec_id" % 37 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val exact = c.crossJoin(broadcast(sample))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("neighbor_id"),
+        r4(expr("cosine_sim(qv, v)")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"neighbor_id")))
+      .filter($"rank" <= KnnK)
+      .select($"qid", $"neighbor_id")
+    val hits = edges.select($"vec_id".as("qid"), $"neighbor_id")
+      .join(exact, Seq("qid", "neighbor_id"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+    val per = sample.select($"qid")
+      .join(hits, Seq("qid"), "left")
+      .select($"qid", coalesce($"n_hits", lit(0L)).as("n_hits"))
+    val nSample = sample.count()
+    val total = per.agg((sum($"n_hits") >=
+        lit((0.7 * KnnK * nSample).round)).as("recall_ok"))
+      .select(lit(-1L).as("vec_id"), $"recall_ok")
+    // floor-calibration hook (the RecallProbe convention): emit raw
+    // n_hits instead of the contract booleans
+    if (sys.env.contains("GRAFT_KNN_PROBE"))
+      return per.select($"qid".as("vec_id"), $"n_hits".as("recall_ok"))
+        .orderBy($"vec_id")
+    per.select($"qid".as("vec_id"), ($"n_hits" >= 1).as("recall_ok"))
+      .unionByName(total)
+      .orderBy($"vec_id")
+  }
+  val embKnnGraphAuditSql: String =
+    """SELECT vec_id, TRUE AS recall_ok FROM (
+      |  SELECT CAST(-1 AS BIGINT) AS vec_id
+      |  UNION ALL
+      |  SELECT vec_id FROM embeddings WHERE vec_id % 37 = 0)
+      |ORDER BY vec_id""".stripMargin
+
   // --------------------------------------------------------------- C34
   /** Product quantization encode (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search"): 64d → 8 subspaces × 8d, each

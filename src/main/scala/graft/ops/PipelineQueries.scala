@@ -1414,6 +1414,7 @@ object PipelineQueries {
     "emb_anisotropy" -> (Ann.embAnisotropy _),
     "emb_whiten" -> (Ann.embWhiten _),
     "emb_index_shards" -> (Ann.embIndexShards _),
+    "emb_knn_graph" -> (Ann.embKnnGraphAudit _),
     "pipeline_split_holdout" -> (pipelineSplitHoldout _),
     "pipeline_filter_overlap" -> (pipelineFilterOverlap _),
     "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
@@ -1486,6 +1487,7 @@ object PipelineQueries {
     "emb_anisotropy" -> Ann.embAnisotropySql,
     "emb_whiten" -> Ann.embWhitenSql,
     "emb_index_shards" -> Ann.embIndexShardsSql,
+    "emb_knn_graph" -> Ann.embKnnGraphAuditSql,
     "pipeline_filter_overlap" -> pipelineFilterOverlapSql,
     "pipeline_split_holdout" -> pipelineSplitHoldoutSql,
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,

@@ -208,6 +208,34 @@ class AnnSpec extends AnyFunSuite {
     assert(out.toSeq === expected, s"shard table diverged:\n$out\n$expected")
   }
 
+  test("emb_knn_graph: every vector gets exactly K ranked, self-free, sane edges") {
+    import spark.implicits._
+    val edges = Ann.embKnnGraph(spark, sf0001)
+      .select("vec_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+    val n = graft.Tables.table(spark, sf0001, "embeddings").count()
+    // cells are ≥ 8× K, so candidate starvation is impossible: degree
+    // must be exactly KnnK for every vector, ranks dense 1..K
+    val byVec = edges.groupBy(_._1)
+    assert(byVec.size === n, s"vectors missing from graph: ${n - byVec.size}")
+    byVec.foreach { case (v, es) =>
+      assert(es.map(_._2).sorted.toSeq === (1 to Ann.KnnK),
+        s"ranks not dense for $v: ${es.map(_._2).toSeq}")
+      assert(es.forall(_._3 != v), s"self-edge at $v")
+      assert(es.map(_._3).distinct.length === Ann.KnnK, s"dup neighbor at $v")
+    }
+    assert(edges.forall(e => e._4 >= -1.0001 && e._4 <= 1.0001),
+      "cosine out of range")
+    // rank order must follow (cos desc, id asc) — the determinism rule
+    byVec.foreach { case (_, es) =>
+      val sorted = es.sortBy(_._2)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+          s"rank order violates (cos desc, id) at ${a._1}")
+      case _ => }
+    }
+  }
+
   test("emb_matryoshka: full width reproduces the exact baseline, overlaps bounded") {
     import spark.implicits._
     val rows = Ann.embMatryoshka(spark, sf0001)
