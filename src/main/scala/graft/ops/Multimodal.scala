@@ -339,6 +339,103 @@ object Multimodal {
        |  count(CASE WHEN doc_id <> canonical_id THEN 1 END) AS n_duplicates
        |FROM al GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- C70
+  /** Media–caption pair curation — the image-text-pair pipeline shape
+    * (LAION/DataComp): each asset pairs with its caption, then three
+    * independent gate families decide survival, reported as a
+    * per-media-type funnel card (assets, per-gate failures, surviving
+    * pairs):
+    *  - caption gates: ≥ 15 words and mean word length < 4.9 (C40's
+    *    published-rule shapes);
+    *  - media gates: payload ≥ 150 bytes and aspect ratio within
+    *    [1/2, 2], tested as INTEGER cross-multiplication (w ≤ 2h ∧
+    *    h ≤ 2w) so no float ratio is ever compared;
+    *  - alignment gate: real pipelines score caption↔media agreement
+    *    with a CLIP-style model — that scorer is the disclosed STUB
+    *    (no ML libs in this container): the payload checksum stands in
+    *    as the score, thresholded ≥ 100/997. The gate's PLUMBING
+    *    (payload-derived score computed partition-local, gated,
+    *    funnel-counted) is real and oracle-checked via the closed-form
+    *    byte sum; swapping the scorer swaps one lambda.
+    *
+    * 100 TB: ONE scan — payload build + byte fold are partition-local
+    * (the C12 iterator shape), caption features are in-row string
+    * arithmetic, and the only exchange carries 3 groups of counts
+    * (map-side combined). No join: the pair IS the row. */
+  def mmTextPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feed = table(s, dir, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val a = MediaAsset(id,
+          (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" },
+          width = 64 + (id % 16).toInt * 16,
+          height = 48 + (id % 12).toInt * 16,
+          payload = fakePayload(id, nChars.toInt))
+        var sum = 0L
+        var i = 0
+        while (i < a.payload.length) { sum += a.payload(i) & 0xff; i += 1 }
+        (id, a.media_type, a.width, a.height, a.payload.length.toLong,
+          sum % 997, text)
+      })
+      .toDF("doc_id", "media_type", "width", "height", "payload_len",
+        "checksum", "caption")
+    val gated = feed
+      .withColumn("n_words", size(split($"caption", " ")))
+      .withColumn("mean_wl",
+        (length($"caption") - $"n_words" + 1) * lit(1.0) / $"n_words")
+      .withColumn("caption_ok", $"n_words" >= 15 && $"mean_wl" < 4.9)
+      .withColumn("media_ok", $"payload_len" >= 150 &&
+        $"width" <= $"height" * 2 && $"height" <= $"width" * 2)
+      .withColumn("align_ok", $"checksum" >= 100)
+    gated.groupBy($"media_type")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(!$"caption_ok", 1L).otherwise(0L)).as("n_caption_fail"),
+        sum(when(!$"media_ok", 1L).otherwise(0L)).as("n_media_fail"),
+        sum(when(!$"align_ok", 1L).otherwise(0L)).as("n_align_fail"),
+        sum(when($"caption_ok" && $"media_ok" && $"align_ok", 1L)
+          .otherwise(0L)).as("n_pairs"))
+      .orderBy($"media_type")
+  }
+  /** Oracle: media metadata + checksum from the closed forms (the
+    * [[mmManifestSql]] derivation), caption features from the text —
+    * the funnel re-derives end-to-end. */
+  val mmTextPairsSql: String =
+    """WITH b AS (SELECT doc_id, n_chars, text, doc_id % 256 AS s,
+      |    n_chars // 256 AS f, n_chars % 256 AS r FROM documents),
+      |feat AS (SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS media_type,
+      |    64 + (doc_id % 16) * 16 AS width,
+      |    48 + (doc_id % 12) * 16 AS height,
+      |    n_chars AS payload_len,
+      |    (f * 32640 + CASE WHEN s + r <= 256
+      |        THEN r * s + r * (r - 1) // 2
+      |        ELSE (256 - s) * (s + 255) // 2
+      |          + (r - (256 - s)) * (r - (256 - s) - 1) // 2 END) % 997
+      |      AS checksum,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+      |      / len(string_split(text, ' ')) AS mean_wl
+      |  FROM b),
+      |g AS (SELECT media_type,
+      |    (n_words >= 15 AND mean_wl < 4.9) AS caption_ok,
+      |    (payload_len >= 150 AND width <= height * 2
+      |      AND height <= width * 2) AS media_ok,
+      |    (checksum >= 100) AS align_ok
+      |  FROM feat)
+      |SELECT media_type, count(*) AS n_assets,
+      |  CAST(sum(CASE WHEN NOT caption_ok THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_caption_fail,
+      |  CAST(sum(CASE WHEN NOT media_ok THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_media_fail,
+      |  CAST(sum(CASE WHEN NOT align_ok THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_align_fail,
+      |  CAST(sum(CASE WHEN caption_ok AND media_ok AND align_ok
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle recomputes the feature arithmetic from the payload
     * *definition* — closed-form sum of ((doc_id + i) % 256, i < len):
     * f full 0..255 cycles (each sums 32640) plus a tail run from

@@ -1477,7 +1477,8 @@ object PipelineQueries {
     "mm_frames" -> (Multimodal.mmFrames _),
     "mm_dedup" -> (Multimodal.mmDedup _),
     "mm_phash_neardup" -> (Multimodal.mmPhashNeardup _),
-    "mm_canonical" -> (Multimodal.mmCanonical _))
+    "mm_canonical" -> (Multimodal.mmCanonical _),
+    "mm_text_pairs" -> (Multimodal.mmTextPairs _))
 
   val oracles: Map[String, String] = Map(
     "pipeline_domain_mix" -> pipelineDomainMixSql,
@@ -1550,5 +1551,6 @@ object PipelineQueries {
     "mm_frames" -> Multimodal.mmFramesSql,
     "mm_dedup" -> Multimodal.mmDedupSql,
     "mm_phash_neardup" -> Multimodal.mmPhashNeardupSql,
-    "mm_canonical" -> Multimodal.mmCanonicalSql)
+    "mm_canonical" -> Multimodal.mmCanonicalSql,
+    "mm_text_pairs" -> Multimodal.mmTextPairsSql)
 }
