@@ -1216,7 +1216,177 @@ object Relational {
       |    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 1400 DAY)
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- B42
+  /** TPC-H Q10 shape — returned-item revenue: the top customers by
+    * revenue lost to returns ('R' lines) on orders placed in one
+    * quarter. The canonical "fact ⋈ two dims ⋈ broadcast dim → rollup
+    * → top-k" report.
+    * 100 TB: the order-date filter prunes orders BEFORE the fact join
+    * (PushedFilters on the orders scan), the returnflag filter prunes
+    * lineitem at its scan; the only big shuffle is
+    * lineitem⋈orders on orderkey; customer joins the already-reduced
+    * per-customer rollup (AQE broadcasts the rollup when it fits);
+    * nation is hint-broadcast (25 rows at any SF); top-20 is a
+    * TakeOrderedAndProject, never a global sort. */
+  def q10ReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val ret = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val perCust = ret.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(money(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("revenue"))
+    perCust
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+  val q10ReturnedRevenueSql: String =
+    """WITH pc AS (SELECT o_custkey,
+      |    floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5) / 100
+      |      AS revenue
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+      |FROM pc JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- B43
+  /** TPC-H Q14 shape — promo revenue share: what fraction of one
+    * month's discounted revenue came from PROMO parts. The
+    * conditional-aggregate-over-a-join primitive: ONE scan, ONE join,
+    * both the branch and the total in the same rollup (Q14's literal
+    * form writes a CASE inside sum — same thing, no second pass).
+    * 100 TB: the ship-date month prunes lineitem at the scan; part
+    * joins broadcast-side (only partkey+type read — column pruning);
+    * revenue is fixed-pointed to cents BIGINT before the order-free
+    * sum, the share is integer-ratio ppm so the single output row is
+    * bit-identical on both engines. */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100 + 0.5)
+      .cast("long")
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-06-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-07-01").cast("timestamp"))
+      .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", cents).otherwise(lit(0L)))
+          .as("promo_cents"),
+        sum(cents).as("total_cents"))
+      .select(($"promo_cents" / 100.0).as("promo_revenue"),
+        ($"total_cents" / 100.0).as("total_revenue"),
+        ($"promo_cents" * lit(1000000L) / $"total_cents").cast("long")
+          .as("promo_ppm"))
+  }
+  val q14PromoShareSql: String =
+    """WITH j AS (SELECT p_type,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+      |      AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+      |    AND l_shipdate < TIMESTAMP '1996-07-01'),
+      |a AS (SELECT
+      |    sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+      |      AS promo_cents,
+      |    sum(cents) AS total_cents FROM j)
+      |SELECT promo_cents / 100.0 AS promo_revenue,
+      |  total_cents / 100.0 AS total_revenue,
+      |  CAST(promo_cents * 1000000 // total_cents AS BIGINT) AS promo_ppm
+      |FROM a""".stripMargin
+
+  // --------------------------------------------------------------- B44
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    * "create view revenue0, keep rows equal to its global max" query.
+    * The literal form computes the view twice (once for the max, once
+    * to filter); here the per-supplier rollup is computed ONCE and the
+    * global max rides a window over it — ties kept, exactly like Q15.
+    * 100 TB: one map-side-combinable suppkey rollup over the pruned
+    * quarter; the all-rows window runs over |suppliers| rows, not the
+    * fact; revenue compares as fixed-point cents so the max-equality
+    * never tests floats. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100 + 0.5)
+        .cast("long")).as("rev_cents"))
+    rev.withColumn("best", max($"rev_cents").over(Window.partitionBy()))
+      .filter($"rev_cents" === $"best")
+      .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", ($"rev_cents" / 100.0).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+  val q15TopSupplierSql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |    CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5))
+      |      AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1),
+      |b AS (SELECT *, max(rev_cents) OVER () AS best FROM rev)
+      |SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+      |FROM b JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_cents = best ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------------------- B45
+  /** TPC-H Q16 shape — supplier diversity per part class: how many
+    * DISTINCT suppliers can deliver each (brand, type, size) class,
+    * excluding one brand, one type, and a supplier deny-list (Q16's
+    * complaint suppliers — modeled as s_acctbal < 2000, non-vacuous at
+    * every SF). The schema has no partsupp table, so the part-supplier
+    * relation is derived from lineitem — itself a distinct rollup.
+    * 100 TB: the (partkey, suppkey) distinct is ONE map-side-
+    * combinable shuffle of two keys (the fact's columns never move);
+    * the deny-list is a broadcast anti join on the rollup, not the
+    * fact; the final count-distinct groups by part attrs after a
+    * broadcast join to the pruned part dim. */
+  def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ps = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val deny = t(s, dir, "supplier").filter($"s_acctbal" < 2000)
+      .select($"s_suppkey")
+    val parts = t(s, dir, "part")
+      .filter($"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO" &&
+        $"p_size".between(1, 10))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    ps.join(broadcast(deny), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(parts, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+  val q16SupplierCntSql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ok AS (SELECT * FROM ps WHERE l_suppkey NOT IN
+      |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000))
+      |SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM ok JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size BETWEEN 1 AND 10
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_revenue" -> (q10ReturnedRevenue _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
     "q2_min_cost_supp" -> (q2MinCostSupp _),
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q19_disjunctive_brackets" -> (q19DisjunctiveBrackets _),
@@ -1260,6 +1430,10 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q10_returned_revenue" -> q10ReturnedRevenueSql,
+    "q14_promo_share" -> q14PromoShareSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q16_supplier_cnt" -> q16SupplierCntSql,
     "q2_min_cost_supp" -> q2MinCostSuppSql,
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "q19_disjunctive_brackets" -> q19DisjunctiveBracketsSql,
