@@ -1468,6 +1468,7 @@ object PipelineQueries {
     "text_dup_ngram_coverage" -> (TextOps.textDupNgramCoverage _),
     "text_vocab" -> (TextOps.textVocab _),
     "text_bpe_pairs" -> (TextOps.textBpePairs _),
+    "text_bm25_topk" -> (TextOps.textBm25Topk _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_domain_signature" -> (TextOps.textDomainSignature _),
     "text_langid_confusion" -> (TextOps.textLangidConfusion _),
@@ -1542,6 +1543,7 @@ object PipelineQueries {
     "text_dup_ngram_coverage" -> TextOps.textDupNgramCoverageSql,
     "text_vocab" -> TextOps.textVocabSql,
     "text_bpe_pairs" -> TextOps.textBpePairsSql,
+    "text_bm25_topk" -> TextOps.textBm25TopkSql,
     "text_entropy" -> TextOps.textEntropySql,
     "text_domain_signature" -> TextOps.textDomainSignatureSql,
     "text_langid_confusion" -> TextOps.textLangidConfusionSql,

@@ -1025,6 +1025,94 @@ object TextOps {
       |SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank, pair, n
       |FROM agg ORDER BY rank""".stripMargin
 
+  // --------------------------------------------------------------- C71
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene-variant
+    * IDF ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75) — the lexical
+    * search path over the corpus: for each probe query, the 10
+    * highest-scoring documents. The index side is the classic
+    * postings build: one (doc, word) tf rollup; df/N/avgdl
+    * re-aggregate FROM the tf table, so nothing scans the corpus
+    * twice.
+    *
+    * Determinism: IDF is fixed-pointed to 1e-6 BIGINT; the tf
+    * saturation term is one shared IEEE expression over integer
+    * inputs (tf, dl, N, Σdl), so per-(doc,term) partial scores are
+    * bit-identical; doc score = BIGINT sum (order-free), rank ties
+    * break on doc_id.
+    *
+    * 100 TB: the tf rollup is the only corpus-sized shuffle
+    * (map-side-combinable). The query set is tiny and BROADCAST onto
+    * the postings — scoring touches only postings of query terms
+    * (semi-join prune), and top-10-per-query is a bounded heap
+    * (window over candidates of ≤|terms| postings lists, the B16
+    * TopKAgg swap documented for fat result sets). */
+  def textBm25Topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq(
+      (1L, "hash join merge"), (2L, "stream window batch"),
+      (3L, "vector scan"), (4L, "slow query filter sort"))
+    val terms = broadcast(probes.toDF("query_id", "q")
+      .select($"query_id", explode(split($"q", " ")).as("word")))
+    val words = table(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
+    val idf = df.crossJoin(broadcast(tot))
+      .select($"word", $"n", $"sdl",
+        floor(log(($"n" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1000000 + 0.5)
+          .cast("long").as("idf_fp"))
+    val scored = tf.join(terms, "word")
+      .join(idf, "word")
+      .join(dl, "doc_id")
+      .select($"query_id", $"doc_id",
+        // saturation over exact integer inputs: identical IEEE ops both sides
+        floor($"idf_fp" * ($"tf" * 2.2 /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" * $"n" / $"sdl"))) + 0.5)
+          .cast("long").as("part_fp"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"part_fp").as("score_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score_fp".desc, $"doc_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"doc_id", $"score_fp")
+      .orderBy($"query_id", $"rank")
+  }
+  val textBm25TopkSql: String =
+    """WITH probes AS (SELECT * FROM (VALUES
+      |    (1, 'hash join merge'), (2, 'stream window batch'),
+      |    (3, 'vector scan'), (4, 'slow query filter sort'))
+      |    AS t(query_id, q)),
+      |terms AS (SELECT query_id, unnest(string_split(q, ' ')) AS word
+      |  FROM probes),
+      |wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM wx
+      |  WHERE length(word) > 0 GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |  FROM tf GROUP BY 1),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+      |idf AS (SELECT word, n, sdl,
+      |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * 1000000 + 0.5)
+      |      AS BIGINT) AS idf_fp
+      |  FROM df CROSS JOIN tot),
+      |sc AS (SELECT query_id, doc_id,
+      |    CAST(sum(CAST(floor(idf_fp * (tf * 2.2 /
+      |      (tf + 1.2 * (0.25 + 0.75 * dl * n / sdl))) + 0.5) AS BIGINT))
+      |      AS BIGINT) AS score_fp
+      |  FROM tf JOIN terms USING (word) JOIN idf USING (word)
+      |  JOIN dl USING (doc_id)
+      |  GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
+      |SELECT query_id, rank, doc_id, score_fp
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val textQualityRulesSql: String =
     """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w,
       |    length(text) AS nc FROM documents),
