@@ -1278,6 +1278,103 @@ object PipelineQueries {
        |  CAST(coalesce(lk.leaked_digests, 0) AS BIGINT) AS leaked_digests
        |FROM st LEFT JOIN lk USING (split) ORDER BY st.split""".stripMargin
 
+  // --------------------------------------------------------------- C72
+  /** DSIR — data selection via importance resampling (Xie et al.
+    * 2023): score every raw document by how much it "looks like" a
+    * target corpus, in a hashed n-gram feature space. Target = the
+    * `src0` slice (the curated-reference stand-in), raw = the whole
+    * corpus. Features are unigrams + bigrams hashed into B=256
+    * buckets (md5 — the engine-replayable hash, C17's coin);
+    * bucket distributions are add-one smoothed; a doc's log
+    * importance weight is the sum of its features' log-ratios
+    * ln(p_target/p_raw). The top-50 by weight are `selected` — the
+    * deterministic top-k variant of the paper's Gumbel resampling.
+    *
+    * Determinism: each bucket's log-ratio is ONE ln over an exact
+    * integer rational ((tc+1)(R+B)) / ((rc+1)(T+B)) — identical
+    * IEEE input both engines — fixed-pointed to 1e-6 BIGINT; doc
+    * weights are BIGINT sums (order-free).
+    *
+    * 100 TB: the bucket histograms are 256-group map-side-combinable
+    * rollups (the whole point of feature hashing — bounded summary
+    * regardless of vocabulary); the 256-row log-ratio table
+    * BROADCASTS back onto the feature stream; per-doc weights ride
+    * ONE doc_id shuffle; top-50 is TakeOrderedAndProject (never a
+    * global sort), and membership joins back as a broadcast semi. */
+  def pipelineImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 256
+    val docs = graft.Tables.table(s, dir, "documents")
+      .select($"doc_id", $"source", split($"text", " ").as("w"))
+    val uni = docs.select($"doc_id", $"source", explode($"w").as("f"))
+    val bi = docs.select($"doc_id", $"source", explode(
+      zip_with(slice($"w", lit(1), size($"w") - 1), slice($"w", lit(2), size($"w") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("f"))
+    val feats = uni.unionByName(bi).filter(length($"f") > 0)
+      .select($"doc_id", $"source",
+        (conv(substring(md5($"f"), 1, 4), 16, 10).cast("long") % B).as("b"))
+    val tgt = feats.filter($"source" === "src0")
+      .groupBy($"b").agg(count(lit(1)).as("tc"))
+    val raw = feats.groupBy($"b").agg(count(lit(1)).as("rc"))
+    val tot = feats.agg(
+      sum(when($"source" === "src0", 1L).otherwise(0L)).as("t_tot"),
+      count(lit(1)).as("r_tot"))
+    val spine = s.range(0, B).select($"id".as("b"))
+    val lr = spine
+      .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"b",
+        floor(log(((coalesce($"tc", lit(0L)) + 1L) * ($"r_tot" + B)) * lit(1.0) /
+          ((coalesce($"rc", lit(0L)) + 1L) * ($"t_tot" + B))) * 1000000 + 0.5)
+          .cast("long").as("lr_fp"))
+    val perDoc = feats.join(broadcast(lr), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feat"), sum($"lr_fp").as("w_fp"))
+    val topk = perDoc.orderBy($"w_fp".desc, $"doc_id").limit(50)
+      .select($"doc_id", lit(true).as("sel"))
+    perDoc.join(broadcast(topk), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_feat",
+        (floor($"w_fp".cast("double") / 1000000 * 10000 + 0.5) / 10000)
+          .as("weight"),
+        coalesce($"sel", lit(false)).as("selected"))
+      .orderBy($"doc_id")
+  }
+  val pipelineImportanceWeightsSql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |  FROM documents),
+      |uni AS (SELECT doc_id, source, unnest(w) AS f FROM d),
+      |bi AS (SELECT doc_id, source,
+      |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS f
+      |  FROM d),
+      |feats AS (SELECT doc_id, source,
+      |    CAST(('0x' || substring(md5(f), 1, 4)) AS BIGINT) % 256 AS b
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      |  WHERE length(f) > 0),
+      |tgt AS (SELECT b, count(*) AS tc FROM feats
+      |  WHERE source = 'src0' GROUP BY 1),
+      |raw AS (SELECT b, count(*) AS rc FROM feats GROUP BY 1),
+      |tot AS (SELECT
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS t_tot,
+      |    count(*) AS r_tot FROM feats),
+      |spine AS (SELECT unnest(range(0, 256)) AS b),
+      |lr AS (SELECT spine.b,
+      |    CAST(floor(ln(((COALESCE(tc, 0) + 1) * (r_tot + 256)) * 1.0 /
+      |      ((COALESCE(rc, 0) + 1) * (t_tot + 256))) * 1000000 + 0.5)
+      |      AS BIGINT) AS lr_fp
+      |  FROM spine LEFT JOIN tgt ON spine.b = tgt.b
+      |  LEFT JOIN raw ON spine.b = raw.b CROSS JOIN tot),
+      |pd AS (SELECT doc_id, count(*) AS n_feat,
+      |    CAST(sum(lr_fp) AS BIGINT) AS w_fp
+      |  FROM feats JOIN lr ON feats.b = lr.b GROUP BY 1),
+      |tk AS (SELECT doc_id FROM pd
+      |  ORDER BY w_fp DESC, doc_id LIMIT 50)
+      |SELECT doc_id, n_feat,
+      |  floor(CAST(w_fp AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+      |    AS weight,
+      |  doc_id IN (SELECT doc_id FROM tk) AS selected
+      |FROM pd ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C58
   /** Domain-mix planner — the closed-form first step of weighting a
     * training mixture (the DoReMi / Pile recipe shape): given a
@@ -1408,6 +1505,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_domain_mix" -> (pipelineDomainMix _),
+    "pipeline_importance_weights" -> (pipelineImportanceWeights _),
     "pipeline_temperature_mix" -> (pipelineTemperatureMix _),
     "emb_dim_stats" -> (Ann.embDimStats _),
     "emb_outliers" -> (Ann.embOutliers _),
@@ -1483,6 +1581,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_domain_mix" -> pipelineDomainMixSql,
+    "pipeline_importance_weights" -> pipelineImportanceWeightsSql,
     "pipeline_temperature_mix" -> pipelineTemperatureMixSql,
     "emb_dim_stats" -> Ann.embDimStatsSql,
     "emb_outliers" -> Ann.embOutliersSql,
