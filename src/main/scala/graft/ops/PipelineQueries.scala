@@ -1567,6 +1567,7 @@ object PipelineQueries {
     "text_vocab" -> (TextOps.textVocab _),
     "text_bpe_pairs" -> (TextOps.textBpePairs _),
     "text_bm25_topk" -> (TextOps.textBm25Topk _),
+    "text_bloom_decontaminate" -> (TextOps.textBloomDecontaminate _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_domain_signature" -> (TextOps.textDomainSignature _),
     "text_langid_confusion" -> (TextOps.textLangidConfusion _),
@@ -1643,6 +1644,7 @@ object PipelineQueries {
     "text_vocab" -> TextOps.textVocabSql,
     "text_bpe_pairs" -> TextOps.textBpePairsSql,
     "text_bm25_topk" -> TextOps.textBm25TopkSql,
+    "text_bloom_decontaminate" -> TextOps.textBloomDecontaminateSql,
     "text_entropy" -> TextOps.textEntropySql,
     "text_domain_signature" -> TextOps.textDomainSignatureSql,
     "text_langid_confusion" -> TextOps.textLangidConfusionSql,

@@ -276,6 +276,102 @@ object TextOps {
       |FROM corpus c JOIN bench b ON c.s = b.s
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- C73
+  /** Bloom-filter decontamination — C19's 100 TB membership swap,
+    * proven: instead of shuffling every corpus 13-gram against the
+    * benchmark gram set, the benchmark side compresses into a Bloom
+    * filter (k=4 md5-derived bit positions) whose bit count m is
+    * DERIVED from the benchmark size — m = next power of two ≥
+    * 16·|bench grams| (~1% fp at k=4), via exact integer bit-length
+    * (length(bin(16n−1)) — no float log2), so the filter stays
+    * calibrated at every SF instead of saturating. Per corpus doc:
+    * total grams, bloom-flagged grams, exact-overlap grams, and the
+    * false-positive count the fp budget promises to keep small —
+    * the audit that licenses replacing the exact join with the
+    * filter-then-confirm plan.
+    *
+    * 100 TB: the set-bit table (≤ m rows of one BIGINT; the packed
+    * form is an m/8-byte bitset) BROADCASTS — the corpus side never
+    * shuffles for membership; probe positions are narrow in-row md5
+    * folds; the only exchanges are the per-(doc, gram) hit rollup
+    * and the final doc rollup, both map-side combinable. The exact
+    * branch here exists to MEASURE the fp rate; production keeps it
+    * only behind flagged grams (C19's confirm, pre-pruned ~100×). */
+  def textBloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size($"w") >= 13)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(0), size($"w") - 13),
+          i => concat_ws(" ", slice($"w", i + 1, lit(13)))))).as("g"))
+      .persist()
+    val bench = grams.filter($"doc_id" % 7 === 0).select($"g").distinct()
+    // m = 2^bitlen(16n-1): smallest power of two ≥ 16n, exact integers
+    val mrow = broadcast(bench.agg(count(lit(1)).as("nb"))
+      .select($"nb", expr("CAST(pow(2, length(bin(nb * 16 - 1))) AS BIGINT)")
+        .as("m")))
+    def positions(df: DataFrame): DataFrame = df
+      .crossJoin(mrow.select($"m"))
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0), lit(3))).as("j") :+ $"m": _*)
+      .withColumn("p",
+        conv(substring(md5(concat($"j", lit(":"), $"g")), 1, 8), 16, 10)
+          .cast("long") % $"m")
+    val bloom = positions(bench).select($"p").distinct()
+    val corpus = grams.filter($"doc_id" % 7 =!= 0)
+    val hits = positions(corpus)
+      .join(broadcast(bloom.withColumn("hit", lit(1))), Seq("p"), "left")
+      .groupBy($"doc_id", $"g")
+      .agg((sum(coalesce($"hit", lit(0))) === 4).as("flagged"))
+    val exact = corpus.join(bench.withColumnRenamed("g", "bg"),
+        $"g" === $"bg", "left_semi")
+      .select($"doc_id", $"g", lit(true).as("exact"))
+    hits.join(exact, Seq("doc_id", "g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"flagged", 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(coalesce($"exact", lit(false)), 1L).otherwise(0L)).as("n_true"),
+        sum(when($"flagged" && !coalesce($"exact", lit(false)), 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .orderBy($"doc_id")
+  }
+  val textBloomDecontaminateSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+12], ' ') FOR i IN range(1, len(w) - 11)]))
+      |    AS g
+      |  FROM words WHERE len(w) >= 13),
+      |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 7 = 0),
+      |mrow AS (SELECT count(*) AS nb,
+      |    CAST(pow(2, length(bin(count(*) * 16 - 1))) AS BIGINT) AS m
+      |  FROM bench),
+      |bpos AS (SELECT DISTINCT
+      |    CAST(('0x' || substring(md5(j || ':' || g), 1, 8)) AS BIGINT) % m
+      |      AS p
+      |  FROM bench CROSS JOIN mrow CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      |corpus AS (SELECT doc_id, g FROM ex WHERE doc_id % 7 <> 0),
+      |cpos AS (SELECT doc_id, g,
+      |    CAST(('0x' || substring(md5(j || ':' || g), 1, 8)) AS BIGINT) % m
+      |      AS p
+      |  FROM corpus CROSS JOIN mrow CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      |hits AS (SELECT doc_id, g,
+      |    sum(CASE WHEN p IN (SELECT p FROM bpos) THEN 1 ELSE 0 END) = 4
+      |      AS flagged
+      |  FROM cpos GROUP BY 1, 2),
+      |ok AS (SELECT h.doc_id, h.g, h.flagged,
+      |    h.g IN (SELECT g FROM bench) AS exact
+      |  FROM hits h)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  CAST(sum(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |  CAST(sum(CASE WHEN flagged AND NOT exact THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_pos
+      |FROM ok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- C65
   /** Duplicated-n-gram coverage (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): per doc, the
