@@ -1568,6 +1568,7 @@ object PipelineQueries {
     "text_bpe_pairs" -> (TextOps.textBpePairs _),
     "text_bm25_topk" -> (TextOps.textBm25Topk _),
     "text_bloom_decontaminate" -> (TextOps.textBloomDecontaminate _),
+    "text_winnowing" -> (TextOps.textWinnowing _),
     "text_entropy" -> (TextOps.textEntropy _),
     "text_domain_signature" -> (TextOps.textDomainSignature _),
     "text_langid_confusion" -> (TextOps.textLangidConfusion _),
@@ -1645,6 +1646,7 @@ object PipelineQueries {
     "text_bpe_pairs" -> TextOps.textBpePairsSql,
     "text_bm25_topk" -> TextOps.textBm25TopkSql,
     "text_bloom_decontaminate" -> TextOps.textBloomDecontaminateSql,
+    "text_winnowing" -> TextOps.textWinnowingSql,
     "text_entropy" -> TextOps.textEntropySql,
     "text_domain_signature" -> TextOps.textDomainSignatureSql,
     "text_langid_confusion" -> TextOps.textLangidConfusionSql,

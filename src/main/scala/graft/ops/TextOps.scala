@@ -276,6 +276,72 @@ object TextOps {
       |FROM corpus c JOIN bench b ON c.s = b.s
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- C74
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — the MOSS
+    * algorithm): sample each document's 5-word-gram hashes by taking
+    * the MINIMUM hash in every window of w=4 consecutive grams
+    * (rightmost on ties), then report doc pairs sharing ≥ 2 sampled
+    * fingerprints. The guarantee C33's all-windows index pays full
+    * storage for, at ~2/(w+1) of the storage: any shared run of
+    * ≥ w+k−1 words is DETECTED by at least one shared fingerprint.
+    *
+    * The min-with-rightmost-tie selection is ONE array_min per
+    * window over packed keys h·2²⁰ + (2²⁰−1−pos) — smaller key ⇔
+    * (smaller hash, else larger pos) — so selection is a single
+    * integer min both engines share, no two-pass tie logic.
+    *
+    * 100 TB: fingerprint generation is fully IN-ROW (gram hashes,
+    * window minima, distinct — all array ops at scan parallelism,
+    * ZERO shuffles); only sampled fingerprints leave the row. The
+    * pair join buckets by fingerprint hash (never all-pairs), with
+    * the C33 df≤100 boilerplate cap bounding any hot bucket's Σc². */
+  def textWinnowing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 5; val W = 4; val B = 1048576L
+    val fps = Dedup.dupFeed(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .filter(size($"w") >= K + W - 1)
+      .select($"doc_id",
+        transform(sequence(lit(0), size($"w") - K), i =>
+          conv(substring(md5(concat_ws(" ", slice($"w", i + 1, lit(K)))), 1, 8),
+            16, 10).cast("long") * B + (lit(B - 1) - i)).as("ks"))
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"ks") - (W - 1)),
+          s0 => array_min(slice($"ks", s0, lit(W)))))).as("key"))
+      .select($"doc_id", expr(s"key DIV $B").as("h"))
+      .distinct()
+    val common = fps.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" > 100).select($"h")
+    val ok = fps.join(broadcast(common), Seq("h"), "left_anti")
+    ok.as("a").join(ok.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .orderBy($"d1", $"d2")
+  }
+  val textWinnowingSql: String =
+    s"""WITH ${Dedup.dupFeedSql},
+       |wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM feed
+       |  WHERE len(string_split(text, ' ')) >= 8),
+       |ks AS (SELECT doc_id,
+       |    [CAST(('0x' || substring(md5(array_to_string(w[i:i+4], ' ')), 1, 8))
+       |       AS BIGINT) * 1048576 + (1048575 - (i - 1))
+       |     FOR i IN range(1, len(w) - 3)] AS ks
+       |  FROM wd),
+       |sel AS (SELECT doc_id, list_distinct(
+       |    [list_min(ks[s:s+3]) FOR s IN range(1, len(ks) - 2)]) AS sel
+       |  FROM ks),
+       |fps AS (SELECT DISTINCT doc_id, unnest(sel) // 1048576 AS h
+       |  FROM sel),
+       |ok AS (SELECT * FROM fps WHERE h NOT IN
+       |  (SELECT h FROM fps GROUP BY h HAVING count(*) > 100))
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+       |FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY d1, d2""".stripMargin
+
   // --------------------------------------------------------------- C73
   /** Bloom-filter decontamination — C19's 100 TB membership swap,
     * proven: instead of shuffling every corpus 13-gram against the
