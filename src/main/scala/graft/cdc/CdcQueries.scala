@@ -668,6 +668,87 @@ object CdcQueries {
       .orderBy($"delay")
   }
 
+  // --------------------------------------------------------------- A35
+  /** WAL-continuity audit — "did the slot lose records?": the check a
+    * consumer runs over its received LSN stream after a slot rebuild
+    * or retention event (the failure mode A30's bootstrap exists to
+    * recover from, detected instead of assumed). The feed is
+    * deterministically damaged: every 997th seq is dropped (lost
+    * packets), one 50-seq run at 23% of the range is dropped (a lost
+    * segment chunk), and every 501st surviving seq arrives twice
+    * (relay re-delivery). The audit reconstructs exactly that damage:
+    * `gap` rows (lo..hi, n missing) and `dup` rows (seq, n extra).
+    *
+    * 100 TB: NO global-order window. In-segment gaps ride a lag
+    * window PARTITIONED by WAL segment (seq div 1000 — bounded
+    * partitions); cross-segment gaps (including whole lost segments)
+    * come from the per-segment min/max rollup — a segment-count
+    * table (bounded metadata, the A33 batch pattern) whose own lag
+    * window is over thousands of rows, not the feed. Dup counts are
+    * one map-side-combinable seq rollup. */
+  def gapAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seqs = ChangeFeed.fromEvents(s, dir).select($"seq")
+    val mx = seqs.agg(floor(max($"seq") * 0.23).cast("long").as("hole_lo"))
+    val survived = seqs.crossJoin(broadcast(mx))
+      .filter(!($"seq" % 997 === 0 ||
+        ($"seq" >= $"hole_lo" && $"seq" < $"hole_lo" + 50)))
+      .select($"seq")
+    val received = survived
+      .unionAll(survived.filter($"seq" % 501 === 0))
+    val dups = received.groupBy($"seq").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+      .select(lit("dup").as("kind"), $"seq".as("lo"), $"seq".as("hi"),
+        ($"c" - 1).as("n"))
+    val rs = received.distinct().withColumn("seg", expr("seq div 1000"))
+    val inSeg = rs
+      .withColumn("prev", lag($"seq", 1).over(
+        Window.partitionBy($"seg").orderBy($"seq")))
+      .filter($"prev".isNotNull && $"seq" - $"prev" > 1)
+      .select(lit("gap").as("kind"), ($"prev" + 1).as("lo"),
+        ($"seq" - 1).as("hi"), ($"seq" - $"prev" - 1).as("n"))
+    val segs = rs.groupBy($"seg")
+      .agg(min($"seq").as("mn"), max($"seq").as("mxs"))
+    val between = segs
+      .withColumn("prev_max", lag($"mxs", 1).over(Window.orderBy($"seg")))
+      .filter($"prev_max".isNotNull && $"mn" - $"prev_max" > 1)
+      .select(lit("gap").as("kind"), ($"prev_max" + 1).as("lo"),
+        ($"mn" - 1).as("hi"), ($"mn" - $"prev_max" - 1).as("n"))
+    dups.unionByName(inSeg).unionByName(between)
+      .orderBy($"kind", $"lo")
+  }
+  val gapAuditSql: String =
+    s"""WITH $changesSql,
+       |m AS (SELECT CAST(floor(max(seq) * 0.23) AS BIGINT) AS hole_lo
+       |      FROM changes),
+       |sv AS (SELECT seq FROM changes CROSS JOIN m
+       |  WHERE NOT (seq % 997 = 0
+       |    OR (seq >= hole_lo AND seq < hole_lo + 50))),
+       |rc AS (SELECT seq FROM sv
+       |  UNION ALL SELECT seq FROM sv WHERE seq % 501 = 0),
+       |dups AS (SELECT 'dup' AS kind, seq AS lo, seq AS hi,
+       |    count(*) - 1 AS n
+       |  FROM rc GROUP BY seq HAVING count(*) > 1),
+       |rs AS (SELECT DISTINCT seq, seq // 1000 AS seg FROM rc),
+       |iseg AS (SELECT 'gap' AS kind, prev + 1 AS lo, seq - 1 AS hi,
+       |    seq - prev - 1 AS n
+       |  FROM (SELECT seq, seg, lag(seq) OVER (PARTITION BY seg
+       |      ORDER BY seq) AS prev FROM rs)
+       |  WHERE prev IS NOT NULL AND seq - prev > 1),
+       |segs AS (SELECT seg, min(seq) AS mn, max(seq) AS mxs
+       |  FROM rs GROUP BY 1),
+       |btw AS (SELECT 'gap' AS kind, prev_max + 1 AS lo, mn - 1 AS hi,
+       |    mn - prev_max - 1 AS n
+       |  FROM (SELECT seg, mn, mxs, lag(mxs) OVER (ORDER BY seg)
+       |      AS prev_max FROM segs)
+       |  WHERE prev_max IS NOT NULL AND mn - prev_max > 1)
+       |SELECT kind, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+       |  CAST(n AS BIGINT) AS n
+       |FROM (SELECT * FROM dups UNION ALL SELECT * FROM iseg
+       |  UNION ALL SELECT * FROM btw)
+       |ORDER BY kind, lo""".stripMargin
+
   // --------------------------------------------------------------- A20
   /** Outbox-pattern consumption (the downstream-use pattern in the
     * reference's presentation): the relay delivers outbox messages
@@ -1244,6 +1325,7 @@ object CdcQueries {
     "cdc_snapshot_bootstrap" -> (snapshotBootstrap _),
     "cdc_tx_atomic_apply" -> (txAtomicApply _),
     "cdc_lag_metrics" -> (lagMetrics _),
+    "cdc_gap_audit" -> (gapAudit _),
     "cdc_late_arrival_audit" -> (lateArrivalAudit _),
     "cdc_outbox_consume" -> (outboxConsume _),
     "cdc_stream_sliding" -> (streamSliding _),
@@ -1301,6 +1383,7 @@ object CdcQueries {
         |ORDER BY p_id""".stripMargin
 
   private val oraclesHead: Map[String, String] = Map(
+    "cdc_gap_audit" -> gapAuditSql,
     "cdc_late_arrival_audit" -> {
       def one(name: String, secs: Long) =
         s"""SELECT '$name' AS delay, count(*) AS n_changes,
