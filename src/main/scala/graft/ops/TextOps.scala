@@ -295,10 +295,12 @@ object TextOps {
     * ZERO shuffles); only sampled fingerprints leave the row. The
     * pair join buckets by fingerprint hash (never all-pairs), with
     * the C33 df≤100 boilerplate cap bounding any hot bucket's Σc². */
-  def textWinnowing(s: SparkSession, dir: String): DataFrame = {
+  /** The sampled-fingerprint stage over any (doc_id, text) frame —
+    * exposed for WinnowingSpec's detection-guarantee property. */
+  private[ops] def winnowFps(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val K = 5; val W = 4; val B = 1048576L
-    val fps = Dedup.dupFeed(s, dir)
+    docs
       .select($"doc_id", split($"text", " ").as("w"))
       .repartition(s.sparkContext.defaultParallelism)
       .filter(size($"w") >= K + W - 1)
@@ -311,6 +313,11 @@ object TextOps {
           s0 => array_min(slice($"ks", s0, lit(W)))))).as("key"))
       .select($"doc_id", expr(s"key DIV $B").as("h"))
       .distinct()
+  }
+
+  def textWinnowing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = winnowFps(s, Dedup.dupFeed(s, dir))
     val common = fps.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" > 100).select($"h")
     val ok = fps.join(broadcast(common), Seq("h"), "left_anti")
