@@ -1382,7 +1382,158 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // --------------------------------------------------------------- B46
+  /** TPC-H Q8 shape — national market share: of the revenue ASIA
+    * customers generated per order year, what ppm came from
+    * NATION_12 suppliers? The two-role dimension pattern: nation
+    * joins TWICE under different roles (customer's nation filtered
+    * through region, supplier's nation tagged for the share), which
+    * is why the dims are aliased broadcasts, not a reused scan.
+    * 100 TB: one orderkey shuffle joins the two facts; customer and
+    * supplier resolve via broadcast chains onto it; share is a
+    * conditional aggregate over the SAME rollup (no second pass),
+    * cents fixed-pointed before the order-free sum, ppm integer. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asiaCust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"sn_key")
+      .select($"s_suppkey", $"supp_nation")
+    val cents = floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100 + 0.5)
+      .cast("long")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(asiaCust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(sum(when($"supp_nation" === "NATION_12", cents).otherwise(lit(0L)))
+        .as("nation_cents"), sum(cents).as("total_cents"))
+      .select($"o_year",
+        ($"nation_cents" / 100.0).as("nation_revenue"),
+        ($"total_cents" / 100.0).as("total_revenue"),
+        ($"nation_cents" * lit(1000000L) / $"total_cents").cast("long")
+          .as("share_ppm"))
+      .orderBy($"o_year")
+  }
+  val q8MarketShareSql: String =
+    """WITH ac AS (SELECT c_custkey FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      |sp AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey),
+      |j AS (SELECT year(o_orderdate) AS o_year, supp_nation,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+      |      AS BIGINT) AS cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN ac ON o_custkey = c_custkey
+      |  JOIN sp ON l_suppkey = s_suppkey),
+      |a AS (SELECT o_year,
+      |    sum(CASE WHEN supp_nation = 'NATION_12' THEN cents ELSE 0 END)
+      |      AS nation_cents,
+      |    sum(cents) AS total_cents
+      |  FROM j GROUP BY 1)
+      |SELECT o_year, nation_cents / 100.0 AS nation_revenue,
+      |  total_cents / 100.0 AS total_revenue,
+      |  CAST(nation_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+      |FROM a ORDER BY o_year""".stripMargin
+
+  // --------------------------------------------------------------- B47
+  /** TPC-H Q9 shape — product-line profit by supplier nation and
+    * year: revenue minus supply cost for LARGE parts, where supply
+    * cost (no partsupp in this schema) is B38's derived unit-cost
+    * rollup joined BACK onto the fact — the fact-sized-dimension
+    * join Q9 actually stresses.
+    * 100 TB: the (part, supplier) cost rollup is one map-side-
+    * combinable shuffle of the fact's keys; the join back is
+    * (partkey, suppkey)-keyed (co-partitioned with the rollup);
+    * part dim prunes at its scan then broadcasts; revenue and cost
+    * are fixed-pointed at 1e4 before the order-free BIGINT sum. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val cost = li.groupBy($"l_partkey".as("cp"), $"l_suppkey".as("cs"))
+      .agg(min(floor($"l_extendedprice" / $"l_quantity" * 10000 + 0.5)
+        .cast("long")).as("cost_fp"))
+    val largeParts = t(s, dir, "part").filter($"p_type" === "LARGE")
+      .select($"p_partkey")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"sn_key")
+      .select($"s_suppkey", $"supp_nation")
+    li.join(largeParts, $"l_partkey" === $"p_partkey")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(cost, $"l_partkey" === $"cp" && $"l_suppkey" === $"cs")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .select($"supp_nation", year($"o_orderdate").as("o_year"),
+        (floor($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000 + 0.5)
+          .cast("long") -
+          floor($"cost_fp" * $"l_quantity" + 0.5).cast("long")).as("profit_fp"))
+      .groupBy($"supp_nation", $"o_year")
+      .agg((sum($"profit_fp") / 10000.0).as("profit"))
+      .orderBy($"supp_nation", $"o_year")
+  }
+  val q9ProductProfitSql: String =
+    """WITH cost AS (SELECT l_partkey AS cp, l_suppkey AS cs,
+      |    CAST(min(floor(l_extendedprice / l_quantity * 10000 + 0.5))
+      |      AS BIGINT) AS cost_fp
+      |  FROM lineitem GROUP BY 1, 2),
+      |sp AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey),
+      |j AS (SELECT supp_nation, year(o_orderdate) AS o_year,
+      |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)
+      |      AS BIGINT)
+      |    - CAST(floor(cost_fp * l_quantity + 0.5) AS BIGINT) AS profit_fp
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN cost ON l_partkey = cp AND l_suppkey = cs
+      |  JOIN sp ON l_suppkey = s_suppkey)
+      |SELECT supp_nation, o_year,
+      |  CAST(sum(profit_fp) AS BIGINT) / 10000.0 AS profit
+      |FROM j GROUP BY 1, 2 ORDER BY supp_nation, o_year""".stripMargin
+
+  // --------------------------------------------------------------- B48
+  /** TPC-H Q12 shape — shipping-lag service classes (the schema has
+    * no shipmode, so the class IS the measured lag): per lag bucket
+    * (fast ≤ 730 days, slow above), how many critical-priority vs
+    * other orders shipped in it. Q12's exact output contract:
+    * conditional counts over one fact join, bucket derived in-row.
+    * 100 TB: lag arithmetic is an exact calendar-day diff at scan
+    * parallelism; one orderkey shuffle; two-group rollup combines
+    * map-side to nothing. */
+  def q12ShipLagPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lagDays = datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date"))
+    val crit = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy(when(lagDays <= 730, "fast").otherwise("slow").as("lag_class"))
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!crit, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy($"lag_class")
+  }
+  val q12ShipLagPrioritySql: String =
+    """SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+      |    CAST(l_shipdate AS DATE)) <= 730 THEN 'fast' ELSE 'slow' END
+      |    AS lag_class,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY lag_class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q12_ship_lag_priority" -> (q12ShipLagPriority _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q14_promo_share" -> (q14PromoShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -1430,6 +1581,9 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_product_profit" -> q9ProductProfitSql,
+    "q12_ship_lag_priority" -> q12ShipLagPrioritySql,
     "q10_returned_revenue" -> q10ReturnedRevenueSql,
     "q14_promo_share" -> q14PromoShareSql,
     "q15_top_supplier" -> q15TopSupplierSql,
