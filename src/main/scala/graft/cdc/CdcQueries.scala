@@ -749,6 +749,57 @@ object CdcQueries {
        |  UNION ALL SELECT * FROM btw)
        |ORDER BY kind, lo""".stripMargin
 
+  // --------------------------------------------------------------- A36
+  /** Replica-failover merge — the slot-handoff contract: the primary
+    * died after serving changes through LSN X (the 60% ack), the
+    * standby's slot was created earlier and serves from Y = 40% < X
+    * (overlap window), and the standby ALSO re-delivers every 73rd
+    * change in its range (replicas are at-least-once). The consumer
+    * unions both streams, dedups by LSN (delivery idempotence — the
+    * same law C39 gets from its digest anti-join), and materializes.
+    * The oracle is the STRAIGHT full-feed materialization, so any
+    * change lost or double-applied across the handoff hash-fails;
+    * `served_by` records which replica was authoritative per key.
+    *
+    * 100 TB: the union is scan-level (no shuffle); LSN dedup and the
+    * latest() fold share ONE key-ish shuffle each (seq, then key),
+    * both map-side combinable; the cut scalars broadcast. */
+  def failoverMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val changes = ChangeFeed.fromEvents(s, dir)
+    val cuts = changes.agg(
+      floor(max($"seq") * 0.6).cast("long").as("x"),
+      floor(max($"seq") * 0.4).cast("long").as("y"))
+    val tagged = changes.crossJoin(broadcast(cuts))
+    val primary = tagged.filter($"seq" <= $"x")
+    val standby = tagged.filter($"seq" >= $"y")
+    val merged = primary
+      .unionByName(standby)
+      .unionByName(standby.filter($"seq" % 73 === 0))
+      .dropDuplicates("seq")
+    merged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"key").orderBy($"seq".desc)))
+      .filter($"rn" === 1 && $"op" =!= "d")
+      .select($"key".as("user_id"), $"event_type".as("last_event_type"),
+        $"value".as("last_value"), $"seq".as("last_seq"),
+        when($"seq" > $"x", "standby").otherwise("primary").as("served_by"))
+      .orderBy($"user_id")
+  }
+  val failoverMergeSql: String =
+    s"""WITH $changesSql,
+       |b AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS x
+       |      FROM changes),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY key
+       |        ORDER BY seq DESC) AS rn
+       |      FROM changes)
+       |SELECT key AS user_id, event_type AS last_event_type,
+       |  value AS last_value, seq AS last_seq,
+       |  CASE WHEN seq > (SELECT x FROM b) THEN 'standby'
+       |       ELSE 'primary' END AS served_by
+       |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
   // --------------------------------------------------------------- A20
   /** Outbox-pattern consumption (the downstream-use pattern in the
     * reference's presentation): the relay delivers outbox messages
@@ -1326,6 +1377,7 @@ object CdcQueries {
     "cdc_tx_atomic_apply" -> (txAtomicApply _),
     "cdc_lag_metrics" -> (lagMetrics _),
     "cdc_gap_audit" -> (gapAudit _),
+    "cdc_failover_merge" -> (failoverMerge _),
     "cdc_late_arrival_audit" -> (lateArrivalAudit _),
     "cdc_outbox_consume" -> (outboxConsume _),
     "cdc_stream_sliding" -> (streamSliding _),
@@ -1384,6 +1436,7 @@ object CdcQueries {
 
   private val oraclesHead: Map[String, String] = Map(
     "cdc_gap_audit" -> gapAuditSql,
+    "cdc_failover_merge" -> failoverMergeSql,
     "cdc_late_arrival_audit" -> {
       def one(name: String, secs: Long) =
         s"""SELECT '$name' AS delay, count(*) AS n_changes,
