@@ -432,4 +432,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pushed("supplier"), s"no nationkey filter on supplier scan:\n$plan")
     assert(pushed("customer"), s"no nationkey filter on customer scan:\n$plan")
   }
+
+  test("bm25: query terms and the idf table join as broadcasts") {
+    // the postings prune (terms) and the per-term idf both resolve
+    // map-side — the corpus-sized tf table must never shuffle to meet
+    // a table that fits in a broadcast
+    val plan = executed(ops.TextOps.textBm25Topk(spark, sf0001))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"expected terms+idf broadcast joins:\n$plan")
+  }
+
+  test("DSIR: the 256-row log-ratio table joins the feature stream map-side") {
+    val plan = executed(ops.PipelineQueries
+      .pipelineImportanceWeights(spark, sf0001))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"log-ratio join did not broadcast:\n$plan")
+  }
+
+  test("bloom decontamination: membership is a broadcast join, never a shuffle") {
+    val plan = executed(ops.TextOps.textBloomDecontaminate(spark, sf0001))
+    // the set-bit table (≤ m rows) must broadcast onto the probe
+    // positions; the corpus side shuffles only for its own rollups
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"bloom bit-set join did not broadcast:\n$plan")
+  }
+
+  test("winnowing selects fingerprints in-row (no WindowExec anywhere)") {
+    // the window-minimum selection must compile to array ops at scan
+    // parallelism, not a per-doc window function
+    val plan = executed(ops.TextOps.textWinnowing(spark, sf0001))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"winnowing fell back to a window:\n$plan")
+  }
 }
