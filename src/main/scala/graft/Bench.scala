@@ -48,21 +48,54 @@ object Bench {
       val med = if (secs.nonEmpty) secs.sorted.apply(secs.size / 2) else -1.0
       (name, best, med)
     }
+    // Per-query noise self-diagnosis against the newest committed
+    // BENCH_r*.json (r8 verdict: a 121-vs-162 best/median spread made
+    // regressions unreadable): best moved ≥1.5× while the median held
+    // within 1.2× ⇒ one noisy run, flag it; best AND median moved ⇒
+    // candidate real change, reader investigates.
+    val prev: Map[String, (Double, Double)] = {
+      val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      files.lastOption.map { f =>
+        val txt = java.nio.file.Files.readString(f.toPath)
+        // the driver may wrap stdout with escaped quotes; match both
+        def block(key: String): Map[String, Double] =
+          (s"""\\\\?"$key\\\\?":\\{([^}]*)\\}""").r.findFirstMatchIn(txt)
+            .map { m =>
+              """\\?"([a-z0-9_]+)\\?":([0-9.]+)""".r.findAllMatchIn(m.group(1))
+                .map(g => g.group(1) -> g.group(2).toDouble).toMap
+            }.getOrElse(Map.empty)
+        val b = block("queries")
+        val md = block("queries_median")
+        b.map { case (k, v) => k -> (v, md.getOrElse(k, -1.0)) }
+      }.getOrElse(Map.empty)
+    }
+    def moved(now: Double, before: Double, ratio: Double) =
+      before > 0 && now > 0 && (now > before * ratio || now < before / ratio)
+    val noise = results.flatMap { case (name, best, med) =>
+      prev.get(name).collect {
+        case (pb, pm) if moved(best, pb, 1.5) && !moved(med, pm, 1.2) => name
+      }
+    }.sorted
     // The driver retains only the LAST ~2000 bytes of output (r6
     // evidence: BENCH tail truncation hid 50 of 110 per-query times),
     // so order the line for tail survival: the median map first (its
     // head may truncate), then per-query best ascending (slowest
-    // LAST, 3-decimal), then the headline totals/sf. Key order is
-    // irrelevant to any JSON parser; the tail always shows the
-    // slowest queries + both totals.
+    // LAST, 3-decimal), then noise flags, failures, and the headline
+    // totals/sf. Key order is irrelevant to any JSON parser; the tail
+    // always shows the slowest queries, which runs FAILED (a total
+    // over fewer queries is not comparable — r8 ADVICE), and both
+    // totals.
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     def jmap(kv: Seq[(String, Double)]) =
       kv.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val meds = jmap(results.map(r => (r._1, r._3)).sortBy(_._2))
-    val qs = jmap(results.map(r => (r._1, r._2)).sortBy(_._2))
+    val qs = jmap(results.filter(_._2 >= 0).map(r => (r._1, r._2)).sortBy(_._2))
+    val failed = results.filter(_._2 < 0).map(_._1).sorted
     val total = results.map(_._2).filter(_ >= 0).sum
     val medTotal = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"queries_median":$meds,"queries":$qs,"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md). */
 object Tables {
@@ -9,13 +10,53 @@ object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * truncate to microseconds — exactly what DuckDB's ns→µs TIMESTAMP
-    * coercion does, so oracle comparisons stay exact. */
+  /** `events.ts`'s physical parquet type has drifted across test-data
+    * generations: TIMESTAMP(NANOS) — which Spark refuses natively
+    * ([PARQUET_TYPE_ILLEGAL]) and only reads as a raw nanos BIGINT via
+    * the legacy `nanosAsLong` conf — versus
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark ≥3.4
+    * resolves natively as TIMESTAMP_NTZ. Read whatever is on disk and
+    * let [[eventTs]]/[[eventTsMicros]] normalize from the RESOLVED
+    * type; never assume the int64's unit (a micros column read through
+    * a nanos-era `ts div 1000` collapses event-time by 1000× and
+    * passes silently — round-8 postmortem). */
+  def eventsRaw(s: SparkSession, dir: String): DataFrame =
+    try table(s, dir, "events") catch {
+      case first: Throwable =>
+        // nanos footer: retry with the legacy raw-long read (older
+        // Sparks); if that conf is gone too, surface the original error
+        try {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, dir, "events")
+        } catch { case _: Throwable => throw first }
+    }
+
+  /** Resolved on-disk schema of the events table — streaming file
+    * sources must declare it explicitly, and it MUST match the footer
+    * (a mismatched int64 reinterpretation is silent garbage). */
+  def eventsSchema(s: SparkSession, dir: String): StructType =
+    eventsRaw(s, dir).schema
+
+  /** Column expression turning an events `ts` column of resolved type
+    * `dt` into microseconds since the epoch (UTC), truncating nanos —
+    * exactly DuckDB's ns→µs TIMESTAMP coercion, so oracle comparisons
+    * stay exact. The session timezone is UTC (GraftSession), which
+    * makes the NTZ→TIMESTAMP cast value-preserving. */
+  def eventTsMicros(dt: DataType): Column = dt match {
+    case LongType         => expr("ts div 1000") // raw nanos (legacy read)
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case other => throw new IllegalStateException(
+      s"unexpected events.ts type $other — extend Tables.eventTsMicros")
+  }
+
+  /** [[eventTsMicros]] as a session-UTC TIMESTAMP column. */
+  def eventTs(dt: DataType): Column = timestamp_micros(eventTsMicros(dt))
+
+  /** The events table with `ts` normalized to TIMESTAMP at microsecond
+    * precision regardless of the on-disk representation. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsRaw(s, dir)
+    raw.withColumn("ts", eventTs(raw.schema("ts").dataType))
   }
 }

@@ -148,15 +148,17 @@ object CdcQueries {
   // ---------------------------------------------------------------- A7
   /** Bounded file-source stand-in for the Kafka/Debezium feed. The
     * file source wants a directory, so glob-filter `events.parquet`
-    * out of the sf dir (ts read as raw nanos → truncated to micros). */
+    * out of the sf dir. The declared schema is resolved from the
+    * parquet footer and `ts` arrives normalized to TIMESTAMP micros
+    * ([[graft.Tables.eventTs]] — nanos-long and TIMESTAMP_NTZ files
+    * both land on the same representation), with the post-2000
+    * event-time invariant asserted up front. */
   private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = graft.Tables.eventsSchema(s, dir)
+    CdcStream.assertEventTimeSane(s, dir, schema, Some("events.parquet"))
     s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", graft.Tables.eventTs(schema("ts").dataType))
   }
 
   private def changeStream(s: SparkSession, dir: String): Dataset[ChangeRecord] = {
@@ -165,7 +167,7 @@ object CdcQueries {
       .select($"user_id".as("key"), $"event_id".as("seq"),
         when($"event_type" === "signup", "i").when($"event_type" === "error", "d")
           .otherwise("u").as("op"),
-        $"event_type", $"value", expr("ts div 1000").as("tsMicros"))
+        $"event_type", $"value", unix_micros($"ts").as("tsMicros"))
       .as[ChangeRecord]
   }
 
@@ -274,8 +276,7 @@ object CdcQueries {
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val events = rawEventStream(s, dir)
-      .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ts"),
-        $"user_id", $"event_type", $"value")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
     CdcStream.runStreamJoinBounded(s, events)
       .select($"user_id", $"signup_seq", $"purchase_seq",
         $"purchase_value",
@@ -290,8 +291,7 @@ object CdcQueries {
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = rawEventStream(s, dir)
-      .select($"event_id", timestamp_micros(expr("ts div 1000")).as("ts"),
-        $"user_id", $"event_type", $"value")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
     val withDups = raw.unionByName(raw.filter($"event_id" % 7 === 0))
     CdcStream.runStreamDedupBounded(s, withDups)
       .select($"event_id", $"user_id", $"event_type", $"value",
@@ -322,8 +322,7 @@ object CdcQueries {
   def streamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CdcStream.runPunctuatedAppend(s, dir) { raw =>
-      raw.select(timestamp_micros(expr("ts div 1000")).as("ts"),
-          $"user_id", $"value")
+      raw.select($"ts", $"user_id", $"value")
         .withWatermark("ts", "1 hour")
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -437,8 +436,7 @@ object CdcQueries {
   def streamSliding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CdcStream.runPunctuatedAppend(s, dir) { raw =>
-      raw.select(timestamp_micros(expr("ts div 1000")).as("ts"),
-          $"event_type", $"value")
+      raw.select($"ts", $"event_type", $"value")
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
         .agg(count(lit(1)).as("n_events"),
@@ -1028,9 +1026,8 @@ object CdcQueries {
     import s.implicits._
     CdcStream.runPunctuatedAppend(s, dir) { raw =>
       CdcStream.streamAsOf(
-        raw.select($"user_id", $"event_id".as("id"),
-            timestamp_micros(expr("ts div 1000")).as("ts"),
-            expr("ts div 1000").as("tsUs"),
+        raw.select($"user_id", $"event_id".as("id"), $"ts",
+            unix_micros($"ts").as("tsUs"),
             $"event_type".as("etype"), $"value")
           .withWatermark("ts", "1 hour")
           .as[CdcStream.AsOfEvent]).toDF()

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
 
 /** One change-feed record in flight (micros instead of Timestamp keeps
   * the encoder simple and the state compact). */
@@ -213,10 +213,26 @@ object CdcStream {
         })
   }
 
-  private val EventSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Guard against the silent unit-scale failure class: a feed whose
+    * declared schema misreads the on-disk int64 (nanos vs micros)
+    * yields event-times around 1970, and every window/join collapses
+    * while row counts stay plausible (round-8 postmortem). Re-read the
+    * feed in BATCH with the SAME declared schema + normalization and
+    * require its min event-time to be post-2000 — cheap (one small
+    * agg) and it turns silent garbage into a named failure. */
+  private[cdc] def assertEventTimeSane(spark: SparkSession, path: String,
+      schema: StructType, globFilter: Option[String] = None): Unit = {
+    val reader = spark.read.schema(schema)
+    val batch = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .parquet(path)
+    val minTs = batch
+      .agg(min(graft.Tables.eventTs(schema("ts").dataType)).as("min_ts"))
+      .head.getTimestamp(0)
+    require(minTs != null &&
+        minTs.after(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")),
+      s"event feed at $path has min event-time $minTs (pre-2000) — " +
+        "ts unit/schema mismatch; see Tables.eventTsMicros")
+  }
 
   /** Run a watermarked APPEND-mode streaming aggregation over the
     * events file with end-of-stream punctuation: the events parquet is
@@ -225,28 +241,39 @@ object CdcStream {
     * append mode finalizes and emits each window exactly once. This is
     * the unbounded-safe pattern (state bounded by the watermark, no
     * per-batch full-result rewrite); a real CDC feed closes windows the
-    * same way via source heartbeats. `build` maps the raw event stream
-    * (event_id, ts nanos, user_id, event_type, value, props) to the
-    * watermarked aggregation; callers filter the sentinel out of the
-    * result. */
+    * same way via source heartbeats. `build` receives the event stream
+    * (event_id, ts, user_id, event_type, value, props) with `ts`
+    * already normalized to TIMESTAMP micros ([[graft.Tables.eventTs]]);
+    * callers filter the sentinel out of the result. */
   def runPunctuatedAppend(spark: SparkSession, dir: String)
       (build: DataFrame => DataFrame): DataFrame = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.Tables.eventsSchema(spark, dir)
+    val tsType = schema("ts").dataType
     val inDir = graft.Scratch.dir("graft_punct_in")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(dir, "events.parquet"),
       inDir.resolve("00_events.parquet"))
+    assertEventTimeSane(spark, inDir.toString, schema)
     val name = "graft_punct_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val agg = build(spark.readStream.schema(EventSchema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir.toString))
+    val agg = build(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .withColumn("ts", graft.Tables.eventTs(tsType)))
     withStatePartitions(spark) {
       val q = agg.writeStream
         .outputMode(OutputMode.Append).format("memory").queryName(name).start()
       try {
         q.processAllAvailable()
-        val sent = Seq((-1L, 4102444800000000000L, -1L, "sentinel", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // sentinel ts must carry the FILE's representation (2100-01-01)
+        val sentTs = tsType match {
+          case LongType => lit(4102444800000000000L) // nanos
+          case TimestampNTZType =>
+            lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0))
+          case _ => lit(java.time.Instant.parse("2100-01-01T00:00:00Z"))
+        }
+        val sent = spark.range(1).select(
+          lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
         val sentDir = graft.Scratch.dir("graft_punct_sent")
         sent.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
         val part = java.nio.file.Files.list(sentDir).iterator().asScala
@@ -267,8 +294,7 @@ object CdcStream {
   def runWindowedBounded(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     runPunctuatedAppend(spark, dir) { raw =>
-      raw.select(timestamp_micros(expr("ts div 1000")).as("ts"),
-          $"event_type", $"value")
+      raw.select($"ts", $"event_type", $"value")
         .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n_events"),

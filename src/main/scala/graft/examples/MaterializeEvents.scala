@@ -22,20 +22,19 @@ object MaterializeEvents {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // declared schema resolved from the parquet footer; ts normalized
+    // to micros whatever the on-disk representation (Tables.eventTs)
+    val schema = graft.Tables.eventsSchema(spark, sfDir)
     val changes = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+      .withColumn("ts", graft.Tables.eventTs(schema("ts").dataType))
       .select($"user_id".as("key"), $"event_id".as("seq"),
         when($"event_type" === "signup", "i")
           .when($"event_type" === "error", "d").otherwise("u").as("op"),
-        $"event_type", $"value", expr("ts div 1000").as("tsMicros"))
+        $"event_type", $"value", unix_micros($"ts").as("tsMicros"))
       .as[ChangeRecord]
 
     val q = MaterializedTable.upsertSink(changes, tableDir, ckptDir)

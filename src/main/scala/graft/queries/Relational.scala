@@ -849,16 +849,18 @@ object Relational {
     *
     * B20-pattern oracle: rows are the EXACT set cardinalities
     * (re-derived by both engines — intersect/diff via
-    * inclusion-exclusion on conditional distinct counts), the rounded
-    * sketch estimate itself (`est_count`, so a deviation surfaces as
-    * a diagnosable column, not an opaque hash mismatch), and the
-    * `est_ok` booleans pin each estimate inside ±5% of exact. At
-    * these cardinalities the sketch is below its sampling threshold,
-    * so estimates are EXACT and the oracle can equate est_count with
-    * exact_count; at SFs whose distinct-user counts exceed the
-    * sketch's nominal entries (~16K for the default lgK), est_count
-    * is EXPECTED to deviate within the estimator's documented error —
-    * the oracle identity must then be relaxed to the est_ok band.
+    * inclusion-exclusion on conditional distinct counts) plus the
+    * estimator's AUDIT columns: `est_err_bands` = how many whole
+    * ±5% tolerance bands the sketch estimate sits away from exact
+    * (floor(|est − exact|·20/exact)), and `est_ok` ⟺ 0 bands. The
+    * oracle states the CLAIM (0 bands, ok) rather than the raw
+    * estimate, so the identity holds at EVERY SF where the estimator
+    * meets its documented error (±5% ≈ 3σ for the default lgK), not
+    * just below the sketch's exact-mode threshold — and when an
+    * estimate does break the band, the failing value IS the deviation
+    * magnitude in 5%-units, a diagnosable column instead of an opaque
+    * hash mismatch on a raw count (r8 ADVICE item). RelationalSpec
+    * asserts the raw est-vs-exact deviation non-vacuously.
     *
     * 100 TB: sketches are KB-sized mergeable summaries; the exchange
     * carries one sketch per partition per segment; the exact branch
@@ -887,14 +889,16 @@ object Relational {
         .as("n_union"))
       .withColumn("n_intersect", $"n_view" + $"n_purchase" - $"n_union")
       .withColumn("n_diff", $"n_view" - $"n_intersect")
-    def ok(est: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
-      abs(est - ex) * 20 <= ex
-    def rnd(est: org.apache.spark.sql.Column) =
-      floor(est + 0.5).cast("long")
+    // empty sets (possible at tiny SFs) sidestep the relative-error
+    // division: estimate ~0 ⇒ in band, anything else ⇒ fully out
+    def bands(est: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+      when(ex === 0, when(abs(est) < 0.5, lit(0L)).otherwise(lit(20L)))
+        .otherwise(floor(abs(est - ex) * 20 / ex).cast("long"))
     def row(op: String, ex: org.apache.spark.sql.Column,
         est: org.apache.spark.sql.Column) =
       struct(lit(op).as("set_op"), ex.as("exact_count"),
-        rnd(est).as("est_count"), ok(est, ex).as("est_ok"))
+        bands(est, ex).as("est_err_bands"),
+        (bands(est, ex) === 0).as("est_ok"))
     exact.crossJoin(est)
       .select(explode(array(
         row("1_view", $"n_view", $"e_view"),
@@ -902,7 +906,7 @@ object Relational {
         row("3_union", $"n_union", $"e_union"),
         row("4_intersect", $"n_intersect", $"e_intersect"),
         row("5_diff", $"n_diff", $"e_diff"))).as("r"))
-      .select($"r.set_op", $"r.exact_count", $"r.est_count", $"r.est_ok")
+      .select($"r.set_op", $"r.exact_count", $"r.est_err_bands", $"r.est_ok")
       .orderBy($"set_op")
   }
   val qSketchSetOpsSql: String =
@@ -919,7 +923,7 @@ object Relational {
       |    n_union - n_purchase AS n_diff
       |  FROM x)
       |SELECT set_op, CAST(exact_count AS BIGINT) AS exact_count,
-      |  CAST(exact_count AS BIGINT) AS est_count,
+      |  CAST(0 AS BIGINT) AS est_err_bands,
       |  TRUE AS est_ok
       |FROM (
       |  SELECT '1_view' AS set_op, n_view AS exact_count FROM y

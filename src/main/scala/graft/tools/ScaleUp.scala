@@ -17,10 +17,13 @@ object ScaleUp {
     val copies = copiesStr.toInt
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def rep(name: String, idCols: Seq[String], shift: Long): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
+      // events: keep the on-disk ts representation (eventsRaw handles
+      // the nanos-vs-NTZ footer drift); replicas stay bit-identical
+      val base =
+        if (name == "events") graft.Tables.eventsRaw(spark, src)
+        else spark.read.parquet(s"$src/$name.parquet")
       val parts = (0 until copies).map { i =>
         idCols.foldLeft(base) { (df, c) =>
           df.withColumn(c, col(c) + lit(i * shift))

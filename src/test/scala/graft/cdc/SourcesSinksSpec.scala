@@ -76,23 +76,18 @@ class SourcesSinksSpec extends AnyFunSuite {
     import spark.implicits._
     val table = tmpDir("mat_table")
     val ckpt = tmpDir("mat_ckpt")
-    // bounded change stream from the sf0.001 events parquet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // bounded change stream from the sf0.001 events parquet (declared
+    // schema resolved from the footer; ts normalized via Tables.eventTs)
+    val schema = graft.Tables.eventsSchema(spark, sf0001)
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(sf0001)
+      .withColumn("ts", graft.Tables.eventTs(schema("ts").dataType))
       .select($"user_id".as("key"), $"event_id".as("seq"),
         when($"event_type" === "signup", "i")
           .when($"event_type" === "error", "d").otherwise("u").as("op"),
-        $"event_type", $"value", expr("ts div 1000").as("tsMicros"))
+        $"event_type", $"value", unix_micros($"ts").as("tsMicros"))
       .as[ChangeRecord]
     val q = MaterializedTable.upsertSink(stream, table, ckpt)
     try q.processAllAvailable() finally q.stop()

@@ -71,6 +71,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("q_sketch_set_ops: audit columns carry a real estimator deviation") {
+    import spark.implicits._
+    val rows = Relational.queries("q_sketch_set_ops")(spark, sf0001)
+      .select("set_op", "exact_count", "est_err_bands", "est_ok")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.length === 5)
+    // view/purchase audiences must be real; derived sets may be empty
+    // at tiny SFs (the band column handles ex=0 without dividing)
+    assert(Seq("1_view", "2_purchase")
+      .forall(op => rows.find(_._1 == op).get._2 > 0),
+      s"degenerate exact counts: ${rows.toSeq}")
+    // the ±5%-band claim must hold here (below the sketch's exact-mode
+    // threshold the estimate is exact, so 0 bands is a hard fact, not
+    // a vacuous TRUE)
+    assert(rows.forall(r => r._3 === 0L && r._4), s"estimator out of band: ${rows.toSeq}")
+    // non-vacuous: recompute the RAW estimates and pin them to the
+    // exact counts directly — if the sketch drifted, this names the
+    // set_op and magnitude instead of an opaque driver hash fail
+    val ev = graft.Tables.events(spark, sf0001).select($"user_id", $"event_type")
+    val est = ev.agg(
+        expr("cast(theta_sketch_estimate(theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)) as double)").as("e_view"),
+        expr("cast(theta_sketch_estimate(theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)) as double)").as("e_purchase"))
+      .head
+    val exactView = rows.find(_._1 == "1_view").get._2.toDouble
+    val exactPurch = rows.find(_._1 == "2_purchase").get._2.toDouble
+    assert(math.abs(est.getDouble(0) - exactView) / exactView <= 0.05,
+      s"view estimate ${est.getDouble(0)} vs exact $exactView")
+    assert(math.abs(est.getDouble(1) - exactPurch) / exactPurch <= 0.05,
+      s"purchase estimate ${est.getDouble(1)} vs exact $exactPurch")
+  }
+
   test("q_event_transitions: row-stochastic matrix over exactly the user pairs") {
     import spark.implicits._
     val rows = Relational.qEventTransitions(spark, sf0001)
