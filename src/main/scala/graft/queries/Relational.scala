@@ -1534,7 +1534,172 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY lag_class""".stripMargin
 
+  // --------------------------------------------------------------- B49
+  /** TPC-H Q4 shape — EXISTS over the fact table driving a priority
+    * histogram: orders placed in a 3-month window that had at least
+    * one line shipped more than 30 days after the order date (the
+    * schema has no commit/receipt dates, so "late" is ship-lag >30d —
+    * same correlated-EXISTS structure). The date window pushes to the
+    * orders parquet scan (PushedFilters), the EXISTS compiles to a
+    * LEFT SEMI join so duplicate matching lines are never
+    * materialized, and the residual ship-lag predicate rides the join.
+    * 100 TB: only the 3-month order slice shuffles; the 5-group agg is
+    * map-side combined. On a date-partitioned lake layout the window
+    * also prunes order partitions outright. */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-07-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-10-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val lines = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    orders.join(lines,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- B50
+  /** TPC-H Q6 — the pure scan-aggregate: forecast-revenue change from
+    * one year of discounted small-quantity lines. Deliberately join-
+    * free so the plan IS the scale story: every predicate (shipdate
+    * range, discount band, quantity cap) pushes to the parquet scan,
+    * ReadSchema is 4 columns of 11, and the single agg is map-side
+    * partial — at 100 TB this runs at IO speed with a 1-row exchange.
+    * Revenue is fixed-pointed per row (price×discount at 1e4) before
+    * the order-free BIGINT sum. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount".between(0.02, 0.04) && $"l_quantity" < 24)
+      .agg(
+        (sum(floor($"l_extendedprice" * $"l_discount" * 10000 + 0.5)
+          .cast("long")) / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+  val q6ForecastRevenueSql: String =
+    """SELECT CAST(sum(floor(l_extendedprice * l_discount * 10000 + 0.5))
+      |    AS BIGINT) / 10000.0 AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------------------- B51
+  /** TPC-H Q11 shape — group rollup gated by a global scalar: parts
+    * whose lineitem value exceeds 1.5× the mean part value ("value
+    * concentration"; the schema has no partsupp, so value is shipped
+    * revenue, and the fraction is data-derived instead of Q11's
+    * SF-scaled constant — same HAVING-over-global-aggregate
+    * structure). The rollup is ONE partkey exchange with map-side
+    * combine, PERSISTED because it feeds two consumers (the scalar
+    * and the gate) — Catalyst plans each branch separately and would
+    * otherwise re-scan the fact table for the 1-row total (verified
+    * with explain: two parquet scans without the persist, one with).
+    * The cache is parts-dimension-sized (key + BIGINT per part), the
+    * classic "cache the rollup, never rescan the facts" trade; the
+    * global total/count then broadcasts as one row, and the threshold
+    * compare is integer fixed-point with an integral-divide mean so
+    * no float crosses the gate. 100 TB: the cached rollup is ~100s of
+    * MB across the cluster vs a second 100 TB scan. */
+  def q11ValueConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = t(s, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100
+        + 0.5).cast("long")).as("value_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = v.agg(sum($"value_fp").as("total_fp"),
+      count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(tot))
+      .filter($"value_fp" > expr("(total_fp * 3) div (n_parts * 2)"))
+      .select($"l_partkey".as("p_partkey"), $"value_fp")
+      .orderBy($"value_fp".desc, $"p_partkey")
+  }
+  val q11ValueConcentrationSql: String =
+    """WITH v AS (SELECT l_partkey,
+      |    CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+      |      AS BIGINT) AS value_fp
+      |  FROM lineitem GROUP BY 1),
+      |s AS (SELECT sum(value_fp) AS total_fp, count(*) AS n_parts FROM v)
+      |SELECT l_partkey AS p_partkey, value_fp
+      |FROM v, s WHERE value_fp > (total_fp * 3) // (n_parts * 2)
+      |ORDER BY value_fp DESC, p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- B52
+  /** TPC-H Q20 shape — nested semi-join with a correlated volume
+    * threshold: ASIA suppliers who DOMINATE some SMALL part's shipped
+    * volume (supplier's quantity >3× the part's mean per-supplier
+    * quantity; no partsupp/availqty in this schema, so dominance
+    * replaces Q20's "stock > half the shipped volume" — same
+    * supplier-qualifies-via-part-level-aggregate nesting). The
+    * (part, supplier) rollup shuffles once on partkey; the part total
+    * and supplier count ride a window over that same partition (no
+    * rescan); the dominant-supplier set then SEMI-joins the supplier
+    * dim with the region chain broadcast. 100 TB: lineitem is touched
+    * once, pre-filtered by the broadcast SMALL-part dim. */
+  def q20DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val small = t(s, dir, "part").filter($"p_type" === "SMALL")
+      .select($"p_partkey")
+    val ps = t(s, dir, "lineitem")
+      .join(broadcast(small), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(floor($"l_quantity").cast("long")).as("qty"))
+    val w = Window.partitionBy($"l_partkey")
+    val dom = ps
+      .withColumn("part_qty", sum($"qty").over(w))
+      .withColumn("ns", count(lit(1)).over(w))
+      .filter($"qty" * $"ns" * 10 > $"part_qty" * 30)
+      .select($"l_suppkey").distinct()
+    val asia = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    t(s, dir, "supplier")
+      .join(broadcast(asia), $"s_nationkey" === $"n_nationkey")
+      .join(dom, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+  val q20DominantSupplierSql: String =
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+      |    CAST(sum(floor(l_quantity)) AS BIGINT) AS qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'SMALL' GROUP BY 1, 2),
+      |w AS (SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS part_qty,
+      |    count(*) OVER (PARTITION BY l_partkey) AS ns
+      |  FROM ps),
+      |dom AS (SELECT DISTINCT l_suppkey FROM w
+      |  WHERE qty * ns * 10 > part_qty * 30)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN dom ON s_suppkey = l_suppkey
+      |WHERE r_name = 'ASIA'
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q11_value_concentration" -> (q11ValueConcentration _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q12_ship_lag_priority" -> (q12ShipLagPriority _),
@@ -1585,6 +1750,10 @@ object Relational {
     "q_correlated_scalar" -> (qCorrelatedScalar _))
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q11_value_concentration" -> q11ValueConcentrationSql,
+    "q20_dominant_supplier" -> q20DominantSupplierSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_product_profit" -> q9ProductProfitSql,
     "q12_ship_lag_priority" -> q12ShipLagPrioritySql,
