@@ -147,18 +147,28 @@ object CdcQueries {
 
   // ---------------------------------------------------------------- A7
   /** Bounded file-source stand-in for the Kafka/Debezium feed. The
-    * file source wants a directory, so glob-filter `events.parquet`
-    * out of the sf dir. The declared schema is resolved from the
-    * parquet footer and `ts` arrives normalized to TIMESTAMP micros
-    * ([[graft.Tables.eventTs]] — nanos-long and TIMESTAMP_NTZ files
-    * both land on the same representation), with the post-2000
-    * event-time invariant asserted up front. */
+    * file source wants a directory: when `events.parquet` IS a
+    * directory of part files (ScaleUp replicas, lake layouts) stream
+    * it directly; when it is a single file (driver test data),
+    * glob-filter it out of the sf dir — the glob matches leaf FILE
+    * names, so it would silently match nothing in the directory
+    * layout (caught by the event-time invariant below). The declared
+    * schema is resolved from the parquet footer and `ts` arrives
+    * normalized to TIMESTAMP micros ([[graft.Tables.eventTs]] —
+    * nanos-long and TIMESTAMP_NTZ files both land on the same
+    * representation), with the post-2000 event-time invariant
+    * asserted up front. */
   private def rawEventStream(s: SparkSession, dir: String): DataFrame = {
     val schema = graft.Tables.eventsSchema(s, dir)
-    CdcStream.assertEventTimeSane(s, dir, schema, Some("events.parquet"))
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", graft.Tables.eventTs(schema("ts").dataType))
+    val eventsPath = s"$dir/events.parquet"
+    val isDir = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    CdcStream.assertEventTimeSane(s, eventsPath, schema)
+    val raw =
+      if (isDir) s.readStream.schema(schema).parquet(eventsPath)
+      else s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+    raw.withColumn("ts", graft.Tables.eventTs(schema("ts").dataType))
   }
 
   private def changeStream(s: SparkSession, dir: String): Dataset[ChangeRecord] = {

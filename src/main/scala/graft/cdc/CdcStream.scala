@@ -29,8 +29,11 @@ object CdcStream {
     * size it to STATE volume, not to the batch shuffle default
     * (measured at sf0.1: stream-stream join 8.5 s @ 32 stores → 4.2 s
     * @ 8; a cluster with large state raises it instead). Bounded
-    * runners scope the setting to the streaming query and restore. */
-  val StatePartitions = 8
+    * runners scope the setting to the streaming query and restore.
+    * Env-overridable so deployments (and the SCALING.md sf1
+    * measurement) can size it to state volume without a rebuild. */
+  val StatePartitions: Int =
+    sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "8").toInt
 
   private[cdc] def withStatePartitions[T](s: SparkSession)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -250,9 +253,20 @@ object CdcStream {
     val schema = graft.Tables.eventsSchema(spark, dir)
     val tsType = schema("ts").dataType
     val inDir = graft.Scratch.dir("graft_punct_in")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      inDir.resolve("00_events.parquet"))
+    // events.parquet may be one file (driver test data) or a directory
+    // of part files (ScaleUp replicas) — stage every data file as
+    // batch 1 (zero-padded names keep them before the 9x sentinel)
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = java.nio.file.Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.getFileName.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.copy(p, inDir.resolve(f"0${i}%05d_events.parquet"))
+      }
+    } else {
+      java.nio.file.Files.copy(src, inDir.resolve("000000_events.parquet"))
+    }
     assertEventTimeSane(spark, inDir.toString, schema)
     val name = "graft_punct_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val agg = build(spark.readStream.schema(schema)
