@@ -1135,11 +1135,14 @@ object Ann {
     val n = c.count()
     val k = math.max(8L, (n + 255) / 256).toInt
     val cents = Dedup.trainedCentroids(s, c, k, 2)
-    val assigned = c.crossJoin(broadcast(cents))
-      .select($"vec_id", $"cluster", $"v",
-        r4(expr("cosine_sim(v, cv)")).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")))
+    // multi-probe assignment in-row (Dedup.topKOverCs): the former
+    // (cos DESC, cluster) window shuffled N×k scored rows; the sorted
+    // top-4 now derives at scan parallelism from the one-row broadcast
+    val assigned = c.crossJoin(broadcast(Dedup.centroidArray(cents)))
+      .select($"vec_id", $"v",
+        posexplode(expr(Dedup.topKOverCs(KnnProbes))))
+      .select($"vec_id", ($"pos" + 1).as("rn"),
+        $"col.cluster".as("cluster"), $"v", $"col.cos".as("cos"))
       .persist()
     val members = assigned.filter($"rn" === 1)
       .select($"cluster", $"vec_id".as("neighbor_id"), $"v".as("nv"))

@@ -708,6 +708,42 @@ object Dedup {
     * its previous centroid (coalesce, both sides). All steps are
     * distributed DataFrame ops; nothing vector-sized reaches the
     * driver. */
+  /** In-row argmax over a one-row broadcast centroid array `cs`
+    * (cluster-ASC-sorted structs): per vector, the centroid with the
+    * max r4-rounded cosine, ties to the LOWEST cluster (the fold keeps
+    * the first maximum of the sorted array) — semantics identical to a
+    * (cos DESC, cluster ASC) row_number window, but with ZERO shuffle:
+    * the former window form exchanged N×k rows per assignment pass and
+    * was the measured bulk of dedup_semantic's r8 cost (2.2 s → the
+    * assignment now rides the scan). */
+  private[ops] val ArgmaxOverCs: String =
+    """aggregate(
+      |  transform(cs, e -> named_struct('cluster', e.cluster,
+      |    'cos', floor(cosine_sim(v, e.cv) * 10000 + 0.5) / 10000)),
+      |  named_struct('cluster', cast(-1 as bigint),
+      |    'cos', cast(-2.0 as double)),
+      |  (a, e) -> if(e.cos > a.cos, e, a))""".stripMargin
+
+  /** One-row (cluster, cv) array for [[ArgmaxOverCs]] — k is
+    * broadcast-bounded by construction everywhere this is used. */
+  private[ops] def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cluster"), col("cv"))))
+      .as("cs"))
+
+  /** [[ArgmaxOverCs]]'s top-k sibling (multi-probe assignment): the
+    * per-vector (cluster, r4-cosine) scores sorted (cos DESC, cluster
+    * ASC) in-row, first `k` kept — replaces a rn ≤ k window over an
+    * N×k exchange with scan-local work. */
+  private[ops] def topKOverCs(k: Int): String =
+    s"""slice(array_sort(
+       |  transform(cs, e -> named_struct('cluster', e.cluster,
+       |    'cos', floor(cosine_sim(v, e.cv) * 10000 + 0.5) / 10000)),
+       |  (a, b) -> case when a.cos > b.cos then -1
+       |    when a.cos < b.cos then 1
+       |    when a.cluster < b.cluster then -1
+       |    when a.cluster > b.cluster then 1 else 0 end), 1, $k)"""
+      .stripMargin
+
   private[ops] def trainedCentroids(s: SparkSession, feed: DataFrame,
       k: Int, iters: Int): DataFrame = {
     import s.implicits._
@@ -718,12 +754,9 @@ object Dedup {
           .cast("long").as("cluster"),
         transform($"v", x => floor(x * 10000 + 0.5) / 10000).as("cv"))
     for (_ <- 1 to iters) {
-      val asg = feed.crossJoin(broadcast(cents))
-        .select($"vec_id", $"cluster", $"v",
-          r4(expr("cosine_sim(v, cv)")).as("cos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")))
-        .filter($"rn" === 1)
+      val asg = feed.crossJoin(broadcast(centroidArray(cents)))
+        .withColumn("best", expr(ArgmaxOverCs))
+        .select($"vec_id", $"best.cluster".as("cluster"), $"v")
       val upd = asg
         .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cluster", $"pos")
@@ -790,13 +823,9 @@ object Dedup {
     val n = feed.count()
     val k = math.max(8L, (n + targetCellRows - 1) / targetCellRows).toInt
     val cents = trainedCentroids(s, feed, k, SemIters)
-    val assigned = feed.crossJoin(broadcast(cents))
-      .select($"vec_id", $"cluster", $"v",
-        r4(expr("cosine_sim(v, cv)")).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster")))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"cluster", $"v")
+    val assigned = feed.crossJoin(broadcast(centroidArray(cents)))
+      .withColumn("best", expr(ArgmaxOverCs))
+      .select($"vec_id", $"best.cluster".as("cluster"), $"v")
       // persisted: three consumers (both pair-join sides + the stats
       // rollup) would each recompute the centroid assignment;
       // lifetime bounded by the caller's clearCache

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -458,4 +459,94 @@ object Multimodal {
       |  CAST(n_chars // 4096 + 1 AS BIGINT) AS n_frames,
       |  CAST(doc_id % 256 AS INT) AS first_byte
       |FROM b ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- C77
+  /** Scene-cut segmentation over the video frame stream (the shot-
+    * boundary pass every video training pipeline runs before sampling
+    * clips): per video asset, successive C12b frames whose checksum
+    * signature jumps by >500 mark a cut; frames between cuts form a
+    * segment, reported with its start frame, length, and a segment
+    * signature. A real deployment swaps the checksum for a perceptual
+    * frame feature (histogram distance, phash) — the detection
+    * lattice (lag → threshold → running cut-count → island rollup) is
+    * identical and is what Spark owns.
+    *
+    * Scale: payload bytes never shuffle — frames + checksums derive
+    * IN-ROW from the asset row, and only (doc_id, f, checksum) ints
+    * enter the ONE asset-keyed window exchange; a window partition is
+    * one asset's frames (bounded: hours × fps). The (doc, seg) rollup
+    * reuses the window's hashpartitioning(doc_id) — partitioning on a
+    * SUBSET of the grouping keys satisfies the agg's distribution, so
+    * no second exchange (plan-audited in Round9OpsSpec). */
+  def mmSceneSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftExpressions.register(s)
+    val FrameLen = 64
+    val w = Window.partitionBy($"doc_id").orderBy($"f")
+    val frames = manifest(s, dir).toDF()
+      .filter($"media_type" === "video")
+      .select($"doc_id", $"payload",
+        explode(sequence(lit(0),
+          ceil(length($"payload") / FrameLen).cast("long") - 1)).as("f"))
+      .select($"doc_id", $"f",
+        (expr(s"byte_sum(substring(payload, f * $FrameLen + 1, $FrameLen))")
+          % 997).as("c"))
+    frames
+      .withColumn("prev", lag($"c", 1).over(w))
+      .withColumn("is_cut",
+        when($"prev".isNotNull && abs($"c" - $"prev") > 500, 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum($"is_cut")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"seg_id")
+      .agg(min($"f").as("start_f"),
+        count(lit(1)).as("n_frames"),
+        (sum($"c") % 997).as("seg_sig"))
+      .orderBy($"doc_id", $"seg_id")
+  }
+  /** Oracle honesty (C12b pattern): DuckDB re-derives the frame
+    * checksums from the fake-payload *definition* (closed-form byte
+    * sums), then runs the identical cut/segment lattice — a wrong
+    * payload, checksum, lag, or island boundary breaks the match. */
+  val mmSceneSegmentsSql: String =
+    """WITH t AS (SELECT doc_id, n_chars FROM documents
+      |  WHERE doc_id % 3 = 2),
+      |fr AS (SELECT doc_id, g.f,
+      |    g.f * 64 AS lo, least((g.f + 1) * 64, n_chars) AS hi
+      |  FROM t, generate_series(0, 9999) g(f)
+      |  WHERE g.f < ceil(n_chars / 64.0)),
+      |s AS (SELECT doc_id, f,
+      |    (lo // 256) * 32640 +
+      |      CASE WHEN (doc_id % 256) + (lo % 256) <= 256
+      |        THEN (lo % 256) * (doc_id % 256)
+      |          + (lo % 256) * ((lo % 256) - 1) // 2
+      |        ELSE (256 - doc_id % 256) * ((doc_id % 256) + 255) // 2
+      |          + ((lo % 256) - (256 - doc_id % 256))
+      |            * ((lo % 256) - (256 - doc_id % 256) - 1) // 2 END AS t_lo,
+      |    (hi // 256) * 32640 +
+      |      CASE WHEN (doc_id % 256) + (hi % 256) <= 256
+      |        THEN (hi % 256) * (doc_id % 256)
+      |          + (hi % 256) * ((hi % 256) - 1) // 2
+      |        ELSE (256 - doc_id % 256) * ((doc_id % 256) + 255) // 2
+      |          + ((hi % 256) - (256 - doc_id % 256))
+      |            * ((hi % 256) - (256 - doc_id % 256) - 1) // 2 END AS t_hi
+      |  FROM fr),
+      |cks AS (SELECT doc_id, f,
+      |    CAST((t_hi - t_lo) % 997 AS BIGINT) AS c FROM s),
+      |d AS (SELECT doc_id, f, c,
+      |    lag(c) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+      |  FROM cks),
+      |cut AS (SELECT doc_id, f, c,
+      |    CASE WHEN prev IS NOT NULL AND abs(c - prev) > 500
+      |      THEN 1 ELSE 0 END AS is_cut
+      |  FROM d),
+      |seg AS (SELECT doc_id, f, c,
+      |    CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+      |  FROM cut)
+      |SELECT doc_id, seg_id, min(f) AS start_f,
+      |  count(*) AS n_frames,
+      |  CAST(sum(c) % 997 AS BIGINT) AS seg_sig
+      |FROM seg GROUP BY doc_id, seg_id
+      |ORDER BY doc_id, seg_id""".stripMargin
 }

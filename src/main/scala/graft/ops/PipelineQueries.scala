@@ -1504,6 +1504,7 @@ object PipelineQueries {
       |FROM fin ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_span_dedup" -> (TextOps.textSpanDedup _),
     "pipeline_domain_mix" -> (pipelineDomainMix _),
     "pipeline_importance_weights" -> (pipelineImportanceWeights _),
     "pipeline_temperature_mix" -> (pipelineTemperatureMix _),
@@ -1580,9 +1581,11 @@ object PipelineQueries {
     "mm_dedup" -> (Multimodal.mmDedup _),
     "mm_phash_neardup" -> (Multimodal.mmPhashNeardup _),
     "mm_canonical" -> (Multimodal.mmCanonical _),
-    "mm_text_pairs" -> (Multimodal.mmTextPairs _))
+    "mm_text_pairs" -> (Multimodal.mmTextPairs _),
+    "mm_scene_segments" -> (Multimodal.mmSceneSegments _))
 
   val oracles: Map[String, String] = Map(
+    "text_span_dedup" -> TextOps.textSpanDedupSql,
     "pipeline_domain_mix" -> pipelineDomainMixSql,
     "pipeline_importance_weights" -> pipelineImportanceWeightsSql,
     "pipeline_temperature_mix" -> pipelineTemperatureMixSql,
@@ -1659,5 +1662,6 @@ object PipelineQueries {
     "mm_dedup" -> Multimodal.mmDedupSql,
     "mm_phash_neardup" -> Multimodal.mmPhashNeardupSql,
     "mm_canonical" -> Multimodal.mmCanonicalSql,
-    "mm_text_pairs" -> Multimodal.mmTextPairsSql)
+    "mm_text_pairs" -> Multimodal.mmTextPairsSql,
+    "mm_scene_segments" -> Multimodal.mmSceneSegmentsSql)
 }

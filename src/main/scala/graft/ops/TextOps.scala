@@ -1300,4 +1300,84 @@ object TextOps {
       |    + (CASE WHEN top_frac <= 0.18 THEN 0 ELSE 1 END) AS BIGINT)
       |    AS n_failed
       |FROM m ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- C76
+  /** Cross-document duplicated-SPAN removal with rewrite (the C4 /
+    * Dolma "remove duplicated lines across the corpus, keep one copy"
+    * stage — the corpus here has no newlines, so the span unit is the
+    * non-overlapping 10-word window). Unlike the detection-side ops
+    * (C28/C33/C65 flag or score), this one REWRITES: a span appearing
+    * in ≥2 distinct docs survives only in its keeper (min doc_id);
+    * every other doc loses it and is re-emitted without it. Output is
+    * compact (per-doc span counts + md5 of the rebuilt text); docs
+    * whose every span was stripped drop out, as C4 drops empty lines.
+    *
+    * Scale shape — document text never shuffles: (1) spans are
+    * derived IN-ROW and only (doc_id, pos, md5) leaves the scan — a
+    * narrow rollup keyed on the span hash (partial-distinct combines
+    * map-side); (2) the hot set (df≥2 → keeper) is
+    * duplication-bounded and broadcasts; (3) the drop-list
+    * (doc_id → dropped positions) comes from the hash-only span table
+    * ⋈ broadcast hot — its volume is the duplicate count, ints only —
+    * and broadcasts back onto the documents scan; (4) the rebuild
+    * (filter spans by dropped position, re-join words) runs in-row at
+    * scan parallelism. Worst case (100%-dup corpus) the drop-list is
+    * ~span-count ints — still no text bytes in any exchange. At 100 TB
+    * swap md5 for xxhash64 (shuffle 8 bytes, not 32-char hex; md5 here
+    * because the DuckDB oracle shares it). */
+  def textSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+    val spans = docs
+      .select($"doc_id", expr(
+        """transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1),
+          |  i -> md5(array_join(slice(w, i * 10 + 1, 10), ' ')))"""
+          .stripMargin).as("hs"))
+      .select($"doc_id", posexplode($"hs"))
+      .toDF("doc_id", "pos", "h")
+    val hot = spans.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("df"), min($"doc_id").as("keeper"))
+      .filter($"df" >= 2)
+      .select($"h", $"keeper")
+    val drops = spans.join(broadcast(hot), "h")
+      .filter($"doc_id" =!= $"keeper")
+      .groupBy($"doc_id")
+      .agg(collect_set($"pos").as("drop_pos"))
+    docs.join(broadcast(drops), Seq("doc_id"), "left")
+      .withColumn("drop_pos", coalesce($"drop_pos", array()))
+      .select($"doc_id",
+        expr("cast(ceil(size(w) / 10.0) as bigint)").as("n_spans"),
+        size($"drop_pos").cast("long").as("n_dropped"),
+        expr(
+          """md5(array_join(flatten(transform(
+            |  filter(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1),
+            |    i -> NOT array_contains(drop_pos, i)),
+            |  i -> slice(w, i * 10 + 1, 10))), ' '))""".stripMargin)
+          .as("new_digest"))
+      .filter($"n_dropped" < $"n_spans")
+      .orderBy($"doc_id")
+  }
+  val textSpanDedupSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |spans AS (SELECT doc_id, i AS pos,
+      |    md5(array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ')) AS h
+      |  FROM words,
+      |    UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)),
+      |hot AS (SELECT h, min(doc_id) AS keeper FROM spans
+      |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |dl AS (SELECT s.doc_id, list(s.pos) AS drop_pos FROM spans s
+      |  JOIN hot ON s.h = hot.h WHERE s.doc_id <> hot.keeper
+      |  GROUP BY s.doc_id),
+      |rebuilt AS (SELECT words.doc_id,
+      |    CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_spans,
+      |    CAST(len(coalesce(drop_pos, [])) AS BIGINT) AS n_dropped,
+      |    md5(array_to_string(flatten(list_transform(
+      |      list_filter(range(CAST(ceil(len(w) / 10.0) AS BIGINT)),
+      |        i -> NOT list_contains(coalesce(drop_pos, []), i)),
+      |      i -> w[i * 10 + 1 : i * 10 + 10])), ' ')) AS new_digest
+      |  FROM words LEFT JOIN dl ON words.doc_id = dl.doc_id)
+      |SELECT doc_id, n_spans, n_dropped, new_digest
+      |FROM rebuilt WHERE n_dropped < n_spans ORDER BY doc_id""".stripMargin
 }
