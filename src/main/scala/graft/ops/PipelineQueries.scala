@@ -1421,6 +1421,83 @@ object PipelineQueries {
           .as("expected_tokens"))
       .orderBy($"source")
   }
+  // --------------------------------------------------------------- C78
+  /** Data-constrained EPOCH scheduling (the "Scaling Data-Constrained
+    * Language Models" recipe: when the token budget exceeds the
+    * unique corpus, plan REPEATS per domain, capped at 4 epochs past
+    * which repeated data stops helping): the training budget here is
+    * 2× the corpus's unique tokens, split across sources by the C62
+    * sqrt-temperature share; each source's target converts to an
+    * epoch multiplier (ppm), capped at 4e6, with the effective tokens
+    * and whether the cap bound. Closes the mix trio: C58 sets
+    * direction (uniform), C62 sets sampling weights, C78 turns the
+    * budget into a repeat plan.
+    *
+    * Determinism + overflow: all shares/multipliers are integral
+    * fixed-point with explicit floor division, and every product is
+    * SPLIT-multiplied (q·s + r·s div m) so intermediates stay under
+    * 2^63 even at 100 TB token counts (tot_tokens ≈ 2.5e13 × 1e6 ppm
+    * would overflow a plain multiply — the split keeps each term ≤
+    * tot_tokens). sqrt is the one float op (correctly rounded in both
+    * engines, C62's argument).
+    *
+    * 100 TB: one map-side-combinable source rollup, a 1-row broadcast
+    * total, then sources-sized arithmetic. */
+  def pipelineEpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = graft.Tables.table(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("tokens"))
+      .withColumn("sfp",
+        floor(sqrt($"tokens".cast("double")) * 1000000 + 0.5).cast("long"))
+    val tot = perSource.agg(
+      sum($"tokens").as("tot_tokens"), sum($"sfp").as("tot_sfp"))
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("sfp * 1000000 div tot_sfp"))
+      // target = 2 · tot_tokens · share_ppm / 1e6, split-multiplied
+      .withColumn("target_tokens", expr(
+        "2 * ((tot_tokens div 1000000) * share_ppm" +
+          " + (tot_tokens % 1000000) * share_ppm div 1000000)"))
+      // epochs = target / tokens in ppm, split-multiplied, 4-epoch cap
+      .withColumn("epochs_ppm", least(lit(4000000L), expr(
+        "(target_tokens div tokens) * 1000000" +
+          " + (target_tokens % tokens) * 1000000 div tokens")))
+      .withColumn("effective_tokens", expr(
+        "(tokens div 1000000) * epochs_ppm" +
+          " + (tokens % 1000000) * epochs_ppm div 1000000"))
+      .select($"source", $"n_docs", $"tokens", $"share_ppm",
+        $"target_tokens", $"epochs_ppm", $"effective_tokens",
+        ($"epochs_ppm" === 4000000L).as("cap_bound"))
+      .orderBy($"source")
+  }
+  val pipelineEpochScheduleSql: String =
+    """WITH ps AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |ps2 AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000
+      |    + 0.5) AS BIGINT) AS sfp FROM ps),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+      |    CAST(sum(sfp) AS BIGINT) AS tot_sfp FROM ps2),
+      |a AS (SELECT *, sfp * 1000000 // tot_sfp AS share_ppm
+      |  FROM ps2 CROSS JOIN t),
+      |b AS (SELECT *,
+      |    2 * ((tot_tokens // 1000000) * share_ppm
+      |      + (tot_tokens % 1000000) * share_ppm // 1000000)
+      |      AS target_tokens
+      |  FROM a),
+      |c AS (SELECT *, least(4000000,
+      |    (target_tokens // tokens) * 1000000
+      |      + (target_tokens % tokens) * 1000000 // tokens) AS epochs_ppm
+      |  FROM b)
+      |SELECT source, n_docs, tokens, share_ppm, target_tokens,
+      |  CAST(epochs_ppm AS BIGINT) AS epochs_ppm,
+      |  (tokens // 1000000) * epochs_ppm
+      |    + (tokens % 1000000) * epochs_ppm // 1000000
+      |    AS effective_tokens,
+      |  epochs_ppm = 4000000 AS cap_bound
+      |FROM c ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- C62
   /** Temperature-scaled source sampling (the multilingual-LM recipe:
     * p_i ∝ (n_i/Σn)^α) at α = 1/2, i.e. T = 2 — C58's complement:
@@ -1505,6 +1582,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_span_dedup" -> (TextOps.textSpanDedup _),
+    "pipeline_epoch_schedule" -> (pipelineEpochSchedule _),
     "pipeline_domain_mix" -> (pipelineDomainMix _),
     "pipeline_importance_weights" -> (pipelineImportanceWeights _),
     "pipeline_temperature_mix" -> (pipelineTemperatureMix _),
@@ -1586,6 +1664,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "text_span_dedup" -> TextOps.textSpanDedupSql,
+    "pipeline_epoch_schedule" -> pipelineEpochScheduleSql,
     "pipeline_domain_mix" -> pipelineDomainMixSql,
     "pipeline_importance_weights" -> pipelineImportanceWeightsSql,
     "pipeline_temperature_mix" -> pipelineTemperatureMixSql,
