@@ -35,6 +35,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bhj.size === 5, s"expected 5 broadcast joins, got ${bhj.size}")
   }
 
+  test("q6: every predicate pushed to the scan, 4-column ReadSchema") {
+    val plan = executed(queries.Relational.q6ForecastRevenue(spark, sf0001))
+    val scan = plan.collect { case s: FileSourceScanExec => s }.head
+    val pushed = scan.metadata("PushedFilters")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed"))
+    val read = scan.metadata("ReadSchema")
+    Seq("l_extendedprice", "l_discount", "l_quantity", "l_shipdate")
+      .foreach(c => assert(read.contains(c), read))
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"columns not pruned: $read")
+  }
+
+  test("q4: date window pushed to the orders scan; EXISTS is a semi-join") {
+    val plan = executed(queries.Relational.q4OrderPriority(spark, sf0001))
+    val orders = plan.collect { case s: FileSourceScanExec => s }
+      .filter(_.metadata("Location").contains("orders"))
+    assert(orders.nonEmpty)
+    assert(orders.head.metadata("PushedFilters").contains("o_orderdate"),
+      orders.head.metadata("PushedFilters"))
+    // the EXISTS must not materialize matches (no inner-join + distinct)
+    val semi = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString.contains("Semi") => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.toString.contains("Semi") => j
+    }
+    assert(semi.nonEmpty, s"no semi-join in plan:\n$plan")
+  }
+
+  test("q11: the fact table is scanned once (rollup cached for the scalar)") {
+    val plan = executed(
+      queries.Relational.q11ValueConcentration(spark, sf0001))
+    val liScans = plan.collect { case s: FileSourceScanExec => s }
+      .count(_.metadata("Location").contains("lineitem"))
+    assert(liScans <= 1, s"expected ≤1 lineitem scan, got $liScans")
+    val mem = plan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(mem.nonEmpty, "rollup cache missing — scalar branch re-scans")
+  }
+
   test("q_correlated_scalar scans lineitem once (window, not agg+rejoin)") {
     val plan = executed(queries.Relational.qCorrelatedScalar(spark, sf0001))
     val liScans = plan.collect { case s: FileSourceScanExec => s }
