@@ -1325,9 +1325,14 @@ object TextOps {
     * ~span-count ints — still no text bytes in any exchange. At 100 TB
     * swap md5 for xxhash64 (shuffle 8 bytes, not 32-char hex; md5 here
     * because the DuckDB oracle shares it). */
-  def textSpanDedup(s: SparkSession, dir: String): DataFrame = {
+  def textSpanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedupCore(s, table(s, dir, "documents"))
+
+  /** [[textSpanDedup]]'s engine over any (doc_id, text) frame — split
+    * out so the property spec can drive arbitrary corpora through it. */
+  private[ops] def spanDedupCore(s: SparkSession, docsIn: DataFrame): DataFrame = {
     import s.implicits._
-    val docs = table(s, dir, "documents")
+    val docs = docsIn
       .select($"doc_id", split($"text", " ").as("w"))
     val spans = docs
       .select($"doc_id", expr(

@@ -48,6 +48,41 @@ class EnvSpec extends AnyFunSuite {
       s"max ts $hi post-2100: ts unit mismatch")
   }
 
+  test("every test table resolves to its recorded schema contract") {
+    // the round-8 drift hit only events.ts, but ANY regeneration of
+    // the test data should fail here first, by table name, instead of
+    // as scattered analysis errors. events is exempt from exactness
+    // (Tables normalizes its ts representations — covered above).
+    val expected = Map(
+      "region" -> "struct<r_regionkey:int,r_name:string>",
+      "nation" -> "struct<n_nationkey:int,n_name:string,n_regionkey:int>",
+      "customer" -> ("struct<c_custkey:bigint,c_name:string," +
+        "c_nationkey:int,c_acctbal:double,c_mktsegment:string>"),
+      "supplier" -> ("struct<s_suppkey:bigint,s_name:string," +
+        "s_nationkey:int,s_acctbal:double>"),
+      "part" -> ("struct<p_partkey:bigint,p_name:string,p_brand:string," +
+        "p_type:string,p_size:int,p_retailprice:double>"),
+      "orders" -> ("struct<o_orderkey:bigint,o_custkey:bigint," +
+        "o_orderstatus:string,o_totalprice:double," +
+        "o_orderdate:timestamp_ntz,o_orderpriority:string>"),
+      "lineitem" -> ("struct<l_orderkey:bigint,l_partkey:bigint," +
+        "l_suppkey:bigint,l_linenumber:int,l_quantity:double," +
+        "l_extendedprice:double,l_discount:double,l_tax:double," +
+        "l_returnflag:string,l_linestatus:string," +
+        "l_shipdate:timestamp_ntz>"),
+      "documents" -> ("struct<doc_id:bigint,text:string,lang:string," +
+        "source:string,n_chars:bigint>"),
+      "embeddings" ->
+        "struct<vec_id:bigint,embedding:array<float>,label:int>")
+    val drift = expected.flatMap { case (t, want) =>
+      val got = Tables.table(spark, sf0001, t).schema.catalogString
+      if (got == want) None else Some(s"$t: $got (recorded: $want)")
+    }
+    assert(drift.isEmpty,
+      "test-data schema drift — re-prove every consumer, then re-record:\n"
+        + drift.mkString("\n"))
+  }
+
   test("batch and declared-schema stream feeds agree on event-time") {
     // the streaming path re-declares the footer schema explicitly;
     // both normalizations must land on identical micros

@@ -48,6 +48,44 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("text_span_dedup: property — random corpora match the reference rewrite") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // small vocab forces cross-doc span collisions; lengths straddle
+    // the 10-word span boundary (incl. docs shorter than one span)
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.choose(1, 35)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 12)
+      .flatMap(k => Gen.listOfN(k, docGen))
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = TextOps
+        .spanDedupCore(spark, docs.toDF("doc_id", "text"))
+        .select("doc_id", "n_spans", "n_dropped", "new_digest")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      // reference rewrite in plain Scala
+      val spansOf = docs.map { case (id, t) =>
+        id -> t.split(" ").grouped(10).map(_.mkString(" ")).toVector
+      }
+      val keeper = spansOf.flatMap { case (id, sps) => sps.map(_ -> id) }
+        .groupBy(_._1).collect {
+          case (sp, occ) if occ.map(_._2).distinct.size >= 2 =>
+            sp -> occ.map(_._2).min
+        }
+      val want = spansOf.map { case (id, sps) =>
+        val kept = sps.filter(sp => keeper.get(sp).forall(_ == id))
+        (id, sps.length.toLong, (sps.length - kept.length).toLong,
+          md5hex(kept.mkString(" ")))
+      }.filter(r => r._3 < r._2).sortBy(_._1)
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mm_scene_segments: segments tile each video; rollup reuses the window partitioning") {
     import spark.implicits._
     val df = Multimodal.mmSceneSegments(spark, sf0001)
