@@ -197,6 +197,81 @@ object Ann {
        |  SELECT vec_id FROM embeddings WHERE vec_id < $QueryIds)
        |ORDER BY query_id""".stripMargin
 
+  // --------------------------------------------------------------- C79
+  /** FILTERED vector search (the production ANN problem Qdrant/
+    * pgvector call metadata filtering): top-K cosine neighbors among
+    * only the vectors whose joined document row passes a predicate
+    * (lang = 'en' here; vec_id = doc_id links the tables). The naive
+    * IVF mistake is filtering AFTER a fixed-nprobe probe — a filter
+    * keeping share σ thins every probed cell by σ and recall
+    * collapses. The over-probe rule is derived IN-PLAN from the data:
+    * probe ceil(BaseProbe / σ) cells (integer ceil-div on a 1-row
+    * broadcast of match/total counts, capped at the probe table's
+    * depth), so the candidate volume after filtering matches the
+    * unfiltered design point. Semi-join applies the filter to the
+    * cell lists BEFORE any cosine is computed — the filtered-out
+    * vectors cost nothing.
+    *
+    * Driver face = the C7/C7b recall-contract audit vs the FILTERED
+    * exact brute force (computed in-plan): per-query hit floors + a
+    * total-mean floor calibrated under the measured per-SF values
+    * (AnnSpec pins the measured recall itself).
+    *
+    * 100 TB: the filter arrives as a semi-join on the cell-partitioned
+    * corpus (predicate pushdown onto the metadata scan); σ's 1-row
+    * broadcast replaces a driver round-trip; probe depth grows only
+    * as 1/σ — a 1% filter probes 100× the cells but still touches
+    * ~BaseProbe/K of the corpus post-filter. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
+    val BaseProbe = 2
+    val keep = table(s, dir, "documents").filter($"lang" === "en")
+      .select($"doc_id".as("vec_id"))
+    val (assigned, probesAll) = ivfModel(s, dir)
+    val sel = corpus(s, dir).join(keep, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_match"))
+      .crossJoin(corpus(s, dir).agg(count(lit(1)).as("n_total")))
+    val probes = probesAll.crossJoin(broadcast(sel))
+      .filter($"pr" <= least(lit(8),
+        expr(s"($BaseProbe * n_total + n_match - 1) div n_match")))
+      .select($"query_id", $"qv", $"cluster")
+    val cand = assigned.join(keep, Seq("vec_id"), "left_semi")
+      .join(broadcast(probes), "cluster")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        r4(expr("cosine_sim(qv, v)")).as("cos"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id")
+    val top = cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+    // filtered exact baseline, in-plan (annBruteforce is unfiltered)
+    val q = corpus(s, dir).filter($"vec_id" < QueryIds)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val exact = corpus(s, dir).join(keep, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        r4(expr("cosine_sim(qv, v)")).as("ecos"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+        .orderBy($"ecos".desc, $"neighbor_id")))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id")
+    val hits = top.select($"query_id", $"neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    val per = corpus(s, dir).filter($"vec_id" < QueryIds)
+      .select($"vec_id".as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+    val total = per.agg(
+        (sum($"n_hits") >= lit((0.70 * K * QueryIds).round)).as("recall_ok"))
+      .select(lit(-1L).as("query_id"), $"recall_ok")
+    per.select($"query_id", ($"n_hits" >= 5).as("recall_ok"))
+      .unionByName(total)
+      .orderBy($"query_id")
+  }
+
   // --------------------------------------------------------------- C75
   /** nprobe sweep — the recall/cost tuning curve an IVF deployment
     * reads before fixing its probe count (the C7b knob, measured

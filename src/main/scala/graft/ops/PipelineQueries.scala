@@ -1624,6 +1624,7 @@ object PipelineQueries {
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLshAudit _),
     "ann_ivf" -> (Ann.annIvfAudit _),
+    "ann_filtered" -> (Ann.annFiltered _),
     "ann_nprobe_sweep" -> (Ann.annNprobeSweep _),
     "ann_ivf_pq" -> (Ann.annIvfPq _),
     "emb_cluster_assign" -> (Ann.embClusterAssign _),
@@ -1706,6 +1707,7 @@ object PipelineQueries {
     "ann_bruteforce" -> Ann.annBruteforceSql,
     "ann_lsh" -> Ann.annAuditSql,
     "ann_ivf" -> Ann.annAuditSql,
+    "ann_filtered" -> Ann.annAuditSql,
     "ann_nprobe_sweep" -> Ann.annNprobeSweepSql,
     "ann_ivf_pq" -> Ann.annIvfPqSql,
     "emb_cluster_assign" -> Ann.embClusterAssignSql,

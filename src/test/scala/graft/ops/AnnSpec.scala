@@ -236,6 +236,24 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_filtered: recall contract holds and the filter genuinely bites") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val audit = Ann.annFiltered(spark, sf0001)
+      .as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(audit.length === Ann.QueryIds.toInt + 1, audit.toSeq.toString)
+    assert(audit.forall(_._2), s"filtered recall contract broken: ${audit.toSeq}")
+    // non-vacuity: the lang filter must exclude vectors the UNFILTERED
+    // exact top-K contains — otherwise this test collapses into ann_ivf
+    val enIds = graft.Tables.table(spark, sf0001, "documents")
+      .filter($"lang" === "en").select($"doc_id")
+      .as[Long].collect().toSet
+    val unfiltered = Ann.annBruteforce(spark, sf0001)
+      .select("neighbor_id").as[Long].collect()
+    assert(unfiltered.exists(id => !enIds.contains(id)),
+      "unfiltered top-K is all-en — the filtered variant proves nothing here")
+  }
+
   test("emb_matryoshka: full width reproduces the exact baseline, overlaps bounded") {
     import spark.implicits._
     val rows = Ann.embMatryoshka(spark, sf0001)
