@@ -1421,6 +1421,81 @@ object PipelineQueries {
           .as("expected_tokens"))
       .orderBy($"source")
   }
+  // --------------------------------------------------------------- C80
+  /** Per-document DROP LEDGER — the audit artifact a production
+    * pipeline keeps next to C14's kept-set: every document gets ONE
+    * row naming the FIRST gate that rejected it (fixed priority:
+    * length → exact_dup → near_dup → lang → kept), so "why did doc X
+    * disappear" and "which gate costs us the most per source" are
+    * lookups, not re-runs. Gates and thresholds are EXACTLY C14's
+    * (same sub-operators), so ledger['kept'] ≡ clean_corpus's id set
+    * by construction.
+    *
+    * 100 TB: the gate tables are id-only (the text-sized work happens
+    * once inside the reused sub-ops); the ledger is three id-keyed
+    * left joins + an in-row CASE, and the length gate costs nothing
+    * extra (computed from the same scan). */
+  def pipelineDropLedger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.table(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_words"))
+    val keepers = Dedup.dedupExact(s, dir)
+      .select($"keep_doc_id".as("doc_id"), lit(true).as("is_keeper"))
+    val losers = Dedup.dedupNgramJaccard(s, dir)
+      .select($"d2".as("doc_id")).distinct()
+      .withColumn("is_loser", lit(true))
+    val en = TextOps.textLangid(s, dir)
+      .filter($"pred_lang" === "en").select($"doc_id")
+      .withColumn("is_en", lit(true))
+    docs
+      .join(keepers, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .join(en, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"n_words",
+        when($"n_words" < 20 || $"n_words" > 95, "1_length")
+          .when($"is_keeper".isNull, "2_exact_dup")
+          .when($"is_loser".isNotNull, "3_near_dup")
+          .when($"is_en".isNull, "4_lang")
+          .otherwise("5_kept").as("gate"))
+      .withColumn("kept", $"gate" === "5_kept")
+      .orderBy($"doc_id")
+  }
+  val pipelineDropLedgerSql: String = {
+    s"""WITH ${Dedup.dupFeedSql},
+       |kept AS (SELECT min(doc_id) AS doc_id FROM feed GROUP BY md5(text)),
+       |${Dedup.shingledSql},
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |losers AS (SELECT DISTINCT d2 AS doc_id
+       |  FROM co JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       |  WHERE floor(inter * 1.0 / (x.n + y.n - inter) * 10000 + 0.5) / 10000 >= 0.8),
+       |en AS (SELECT doc_id FROM (${TextOps.textLangidSql.replace("ORDER BY doc_id", "")})
+       |  WHERE pred_lang = 'en')
+       |SELECT d.doc_id, d.source,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       |  CASE
+       |    WHEN len(string_split(d.text, ' ')) < 20
+       |      OR len(string_split(d.text, ' ')) > 95 THEN '1_length'
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM kept)
+       |      THEN '2_exact_dup'
+       |    WHEN d.doc_id IN (SELECT doc_id FROM losers) THEN '3_near_dup'
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM en) THEN '4_lang'
+       |    ELSE '5_kept' END AS gate,
+       |  CASE
+       |    WHEN len(string_split(d.text, ' ')) < 20
+       |      OR len(string_split(d.text, ' ')) > 95 THEN FALSE
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM kept) THEN FALSE
+       |    WHEN d.doc_id IN (SELECT doc_id FROM losers) THEN FALSE
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM en) THEN FALSE
+       |    ELSE TRUE END AS kept
+       |FROM documents d
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- C78
   /** Data-constrained EPOCH scheduling (the "Scaling Data-Constrained
     * Language Models" recipe: when the token budget exceeds the
@@ -1583,6 +1658,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_span_dedup" -> (TextOps.textSpanDedup _),
     "pipeline_epoch_schedule" -> (pipelineEpochSchedule _),
+    "pipeline_drop_ledger" -> (pipelineDropLedger _),
     "pipeline_domain_mix" -> (pipelineDomainMix _),
     "pipeline_importance_weights" -> (pipelineImportanceWeights _),
     "pipeline_temperature_mix" -> (pipelineTemperatureMix _),
@@ -1666,6 +1742,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "text_span_dedup" -> TextOps.textSpanDedupSql,
     "pipeline_epoch_schedule" -> pipelineEpochScheduleSql,
+    "pipeline_drop_ledger" -> pipelineDropLedgerSql,
     "pipeline_domain_mix" -> pipelineDomainMixSql,
     "pipeline_importance_weights" -> pipelineImportanceWeightsSql,
     "pipeline_temperature_mix" -> pipelineTemperatureMixSql,

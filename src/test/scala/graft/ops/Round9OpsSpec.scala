@@ -86,6 +86,30 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("pipeline_drop_ledger: kept set equals clean_corpus; gates partition the corpus") {
+    import spark.implicits._
+    val ledger = PipelineQueries.pipelineDropLedger(spark, sf0001)
+      .select("doc_id", "gate", "kept").as[(Long, String, Boolean)].collect()
+    val nDocs = graft.Tables.table(spark, sf0001, "documents").count()
+    assert(ledger.length === nDocs, "ledger must cover EVERY document")
+    // the ledger's kept ids must equal C14's kept set by construction
+    val keptIds = ledger.filter(_._3).map(_._1).toSet
+    val c14 = PipelineQueries.pipelineCleanCorpus(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds === c14, s"ledger kept ${keptIds.size} != clean_corpus ${c14.size}")
+    // gates that the data can trip must fire, and kept ⟺ gate 5.
+    // exact_dup only fires when the RAW corpus has md5 twins (none at
+    // sf0.001 — the dup feed's injected twins carry synthetic ids)
+    val byGate = ledger.groupBy(_._2).view.mapValues(_.length).toMap
+    Seq("1_length", "3_near_dup", "4_lang", "5_kept")
+      .foreach(g => assert(byGate.getOrElse(g, 0) > 0, s"gate $g never fires: $byGate"))
+    val rawTwins = graft.Tables.table(spark, sf0001, "documents")
+      .groupBy(md5($"text")).count().filter($"count" > 1).count()
+    assert(byGate.getOrElse("2_exact_dup", 0) === 0 == (rawTwins == 0),
+      s"exact_dup gate count ${byGate.getOrElse("2_exact_dup", 0)} vs $rawTwins raw twins")
+    assert(ledger.forall(r => r._3 == (r._2 == "5_kept")))
+  }
+
   test("mm_scene_segments: segments tile each video; rollup reuses the window partitioning") {
     import spark.implicits._
     val df = Multimodal.mmSceneSegments(spark, sf0001)
