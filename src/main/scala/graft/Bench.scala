@@ -90,7 +90,10 @@ object Bench {
     def jmap(kv: Seq[(String, Double)]) =
       kv.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val meds = jmap(results.map(r => (r._1, r._3)).sortBy(_._2))
+    // Failed queries (sentinel -1) are excluded here exactly as from
+    // `queries`/`median_total`, so summing either map is consistent
+    // with its total; failures are reported only via failed/n_failed.
+    val meds = jmap(results.filter(_._3 >= 0).map(r => (r._1, r._3)).sortBy(_._2))
     val qs = jmap(results.filter(_._2 >= 0).map(r => (r._1, r._2)).sortBy(_._2))
     val failed = results.filter(_._2 < 0).map(_._1).sorted
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -24,4 +24,22 @@ object Scratch {
     dirs.add(p)
     p
   }
+
+  /** First `.parquet` under `d`, with the directory stream CLOSED
+    * (bare `Files.list(...).iterator()` leaks the OS handle until GC —
+    * r9 ADVICE; the bench loop lists thousands of scratch dirs per
+    * run, so the leak is real, not stylistic). */
+  def firstParquet(d: Path): Path = {
+    val s = Files.list(d)
+    try {
+      val it = s.iterator()
+      var found: Path = null
+      while (found == null && it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) found = p
+      }
+      require(found != null, s"no .parquet written under $d")
+      found
+    } finally s.close()
+  }
 }

@@ -1200,9 +1200,8 @@ object CdcQueries {
         ("01", changes.filter($"seq" > cut))).foreach { case (name, half) =>
       val tmp = graft.Scratch.dir(s"graft_${tag}_$name")
       half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.move(part, inDir.resolve(s"$name.parquet"))
+      java.nio.file.Files.move(graft.Scratch.firstParquet(tmp),
+        inDir.resolve(s"$name.parquet"))
     }
     val schema = StructType(Seq(
       StructField("key", LongType), StructField("seq", LongType),

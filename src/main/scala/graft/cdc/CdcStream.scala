@@ -254,13 +254,21 @@ object CdcStream {
     val tsType = schema("ts").dataType
     val inDir = graft.Scratch.dir("graft_punct_in")
     // events.parquet may be one file (driver test data) or a directory
-    // of part files (ScaleUp replicas) — stage every data file as
-    // batch 1 (zero-padded names keep them before the 9x sentinel)
+    // of part files (ScaleUp replicas) — stage every data file first.
+    // Ordering vs the sentinel is TEMPORAL, not lexicographic: the
+    // sentinel file is moved in only after the first
+    // processAllAvailable() below has drained every staged data file,
+    // so the file source is guaranteed to see it in a later batch
+    // regardless of names (r9 ADVICE fixed the comment that claimed a
+    // name-ordering guarantee the i >= 20000 case didn't have).
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     if (java.nio.file.Files.isDirectory(src)) {
-      val parts = java.nio.file.Files.list(src).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        .sortBy(_.getFileName.toString)
+      val listing = java.nio.file.Files.list(src)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(_.getFileName.toString)
+        finally listing.close()
       parts.zipWithIndex.foreach { case (p, i) =>
         java.nio.file.Files.copy(p, inDir.resolve(f"0${i}%05d_events.parquet"))
       }
@@ -290,8 +298,7 @@ object CdcStream {
           lit("{}").as("props"))
         val sentDir = graft.Scratch.dir("graft_punct_sent")
         sent.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-        val part = java.nio.file.Files.list(sentDir).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val part = graft.Scratch.firstParquet(sentDir)
         java.nio.file.Files.move(part, inDir.resolve("01_sentinel.parquet"))
         q.processAllAvailable()
       } finally q.stop()

@@ -232,9 +232,16 @@ object Ann {
     val sel = corpus(s, dir).join(keep, Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_match"))
       .crossJoin(corpus(s, dir).agg(count(lit(1)).as("n_total")))
+    // Named failure on an empty filter set (r9 ADVICE): n_match = 0
+    // would integer-divide by zero → NULL probe depth → every probe
+    // silently dropped → all-false recall rows. The raise_error branch
+    // lives INSIDE the filter expression (not a prunable side column),
+    // so it cannot be optimized away and fires by name instead.
     val probes = probesAll.crossJoin(broadcast(sel))
-      .filter($"pr" <= least(lit(8),
-        expr(s"($BaseProbe * n_total + n_match - 1) div n_match")))
+      .filter($"pr" <= least(lit(8), expr(
+        s"CASE WHEN n_match > 0 THEN ($BaseProbe * n_total + n_match - 1) div n_match" +
+          " ELSE raise_error('ann_filtered: metadata filter matched zero" +
+          " corpus vectors — over-probe depth undefined') END")))
       .select($"query_id", $"qv", $"cluster")
     val cand = assigned.join(keep, Seq("vec_id"), "left_semi")
       .join(broadcast(probes), "cluster")

@@ -104,6 +104,18 @@ object Dedup {
     jaccardPairs(s, dir, 0.8).orderBy($"d1", $"d2")
   }
 
+  /** Near-dup LOSER ids — the higher doc_id of every confirmed
+    * Jaccard ≥ 0.8 pair — as consumed by the composite pipelines
+    * (C14 `pipeline_clean_corpus`, C80 `pipeline_drop_ledger`).
+    * The pair SOURCE is C3's MinHash-LSH path (banded candidate
+    * generation + exact confirm), i.e. the plan that survives 100 TB:
+    * no shingle-prefix self-join ever enters the composite plan. The
+    * DuckDB oracles keep the C2 exact-Jaccard form, licensed by
+    * DedupSpec's pair-set equivalence (C3 ≡ C2 confirmed pairs — the
+    * same contract that makes C3's own driver row green). */
+  def nearDupLosers(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashLsh(s, dir).select(col("d2").as("doc_id")).distinct()
+
   /** PPJoin pair generation at threshold `t`: exact-Jaccard pairs
     * (d1 < d2, jac ≥ t) — C2's machinery, parameterized so C61's
     * survival curve can run it once at its lowest threshold. */

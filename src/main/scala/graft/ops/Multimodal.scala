@@ -128,16 +128,24 @@ object Multimodal {
       |ORDER BY keep_doc_id""".stripMargin
 
   /** Oracle: T(d, n) = Σ_{i<n} (d+i) % 256 in closed form (full cycles
-    * + wrap-split tail); frame sum = T(d, hi) − T(d, lo). */
+    * + wrap-split tail); frame sum = T(d, hi) − T(d, lo). The frame
+    * series is sized FROM THE ROW (unnest over a per-document
+    * generate_series list — DuckDB's lateral-free spelling), so the
+    * oracle derives exactly ceil(n_chars/64) frames at ANY scale; the
+    * old fixed generate_series(0, 9999) cap silently diverged past
+    * 640 kB payloads (r9 ADVICE). */
   val mmFramesSql: String =
     """WITH t AS (SELECT doc_id, n_chars,
       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |      ELSE 'video' END AS media_type
       |  FROM documents),
-      |fr AS (SELECT doc_id, media_type, g.f,
-      |    g.f * 64 AS lo, least((g.f + 1) * 64, n_chars) AS hi
-      |  FROM t, generate_series(0, 9999) g(f)
-      |  WHERE g.f < ceil(n_chars / 64.0)),
+      |fr0 AS (SELECT doc_id, media_type, n_chars,
+      |    unnest(generate_series(0,
+      |      CAST(ceil(n_chars / 64.0) AS BIGINT) - 1)) AS f
+      |  FROM t),
+      |fr AS (SELECT doc_id, media_type, f,
+      |    f * 64 AS lo, least((f + 1) * 64, n_chars) AS hi
+      |  FROM fr0),
       |s AS (SELECT doc_id, media_type, f, lo, hi,
       |    (lo // 256) * 32640 +
       |      CASE WHEN (doc_id % 256) + (lo % 256) <= 256
@@ -507,14 +515,20 @@ object Multimodal {
   /** Oracle honesty (C12b pattern): DuckDB re-derives the frame
     * checksums from the fake-payload *definition* (closed-form byte
     * sums), then runs the identical cut/segment lattice — a wrong
-    * payload, checksum, lag, or island boundary breaks the match. */
+    * payload, checksum, lag, or island boundary breaks the match.
+    * The frame series is sized from the row (unnest of a per-document
+    * generate_series list), not a fixed cap — exact at any payload
+    * length (r9 ADVICE closed the old 10000-frame cap). */
   val mmSceneSegmentsSql: String =
     """WITH t AS (SELECT doc_id, n_chars FROM documents
       |  WHERE doc_id % 3 = 2),
-      |fr AS (SELECT doc_id, g.f,
-      |    g.f * 64 AS lo, least((g.f + 1) * 64, n_chars) AS hi
-      |  FROM t, generate_series(0, 9999) g(f)
-      |  WHERE g.f < ceil(n_chars / 64.0)),
+      |fr0 AS (SELECT doc_id, n_chars,
+      |    unnest(generate_series(0,
+      |      CAST(ceil(n_chars / 64.0) AS BIGINT) - 1)) AS f
+      |  FROM t),
+      |fr AS (SELECT doc_id, f,
+      |    f * 64 AS lo, least((f + 1) * 64, n_chars) AS hi
+      |  FROM fr0),
       |s AS (SELECT doc_id, f,
       |    (lo // 256) * 32640 +
       |      CASE WHEN (doc_id % 256) + (lo % 256) <= 256

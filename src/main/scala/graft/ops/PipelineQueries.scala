@@ -21,8 +21,9 @@ object PipelineQueries {
     import s.implicits._
     val kept = Dedup.dedupExact(s, dir)
       .select($"keep_doc_id".as("doc_id"))
-    val nearDupLosers = Dedup.dedupNgramJaccard(s, dir)
-      .select($"d2".as("doc_id")).distinct()
+    // r9 verdict item 3: the gate runs C3's LSH path (the 100 TB plan);
+    // the oracle keeps the C2 exact form under DedupSpec's equivalence
+    val nearDupLosers = Dedup.nearDupLosers(s, dir)
     val en = TextOps.textLangid(s, dir)
       .filter($"pred_lang" === "en").select($"doc_id")
     val docs = graft.Tables.table(s, dir, "documents")
@@ -469,22 +470,14 @@ object PipelineQueries {
     batches.zipWithIndex.foreach { case ((name, part), i) =>
       val tmp = graft.Scratch.dir(s"graft_ingest_$name")
       part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val f = java.nio.file.Files.list(tmp).iterator()
-      var moved = false
-      while (f.hasNext && !moved) {
-        val p = f.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          val dst = inDir.resolve(s"$name.parquet")
-          java.nio.file.Files.move(p, dst)
-          // batch order is load-bearing (first-seen == min doc_id) and
-          // FileStreamSource orders by mtime, which Files.move preserves
-          // — pin a strictly increasing mtime so coarse-granularity
-          // filesystems can't tie/reorder the batches
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-          moved = true
-        }
-      }
+      val dst = inDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(graft.Scratch.firstParquet(tmp), dst)
+      // batch order is load-bearing (first-seen == min doc_id) and
+      // FileStreamSource orders by mtime, which Files.move preserves
+      // — pin a strictly increasing mtime so coarse-granularity
+      // filesystems can't tie/reorder the batches
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
     }
     val tableDir = graft.Scratch.dir("graft_ingest_tbl").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -617,18 +610,10 @@ object PipelineQueries {
     batchDefs.zipWithIndex.foreach { case ((name, part), i) =>
       val tmp = graft.Scratch.dir(s"graft_neardup_$name")
       part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val f = java.nio.file.Files.list(tmp).iterator()
-      var moved = false
-      while (f.hasNext && !moved) {
-        val p = f.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          val dst = inDir.resolve(s"$name.parquet")
-          java.nio.file.Files.move(p, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-          moved = true
-        }
-      }
+      val dst = inDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(graft.Scratch.firstParquet(tmp), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
     }
     val bandsDir = graft.Scratch.dir("graft_neardup_bands").toString
     val shDir = graft.Scratch.dir("graft_neardup_sh").toString
@@ -1442,8 +1427,8 @@ object PipelineQueries {
         size(split($"text", " ")).cast("long").as("n_words"))
     val keepers = Dedup.dedupExact(s, dir)
       .select($"keep_doc_id".as("doc_id"), lit(true).as("is_keeper"))
-    val losers = Dedup.dedupNgramJaccard(s, dir)
-      .select($"d2".as("doc_id")).distinct()
+    // r9 verdict item 3: LSH-sourced loser set (see Dedup.nearDupLosers)
+    val losers = Dedup.nearDupLosers(s, dir)
       .withColumn("is_loser", lit(true))
     val en = TextOps.textLangid(s, dir)
       .filter($"pred_lang" === "en").select($"doc_id")
@@ -1534,10 +1519,16 @@ object PipelineQueries {
       .withColumn("target_tokens", expr(
         "2 * ((tot_tokens div 1000000) * share_ppm" +
           " + (tot_tokens % 1000000) * share_ppm div 1000000)"))
-      // epochs = target / tokens in ppm, split-multiplied, 4-epoch cap
+      // epochs = target / tokens in ppm, split-multiplied, 4-epoch cap.
+      // The remainder term is itself split (×1000 twice): r < tokens,
+      // so r*1e6 would overflow 2^63 past tokens ≈ 9.2e12, while
+      // r*1000 stays safe to tokens ≈ 9.2e15 — comfortably past the
+      // 100 TB design point (~2.5e13 tokens). Exact identity:
+      // floor(r·1e6/t) = (r·1000 div t)·1000 + ((r·1000 % t)·1000) div t.
       .withColumn("epochs_ppm", least(lit(4000000L), expr(
         "(target_tokens div tokens) * 1000000" +
-          " + (target_tokens % tokens) * 1000000 div tokens")))
+          " + ((target_tokens % tokens) * 1000 div tokens) * 1000" +
+          " + ((target_tokens % tokens) * 1000 % tokens) * 1000 div tokens")))
       .withColumn("effective_tokens", expr(
         "(tokens div 1000000) * epochs_ppm" +
           " + (tokens % 1000000) * epochs_ppm div 1000000"))
@@ -1563,7 +1554,9 @@ object PipelineQueries {
       |  FROM a),
       |c AS (SELECT *, least(4000000,
       |    (target_tokens // tokens) * 1000000
-      |      + (target_tokens % tokens) * 1000000 // tokens) AS epochs_ppm
+      |      + ((target_tokens % tokens) * 1000 // tokens) * 1000
+      |      + ((target_tokens % tokens) * 1000 % tokens) * 1000 // tokens
+      |    ) AS epochs_ppm
       |  FROM b)
       |SELECT source, n_docs, tokens, share_ppm, target_tokens,
       |  CAST(epochs_ppm AS BIGINT) AS epochs_ppm,
@@ -1723,6 +1716,7 @@ object PipelineQueries {
     "text_dup_ngram_coverage" -> (TextOps.textDupNgramCoverage _),
     "text_vocab" -> (TextOps.textVocab _),
     "text_bpe_pairs" -> (TextOps.textBpePairs _),
+    "text_bpe_apply" -> (TextOps.textBpeApply _),
     "text_bm25_topk" -> (TextOps.textBm25Topk _),
     "text_bloom_decontaminate" -> (TextOps.textBloomDecontaminate _),
     "text_winnowing" -> (TextOps.textWinnowing _),
@@ -1807,6 +1801,7 @@ object PipelineQueries {
     "text_dup_ngram_coverage" -> TextOps.textDupNgramCoverageSql,
     "text_vocab" -> TextOps.textVocabSql,
     "text_bpe_pairs" -> TextOps.textBpePairsSql,
+    "text_bpe_apply" -> TextOps.textBpeApplySql,
     "text_bm25_topk" -> TextOps.textBm25TopkSql,
     "text_bloom_decontaminate" -> TextOps.textBloomDecontaminateSql,
     "text_winnowing" -> TextOps.textWinnowingSql,

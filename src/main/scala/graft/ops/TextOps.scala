@@ -1194,6 +1194,132 @@ object TextOps {
       |SELECT row_number() OVER (ORDER BY n DESC, pair) AS rank, pair, n
       |FROM agg ORDER BY rank""".stripMargin
 
+  // --------------------------------------------------------------- C81
+  /** BPE merge APPLY — the iterative half of tokenizer training that
+    * C68's single-round mining left open (r9 verdict item 5): run
+    * [[BpeSteps]] TRUE byte-pair-encoding rounds over the distinct-word
+    * table (Sennrich et al.), where each round recounts adjacent-symbol
+    * pairs on the CURRENT segmentation, merges the winner corpus-wide,
+    * and the next round sees the merged symbols. Output: one row per
+    * round — the merged pair, its count at selection time, and the
+    * re-tokenized corpus stats after the merge (total token count drops
+    * monotonically; distinct symbol types trace vocabulary growth) —
+    * the tokenizer-fit curve C37/C68 opened.
+    *
+    * Mechanics: a word's segmentation is a STRING with every symbol
+    * boundary spelled as a double separator (`␁␁a␁␁b␁␁` for "ab",
+    * ␁ = U+0001, filtered out of the vocabulary up front so it can
+    * never occur in data). One merge of (l, r) is then a plain
+    * `replace(seq, ␁l␁␁r␁, ␁lr␁)` — both engines' `replace` is greedy
+    * left-to-right non-overlapping, which IS the BPE merge rule
+    * (`aaaa` → `aa|aa`, `aaa` → `aa|a`), and the half-consumed
+    * boundary separators make a partial-symbol match impossible (a
+    * pattern can only match where ␁ sits on both flanks of each
+    * symbol). The winning pair never touches the driver: it is a
+    * 1-row `ORDER BY n DESC, l, r LIMIT 1` aggregate cross-broadcast
+    * into the rewrite, so the [[BpeSteps]]-round loop is pure plan
+    * construction (count-gated like dedup_cluster, but with a FIXED
+    * round count — no data-dependent driver loop at all).
+    *
+    * Determinism: pair counts are integral; ties break on the binary
+    * string order of (l, r) in both engines; the trajectory is
+    * therefore exactly replayable — the DuckDB oracle re-runs the
+    * identical [[BpeSteps]] unrolled rounds and must match rank, pair,
+    * count, and both curve columns.
+    *
+    * 100 TB: everything after the ONE corpus-sized word-frequency
+    * rollup runs on the VOCABULARY (millions of rows, Zipf-capped),
+    * not the corpus; each round is a vocab-local map (the replace) +
+    * two map-side-combinable vocab rollups + a 1-row broadcast. Each
+    * round's vocabulary is persisted so round k's three consumers
+    * don't replay rounds 1..k−1 (same persist-per-round pattern as
+    * dedup_cluster's star-contraction). */
+  val BpeSteps = 6
+  def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Sep = "\u0001"
+    val B = Sep + Sep
+    val symsExpr = expr(
+      s"filter(split(seq, '$B'), x -> length(x) > 0)")
+    val tf = table(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0 && !$"word".contains(Sep))
+      .groupBy($"word").agg(count(lit(1)).as("tf"))
+    var vocab = tf.select($"tf", concat(lit(B),
+        array_join(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          B),
+        lit(B)).as("seq"))
+      .persist()
+    val stepRows = (1 to BpeSteps).map { k =>
+      val sy = vocab.select($"tf", symsExpr.as("sy"))
+      val best = sy.filter(size($"sy") >= 2)
+        .select($"tf", explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> named_struct(" +
+            "'l', element_at(sy, i), 'r', element_at(sy, i + 1)))")).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"tf").as("n"))
+        .orderBy($"n".desc, $"l", $"r").limit(1)
+      vocab = vocab.crossJoin(broadcast(best))
+        .select($"tf", expr(
+          s"replace(seq, concat('$Sep', l, '$B', r, '$Sep')," +
+            s" concat('$Sep', l, r, '$Sep'))").as("seq"))
+        .persist()
+      val after = vocab.select($"tf", symsExpr.as("sy"))
+      val tot = after.agg(
+        sum($"tf" * size($"sy")).as("total_tokens"))
+      val types = after.select(explode($"sy").as("s"))
+        .agg(countDistinct($"s").as("n_types"))
+      best.crossJoin(tot).crossJoin(types)
+        .select(lit(k.toLong).as("step"), $"l", $"r",
+          concat($"l", $"r").as("merged"), $"n".as("pair_n"),
+          $"total_tokens", $"n_types")
+    }
+    stepRows.reduce(_.unionByName(_)).orderBy($"step")
+  }
+  /** Oracle: the identical [[BpeSteps]]-round trajectory, unrolled as
+    * generated per-round CTEs (encode → pair-count → 1-row winner →
+    * replace → curve stats) — a wrong count, tie-break, merge
+    * boundary, or curve point on EITHER engine breaks the match. */
+  val textBpeApplySql: String = {
+    val sepSql = "chr(1)"
+    val bSql = s"$sepSql||$sepSql"
+    val steps = (1 to BpeSteps).map { k =>
+      s"""ex$k AS (SELECT tf, list_filter(string_split(seq, $bSql),
+         |    x -> length(x) > 0) AS sy FROM v${k - 1}),
+         |pr$k AS (SELECT tf,
+         |    unnest([sy[i] FOR i IN range(1, len(sy))]) AS l,
+         |    unnest([sy[i+1] FOR i IN range(1, len(sy))]) AS r
+         |  FROM ex$k WHERE len(sy) >= 2),
+         |pc$k AS (SELECT l, r, CAST(sum(tf) AS BIGINT) AS n
+         |  FROM pr$k GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, n FROM pc$k ORDER BY n DESC, l, r LIMIT 1),
+         |v$k AS (SELECT tf, replace(seq,
+         |    $sepSql||l||$bSql||r||$sepSql, $sepSql||l||r||$sepSql) AS seq
+         |  FROM v${k - 1} CROSS JOIN b$k),
+         |st$k AS (SELECT tf, list_filter(string_split(seq, $bSql),
+         |    x -> length(x) > 0) AS sy FROM v$k),
+         |s$k AS (SELECT CAST(sum(tf * len(sy)) AS BIGINT) AS total_tokens
+         |  FROM st$k),
+         |t$k AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_types
+         |  FROM (SELECT unnest(sy) AS s FROM st$k))""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to BpeSteps).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l, r, l||r AS merged,
+         |  n AS pair_n, total_tokens, n_types
+         |FROM b$k CROSS JOIN s$k CROSS JOIN t$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tf AS (
+       |  SELECT word, count(*) AS tf
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 AND strpos(word, chr(1)) = 0 GROUP BY 1),
+       |v0 AS (SELECT tf, $bSql || array_to_string(
+       |    [word[i:i] FOR i IN range(1, length(word) + 1)], $bSql)
+       |    || $bSql AS seq FROM tf),
+       |$steps
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
   // --------------------------------------------------------------- C71
   /** BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene-variant
     * IDF ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75) — the lexical

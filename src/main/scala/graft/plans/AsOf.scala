@@ -6,11 +6,20 @@ import org.apache.spark.sql.catalyst.expressions.Attribute
 /** Public API for the as-of join operator. */
 object AsOf {
 
-  /** Register the planner strategy once per session (idempotent). */
+  /** Register the planner strategy + pruning rule once per session
+    * (idempotent) — the fallback for sessions built without
+    * [[graft.GraftExtensions]]. `extraOptimizations` runs AFTER the
+    * main optimizer batches, so here the child Projects the rule
+    * inserts stay as explicit projections above the scans rather than
+    * merging into ReadSchema — pruning still removes the columns from
+    * the exchange + sort, which is the cost that matters. */
   def register(spark: SparkSession): Unit = {
     val strategies = spark.experimental.extraStrategies
     if (!strategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies = strategies :+ AsOfStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(AsOfColumnPruning))
+      spark.experimental.extraOptimizations = opts :+ AsOfColumnPruning
   }
 
   /** LEFT AS-OF join: every `left` row + the latest `right` row with

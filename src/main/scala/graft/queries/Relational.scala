@@ -317,8 +317,15 @@ object Relational {
   /** Fuzzy entity matching: probe the 20 lowest-key customers' names
     * against the whole dimension at edit distance ≤ 2 — the
     * entity-resolution primitive (dirty CDC upstreams misspell keys).
-    * Probe side broadcasts; at 100 TB the corpus side stays a scan
-    * (candidate blocking by prefix/length would bound it further). */
+    * Probe side broadcasts; a LENGTH-BAND prefilter guards the scale
+    * path (r9 verdict item 6): edit distance ≤ 2 forces
+    * |len(a) − len(b)| ≤ 2, so the cheap band predicate runs first and
+    * `levenshtein` — O(len²) per pair — only touches the band
+    * survivors. With Spark's `levenshtein(a, b, threshold)` overload
+    * the inner loop is also banded, so per-surviving-pair cost is
+    * O(len·k) not O(len²). At 100 TB this is what keeps a growing
+    * probe list from multiplying a full quadratic string pass over
+    * the dimension. */
   def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = t(s, dir, "customer").select($"c_custkey", $"c_name")
@@ -326,9 +333,12 @@ object Relational {
       .select($"c_custkey".as("probe_key"), $"c_name".as("probe_name"))
     cust.crossJoin(broadcast(probes))
       .filter($"c_custkey" =!= $"probe_key")
-      .withColumn("dist", levenshtein($"c_name", $"probe_name"))
-      .filter($"dist" <= 2)
-      .select($"probe_key", $"c_custkey".as("match_key"), $"dist")
+      // band first: a length gap > 2 can never reach dist <= 2
+      .filter(abs(length($"c_name") - length($"probe_name")) <= 2)
+      .withColumn("dist", levenshtein($"c_name", $"probe_name", 2))
+      .filter($"dist" >= 0)
+      .select($"probe_key", $"c_custkey".as("match_key"),
+        $"dist".cast("int").as("dist"))
       .orderBy($"probe_key", $"match_key")
   }
 

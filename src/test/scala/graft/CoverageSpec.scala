@@ -59,21 +59,26 @@ class CoverageSpec extends AnyFunSuite {
 
   // r7 verdict: the §8 bench figure hand-drifted (88.1 vs the driver's
   // 88.740) while the counts were already build-enforced — stamp the
-  // bench line the same way: §8 must quote the newest committed
-  // BENCH_r*.json total verbatim.
-  test("SURVEY §8 bench figure matches the newest committed BENCH_r*.json") {
-    val benches = Option(new java.io.File(".").listFiles()).get
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-    assume(benches.nonEmpty, "no BENCH files committed yet")
-    val latest = java.nio.file.Files.readString(benches.last.toPath)
+  // bench line the same way. r9 verdict: comparing against "newest in
+  // tree" reddened a previously-green commit when the driver dropped
+  // BENCH_r09.json AFTER the last commit, so the gate now compares
+  // against the BENCH file NAMED in the §8 bullet itself — a
+  // post-commit driver drop can never invalidate the stamp again.
+  test("SURVEY §8 bench figure matches the BENCH file it names") {
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8").mkString
+    val stamp = """last driver measurement \*\*([0-9.]+) s\*\*[^(]*\((BENCH_r\d+\.json)"""
+      .r.findFirstMatchIn(survey)
+    assert(stamp.nonEmpty,
+      "§8 bench bullet must read 'last driver measurement **<total> s** ... (BENCH_rNN.json'")
+    val (quoted, named) = (stamp.get.group(1), stamp.get.group(2))
+    val f = new java.io.File(named)
+    assert(f.exists(), s"§8 names $named but it is not committed")
+    val body = java.nio.file.Files.readString(f.toPath)
     // the driver wraps stdout with escaped quotes; match either form
     val total = """\\?"metric\\?":\\?"total\\?",\\?"value\\?":([0-9.]+)"""
-      .r.findFirstMatchIn(latest).map(_.group(1))
-    assert(total.nonEmpty, s"no total in ${benches.last.getName}")
-    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8").mkString
-    val quoted = """last driver measurement \*\*([0-9.]+) s\*\*"""
-      .r.findFirstMatchIn(survey).map(_.group(1))
-    assert(quoted === total,
-      s"§8 quotes '${quoted.orNull} s', ${benches.last.getName} says '${total.orNull}'")
+      .r.findFirstMatchIn(body).map(_.group(1))
+    assert(total.nonEmpty, s"no total in $named")
+    assert(total.contains(quoted),
+      s"§8 quotes '$quoted s', $named says '${total.orNull}'")
   }
 }

@@ -347,6 +347,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"quadratic join in pair generation:\n$plan")
   }
 
+  test("C14/C80 composite near-dup gate runs the LSH path (no shingle self-join)") {
+    // r9 verdict item 3: the composite pipelines must carry C3's banded
+    // MinHash plan, not C2's PPJoin — at 100 TB the prefix self-join on
+    // shingles is the part that cannot ship inside a larger pipeline.
+    // Audited on the ANALYZED plan (the LSH branch is persisted, so the
+    // executed plan hides it behind InMemoryTableScan): the MinHashSig
+    // expression must be present, and no Join may touch a shingle
+    // attribute ("s" — the PPJoin prefix/freq join key; shingle arrays
+    // are "sh"/"sig" and never join keys).
+    for (df <- Seq(ops.PipelineQueries.pipelineCleanCorpus(spark, sf0001),
+                   ops.PipelineQueries.pipelineDropLedger(spark, sf0001))) {
+      val analyzed = df.queryExecution.analyzed
+      val hasMinhash = analyzed.exists(_.expressions.exists(_.exists {
+        case _: graft.functions.GraftExpressions.MinHashSig => true
+        case _ => false
+      }))
+      assert(hasMinhash, "MinHashSig absent — composite gate is not the LSH path")
+      val shingleJoins = analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists(_.references.exists(_.name == "s")) => j
+      }
+      assert(shingleJoins.isEmpty,
+        s"shingle join in composite plan:\n${shingleJoins.mkString("\n")}")
+    }
+  }
+
   test("q_window_gap_fill: spine join and fill ride the rollup's exchanges") {
     // the B36 claim: one (user, hour) rollup shuffle + one user
     // shuffle shared by the spine agg/join/window, + the presentation

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture.{spark, sf0001}
+
+/** Round-10 additions. */
+class Round10OpsSpec extends AnyFunSuite {
+
+  test("text_bpe_apply replays a plain-Scala BPE trajectory exactly") {
+    // the C76 property-test pattern: the whole declarative trajectory
+    // (pair counts → tie-broken winner → greedy left-to-right merge →
+    // curve stats) must equal an independent imperative reference run
+    // over the same word-frequency table, round for round
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, length, split}
+    val rows = TextOps.textBpeApply(spark, sf0001).collect()
+    assert(rows.length === TextOps.BpeSteps)
+
+    val tf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").count()
+      .as[(String, Long)].collect()
+    var vocab: Seq[(Vector[String], Long)] =
+      tf.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    for (k <- 1 to TextOps.BpeSteps) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sy, n) <- vocab; i <- 0 until sy.length - 1) {
+        val key = (sy(i), sy(i + 1))
+        counts(key) = counts.getOrElse(key, 0L) + n
+      }
+      val ((l, r), cnt) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.map { case (sy, n) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == l && sy(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += sy(i); i += 1 }
+        }
+        (out.result(), n)
+      }
+      val row = rows(k - 1)
+      assert(row.getLong(0) === k.toLong)
+      assert((row.getString(1), row.getString(2)) === ((l, r)),
+        s"round $k winner")
+      assert(row.getString(3) === l + r)
+      assert(row.getLong(4) === cnt, s"round $k pair count")
+      val totalTokens = vocab.map { case (sy, n) => sy.length * n }.sum
+      assert(row.getLong(5) === totalTokens, s"round $k token total")
+      val nTypes = vocab.flatMap(_._1).distinct.size.toLong
+      assert(row.getLong(6) === nTypes, s"round $k symbol types")
+    }
+  }
+
+  test("text_bpe_apply curve is sane: token total strictly drops, bounded by pair count") {
+    val rows = TextOps.textBpeApply(spark, sf0001).collect()
+    var prev = Long.MaxValue
+    for (row <- rows) {
+      val (pairN, total) = (row.getLong(4), row.getLong(5))
+      assert(total < prev, "each merge must shrink the corpus")
+      if (prev != Long.MaxValue) {
+        val drop = prev - total
+        // greedy non-overlap merges between ceil(n/2) and n occurrences
+        assert(drop <= pairN && drop >= (pairN + 1) / 2,
+          s"drop $drop outside [${(pairN + 1) / 2}, $pairN]")
+      }
+      prev = total
+    }
+  }
+}

@@ -65,6 +65,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("column pruning reaches through the merge: dropped columns leave both sides") {
+    // r9 verdict item 4: AsOfColumnPruning must trim each child to
+    // (consumed ∪ key/ts/tie) so a wide state table doesn't carry
+    // unused columns through the co-partitioning exchange + sort
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val l = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("p_ts"),
+        $"props".as("p_props"))
+    val r = ev.filter($"event_type" =!= "purchase")
+      .select($"event_id".as("s_id"), $"user_id".as("s_user"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("s_ts"),
+        $"event_type".as("s_type"), $"value".as("s_value"),
+        $"props".as("s_props"))
+    val joined = AsOf
+      .join(l, r, "p_user", "p_ts", "p_id", "s_user", "s_ts", "s_id")
+      .select($"p_id", $"s_id", $"s_value")
+    joined.count()
+    val plan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val asof = plan.collect { case e: AsOfJoinExec => e }.head
+    val (ln, rn) = (asof.left.output.map(_.name), asof.right.output.map(_.name))
+    // unconsumed payload columns pruned from both sides...
+    assert(!ln.contains("p_props"), s"left not pruned: $ln")
+    assert(!rn.contains("s_props") && !rn.contains("s_type"),
+      s"right not pruned: $rn")
+    // ...while the merge's own key/ts/tie and the consumed value stay
+    assert(ln.contains("p_user") && ln.contains("p_ts") && ln.contains("p_id"))
+    assert(Seq("s_user", "s_ts", "s_id", "s_value").forall(rn.contains), rn)
+  }
+
   test("physical plan is the custom merge-scan exec with co-partitioned sides") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf0001)
