@@ -1215,11 +1215,17 @@ object TextOps {
     * (`aaaa` → `aa|aa`, `aaa` → `aa|a`), and the half-consumed
     * boundary separators make a partial-symbol match impossible (a
     * pattern can only match where ␁ sits on both flanks of each
-    * symbol). The winning pair never touches the driver: it is a
-    * 1-row `ORDER BY n DESC, l, r LIMIT 1` aggregate cross-broadcast
-    * into the rewrite, so the [[BpeSteps]]-round loop is pure plan
-    * construction (count-gated like dedup_cluster, but with a FIXED
-    * round count — no data-dependent driver loop at all).
+    * symbol). The winning pair is the round's ONE driver round-trip —
+    * a single (l, r, n) row per round, the bounded iterative-trainer
+    * pattern (dedup_cluster's per-round count, IVF's Lloyd loop);
+    * collecting it keeps every round's lineage LINEAR. The first cut
+    * of this operator kept the winner in-plan as a cross-broadcast
+    * 1-row aggregate instead, and that was a measured mistake: the
+    * winner subplan embeds the previous vocabulary's lineage, so each
+    * round's plan contained TWO copies of the round before it —
+    * exponential (2^rounds) analysis cost, ~15 s at sf0.001 with the
+    * time data-INDEPENDENT (pure driver planning). The pair TABLE
+    * never leaves the executors either way.
     *
     * Determinism: pair counts are integral; ties break on the binary
     * string order of (l, r) in both engines; the trajectory is
@@ -1230,9 +1236,9 @@ object TextOps {
     * 100 TB: everything after the ONE corpus-sized word-frequency
     * rollup runs on the VOCABULARY (millions of rows, Zipf-capped),
     * not the corpus; each round is a vocab-local map (the replace) +
-    * two map-side-combinable vocab rollups + a 1-row broadcast. Each
-    * round's vocabulary is persisted so round k's three consumers
-    * don't replay rounds 1..k−1 (same persist-per-round pattern as
+    * two map-side-combinable vocab rollups + a 1-row collect. Each
+    * round's vocabulary is persisted so round k's consumers don't
+    * replay rounds 1..k−1 (same persist-per-round pattern as
     * dedup_cluster's star-contraction). */
   val BpeSteps = 6
   def textBpeApply(s: SparkSession, dir: String): DataFrame = {
@@ -1253,25 +1259,32 @@ object TextOps {
       .persist()
     val stepRows = (1 to BpeSteps).map { k =>
       val sy = vocab.select($"tf", symsExpr.as("sy"))
-      val best = sy.filter(size($"sy") >= 2)
+      // BOUNDED collect: exactly one (l, r, n) winner row per round
+      // (see Scaladoc: the in-plan broadcast alternative doubles the
+      // lineage per round); the pair table stays on the executors
+      val bestRows = sy.filter(size($"sy") >= 2)
         .select($"tf", explode(expr(
           "transform(sequence(1, size(sy) - 1), i -> named_struct(" +
             "'l', element_at(sy, i), 'r', element_at(sy, i + 1)))")).as("p"))
         .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"tf").as("n"))
         .orderBy($"n".desc, $"l", $"r").limit(1)
-      vocab = vocab.crossJoin(broadcast(best))
-        .select($"tf", expr(
-          s"replace(seq, concat('$Sep', l, '$B', r, '$Sep')," +
-            s" concat('$Sep', l, r, '$Sep'))").as("seq"))
+        .collect()
+      require(bestRows.nonEmpty,
+        s"text_bpe_apply: no adjacent symbol pairs left at round $k")
+      val (l, r, n) = (bestRows(0).getString(0), bestRows(0).getString(1),
+        bestRows(0).getLong(2))
+      vocab = vocab
+        .select($"tf", replace($"seq",
+          lit(Sep + l + B + r + Sep), lit(Sep + l + r + Sep)).as("seq"))
         .persist()
       val after = vocab.select($"tf", symsExpr.as("sy"))
       val tot = after.agg(
         sum($"tf" * size($"sy")).as("total_tokens"))
       val types = after.select(explode($"sy").as("s"))
         .agg(countDistinct($"s").as("n_types"))
-      best.crossJoin(tot).crossJoin(types)
-        .select(lit(k.toLong).as("step"), $"l", $"r",
-          concat($"l", $"r").as("merged"), $"n".as("pair_n"),
+      tot.crossJoin(types)
+        .select(lit(k.toLong).as("step"), lit(l).as("l"), lit(r).as("r"),
+          lit(l + r).as("merged"), lit(n).as("pair_n"),
           $"total_tokens", $"n_types")
     }
     stepRows.reduce(_.unionByName(_)).orderBy($"step")
