@@ -79,6 +79,47 @@ object AsOfProbe {
       println(f"PROBE rep$i merge-exec ${(t1 - t0) / 1e9}%.2f s " +
         f"window ${(t2 - t1) / 1e9}%.2f s")
     }
+    // bare-count probe — the column-pruning case that motivated
+    // AsOfColumnPruning (r8 measured 0.92 s for the unpruned exec vs
+    // 0.22 s for the window form on exactly this shape): a count()
+    // consumes no joined columns, so the rule should trim both sides
+    // to key/ts/tie before the exchange
+    def bare() = graft.plans.AsOf.join(purchases, state,
+      "p_user", "p_ts", "p_id", "s_user", "s_ts", "s_id")
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      bare().count()
+      val t1 = System.nanoTime()
+      println(f"PROBE rep$i bare-count (pruned) ${(t1 - t0) / 1e9}%.2f s")
+    }
+    // show whether the rule actually trimmed the exec's children
+    val cq = bare().groupBy().count()
+    cq.collect()
+    val cplan = cq.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    println("PROBE bare-count plan:\n" + cplan.treeString)
+    // WIDE-state probe — the case the rule exists for: a state table
+    // with 16 surplus columns. "wide-full" consumes everything (all 16
+    // ride both the exchange and the sort); "wide-count" consumes
+    // nothing, so the rule trims both sides to key/ts/tie. The spread
+    // between the two IS the pruning win at this width.
+    def wideState = (0 until 16).foldLeft(state) { (df, i) =>
+      df.withColumn(s"pad$i", concat($"s_type", lit("-"), $"s_value"))
+    }
+    def wideJoin() = graft.plans.AsOf.join(purchases, wideState,
+      "p_user", "p_ts", "p_id", "s_user", "s_ts", "s_id")
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      noop(wideJoin())
+      val t1 = System.nanoTime()
+      wideJoin().count()
+      val t2 = System.nanoTime()
+      println(f"PROBE rep$i wide-full ${(t1 - t0) / 1e9}%.2f s " +
+        f"wide-count (pruned) ${(t2 - t1) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -347,6 +347,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"quadratic join in pair generation:\n$plan")
   }
 
+  test("q_fuzzy_match: the length-band predicate runs below the levenshtein projection") {
+    // r9 verdict item 6: a |len(a)−len(b)| > 2 pair can never reach
+    // edit distance ≤ 2, so the cheap band filter must sit UNDER the
+    // node that computes levenshtein — band survivors only pay the
+    // O(len·k) scan
+    // Catalyst folds both predicates into the broadcast join's single
+    // condition; And evaluates (and codegens) left-to-right with
+    // short-circuit, so "band first" means the band conjunct precedes
+    // the levenshtein conjunct in the flattened conjunction
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, Length, Levenshtein}
+    val plan = executed(queries.Relational.qFuzzyMatch(spark, sf0001))
+    val join = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.head
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val cs = conjuncts(join.condition.get)
+    def has(e: Expression, p: PartialFunction[Expression, Boolean]) =
+      e.exists(p.applyOrElse(_, (_: Expression) => false))
+    val bandIdx = cs.indexWhere(c =>
+      has(c, { case _: Length => true }) && !has(c, { case _: Levenshtein => true }))
+    val levIdx = cs.indexWhere(c => has(c, { case _: Levenshtein => true }))
+    assert(bandIdx >= 0, s"no length-band conjunct in: $cs")
+    assert(levIdx >= 0, s"no levenshtein conjunct in: $cs")
+    assert(bandIdx < levIdx,
+      s"band conjunct ($bandIdx) must precede levenshtein ($levIdx) in: $cs")
+  }
+
   test("C14/C80 composite near-dup gate runs the LSH path (no shingle self-join)") {
     // r9 verdict item 3: the composite pipelines must carry C3's banded
     // MinHash plan, not C2's PPJoin — at 100 TB the prefix self-join on
