@@ -1277,12 +1277,13 @@ object TextOps {
         .select($"tf", replace($"seq",
           lit(Sep + l + B + r + Sep), lit(Sep + l + r + Sep)).as("seq"))
         .persist()
-      val after = vocab.select($"tf", symsExpr.as("sy"))
-      val tot = after.agg(
-        sum($"tf" * size($"sy")).as("total_tokens"))
-      val types = after.select(explode($"sy").as("s"))
-        .agg(countDistinct($"s").as("n_types"))
-      tot.crossJoin(types)
+      // one stats rollup per round: each exploded symbol INSTANCE
+      // contributes its word's tf, so sum(tf) over the explode IS
+      // total_tokens (= Σ tf·|symbols|) and the same frame feeds the
+      // distinct-type count — no second vocab pass
+      vocab.select($"tf", explode(symsExpr).as("s"))
+        .agg(sum($"tf").as("total_tokens"),
+          countDistinct($"s").as("n_types"))
         .select(lit(k.toLong).as("step"), lit(l).as("l"), lit(r).as("r"),
           lit(l + r).as("merged"), lit(n).as("pair_n"),
           $"total_tokens", $"n_types")
