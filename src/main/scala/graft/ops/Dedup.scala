@@ -374,11 +374,28 @@ object Dedup {
     * → exact-Jaccard confirm ≥ 0.8. Same output as C2, but the only
     * wide exchange is groupBy(band, band_hash); all-pairs never
     * materializes. Bucket size is capped to bound worst-case skew
-    * (a degenerate bucket can't blow up a task). */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    * (a degenerate bucket can't blow up a task); a capped bucket's
+    * members BEYOND the cap still star-pair against the bucket's MIN
+    * id (O(bucket) rows, fully distributed — no giant array), so a
+    * >cap cluster of near-identical documents cannot silently lose
+    * its tail: every member confirms against the representative and
+    * the loser set consumed by the composite pipelines (C14/C80 via
+    * [[nearDupLosers]]) stays complete. Within-tail pairs (x, y both
+    * past the cap, neither the min) remain capped — a disclosed
+    * precision-of-the-PAIR-LIST bound, not a loser-set bound; no
+    * bucket exceeds the cap at any tested SF (r10 review finding). */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, shingled(s, dir))
+
+  /** The C3 engine over any shingled (doc_id, sh) frame — split out so
+    * the oversize-bucket star path (dead at test SFs, where no bucket
+    * exceeds the cap) can be exercised directly by DedupSpec on a
+    * synthetic >cap duplicate cluster. */
+  private[ops] def minhashPairs(s: SparkSession, shingledDf: DataFrame): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
-    val sh = shingled(s, dir).withColumn("sig", expr("minhash_sig(sh, 128)")).persist()
+    val BucketCap = 64
+    val sh = shingledDf.withColumn("sig", expr("minhash_sig(sh, 128)")).persist()
     // band shuffle carries (doc_id, band, hash) only — never the
     // shingle arrays (16× duplication of the corpus otherwise)
     val bands = sh.select($"doc_id",
@@ -387,13 +404,22 @@ object Dedup {
           .as("e"))
       .select($"doc_id", $"e.band", $"e.bh")
     val buckets = bands.groupBy($"band", $"bh")
-      .agg(slice(sort_array(collect_list($"doc_id")), 1, 64).as("ids"))
-      .filter(size($"ids") > 1)
-    val cand = buckets
+      .agg(slice(sort_array(collect_list($"doc_id")), 1, BucketCap).as("ids"),
+        min($"doc_id").as("mn"), count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1)
+    val capped = buckets
       .select(explode($"ids").as("d1"), $"ids")
       .select($"d1", explode($"ids").as("d2"))
       .filter($"d1" < $"d2")
-      .dropDuplicates("d1", "d2")
+    // star pairs for oversize buckets only: rejoin the bucket stats to
+    // the band stream (same hashpartitioning(band, bh) — no new
+    // exchange shape) instead of collecting the full id list
+    val star = bands
+      .join(buckets.filter($"cnt" > BucketCap).select($"band", $"bh", $"mn"),
+        Seq("band", "bh"))
+      .filter($"doc_id" =!= $"mn")
+      .select($"mn".as("d1"), $"doc_id".as("d2"))
+    val cand = capped.unionByName(star).dropDuplicates("d1", "d2")
     // exact confirm only touches candidate docs' shingles
     val full = sh.select($"doc_id", $"sh")
     cand.join(full.as("x"), $"d1" === $"x.doc_id")

@@ -80,5 +80,18 @@ class CoverageSpec extends AnyFunSuite {
     assert(total.nonEmpty, s"no total in $named")
     assert(total.contains(quoted),
       s"§8 quotes '$quoted s', $named says '${total.orNull}'")
+    // staleness bound (r10 review finding): naming the file must not
+    // let the stamp lag forever. The named file may be at most ONE
+    // round behind the newest committed BENCH — exactly the window of
+    // the driver's post-commit drop — so quoting r09 while r11 exists
+    // fails, but the unavoidable between-rounds race stays green.
+    val rounds = Option(new java.io.File(".").listFiles()).get
+      .flatMap(f => """BENCH_r(\d+)\.json""".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .sorted
+    val namedRound = """BENCH_r(\d+)\.json""".r
+      .findFirstMatchIn(named).get.group(1).toInt
+    assert(rounds.takeRight(2).contains(namedRound),
+      s"§8 cites round $namedRound but newest committed is r${rounds.last} — re-stamp")
   }
 }

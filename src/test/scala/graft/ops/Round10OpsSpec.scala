@@ -17,9 +17,13 @@ class Round10OpsSpec extends AnyFunSuite {
     val rows = TextOps.textBpeApply(spark, sf0001).collect()
     assert(rows.length === TextOps.BpeSteps)
 
+    // mirror the operator's word filter EXACTLY (incl. the U+0001
+    // separator exclusion) so both sides build tf from the same set —
+    // r10 review finding; testdata is ASCII, so per-char splitting
+    // below matches the operator's code-point substring
     val tf = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(explode(split($"text", " ")).as("word"))
-      .filter(length($"word") > 0)
+      .filter(length($"word") > 0 && !$"word".contains("\u0001"))
       .groupBy($"word").count()
       .as[(String, Long)].collect()
     var vocab: Seq[(Vector[String], Long)] =
@@ -52,6 +56,27 @@ class Round10OpsSpec extends AnyFunSuite {
       val nTypes = vocab.flatMap(_._1).distinct.size.toLong
       assert(row.getLong(6) === nTypes, s"round $k symbol types")
     }
+  }
+
+  test("LSH oversize-bucket star path: a >cap identical cluster loses every non-min member") {
+    // r10 review finding: the 64-id bucket slice could silently drop
+    // the tail of a giant near-identical cluster from the candidate
+    // set (and thus from the composite pipelines' loser set). The star
+    // augmentation pairs every member of an oversize bucket with the
+    // bucket min — exercised here directly, since no natural bucket
+    // exceeds the cap at test SFs.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 100).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(spark, Dedup.shingleDocs(spark, docs))
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every non-min doc must be a loser: d2 ∈ {1..99} all present
+    val losers = pairs.map(_._2).toSet
+    assert((1L until 100L).forall(losers.contains),
+      s"missing losers: ${(1L until 100L).filterNot(losers.contains).take(10)}")
+    // and the star pairs are true pairs: min id 0 pairs with the tail
+    assert(pairs.filter(_._1 == 0L).map(_._2).toSet.size === 99)
   }
 
   test("text_bpe_apply curve is sane: token total strictly drops, bounded by pair count") {
