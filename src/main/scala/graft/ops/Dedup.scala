@@ -373,17 +373,25 @@ object Dedup {
   /** MinHash(128) + LSH banding (16 bands × 8 rows) → candidate pairs
     * → exact-Jaccard confirm ≥ 0.8. Same output as C2, but the only
     * wide exchange is groupBy(band, band_hash); all-pairs never
-    * materializes. Bucket size is capped to bound worst-case skew
-    * (a degenerate bucket can't blow up a task); a capped bucket's
-    * members BEYOND the cap still star-pair against the bucket's MIN
-    * id (O(bucket) rows, fully distributed — no giant array), so a
-    * >cap cluster of near-identical documents cannot silently lose
-    * its tail: every member confirms against the representative and
-    * the loser set consumed by the composite pipelines (C14/C80 via
-    * [[nearDupLosers]]) stays complete. Within-tail pairs (x, y both
-    * past the cap, neither the min) remain capped — a disclosed
-    * precision-of-the-PAIR-LIST bound, not a loser-set bound; no
-    * bucket exceeds the cap at any tested SF (r10 review finding). */
+    * materializes. Bucket size is capped to bound worst-case skew,
+    * and the cap lives INSIDE the aggregate ([[graft.functions.MinKAgg]]
+    * keeps the k smallest ids in a k-bounded partial buffer), so a
+    * degenerate bucket never materializes its full membership in any
+    * task — the earlier `slice(sort_array(collect_list(..)))` form
+    * bounded only the output, not the aggregation buffer (r10 review
+    * finding). A capped bucket's members BEYOND the cap still
+    * star-pair against the bucket's MIN id (O(bucket) rows, fully
+    * distributed), so a >cap cluster of NEAR-IDENTICAL documents
+    * (every member ≥ 0.8-similar to the representative — the
+    * motivating skew case) cannot silently lose its tail. Disclosed
+    * bounds past the cap: within-tail pairs (x, y both past the cap,
+    * neither the min) are dropped, and a CHAINED cluster whose tail
+    * members fall below 0.8 vs the min loses those tail pairs/losers
+    * — i.e. completeness of both the pair list and the loser set is
+    * guaranteed only up to star-reachability through the bucket min.
+    * No bucket exceeds the cap at any tested SF, where C2 equality is
+    * exact (DedupSpec); at scale the cap trades that tail for a hard
+    * per-task memory bound. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, shingled(s, dir))
 
@@ -394,6 +402,7 @@ object Dedup {
   private[ops] def minhashPairs(s: SparkSession, shingledDf: DataFrame): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
+    graft.functions.MinKAgg.register(s)
     val BucketCap = 64
     val sh = shingledDf.withColumn("sig", expr("minhash_sig(sh, 128)")).persist()
     // band shuffle carries (doc_id, band, hash) only — never the
@@ -403,10 +412,17 @@ object Dedup {
           struct(lit(b).as("band"), xxhash64(slice($"sig", b * 8 + 1, 8)).as("bh"))): _*))
           .as("e"))
       .select($"doc_id", $"e.band", $"e.bh")
+    // min_k's partial buffers are BucketCap-bounded (see MinKAgg: the
+    // collect_list form only bounded the sliced OUTPUT); mn = ids[0]
+    // since min_k returns ascending. Persisted because BOTH branches
+    // below consume it — exchange reuse alone would still run the
+    // aggregation twice.
     val buckets = bands.groupBy($"band", $"bh")
-      .agg(slice(sort_array(collect_list($"doc_id")), 1, BucketCap).as("ids"),
-        min($"doc_id").as("mn"), count(lit(1)).as("cnt"))
+      .agg(expr(s"min_k(doc_id, $BucketCap)").as("ids"),
+        count(lit(1)).as("cnt"))
       .filter($"cnt" > 1)
+      .withColumn("mn", element_at($"ids", 1))
+      .persist()
     val capped = buckets
       .select(explode($"ids").as("d1"), $"ids")
       .select($"d1", explode($"ids").as("d2"))
@@ -511,12 +527,18 @@ object Dedup {
     import s.implicits._
     val near = dedupMinhashLsh(s, dir).select($"d1", $"d2")
     // exact-dup star edges (min-id hub per md5 group) from the engine's
-    // own hash-group pass — not from the closed form the oracle uses
-    val exactE = dupFeed(s, dir)
-      .groupBy(md5($"text").as("h"))
-      .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1)
-      .select(element_at($"ids", 1).as("d1"), explode($"ids").as("d2"))
+    // own hash-group pass — not from the closed form the oracle uses.
+    // Hub-join form, not collect_list: min/count are constant-size agg
+    // buffers and members rejoin on the hash, so a viral document with
+    // 10^8 exact copies never materializes as one in-memory array
+    // (r10 bounded-buffer hardening; wd persisted — both the hub
+    // aggregate and the rejoin consume it)
+    val wd = dupFeed(s, dir).select(md5($"text").as("h"), $"doc_id").persist()
+    val hubs = wd.groupBy($"h")
+      .agg(min($"doc_id").as("d1"), count(lit(1)).as("c"))
+      .filter($"c" > 1)
+    val exactE = wd.join(hubs, "h")
+      .select($"d1", $"doc_id".as("d2"))
       .filter($"d1" =!= $"d2")
     val e = near.unionByName(exactE).dropDuplicates("d1", "d2")
     // size the loop's shuffles to the EDGE volume, not the session
@@ -550,10 +572,13 @@ object Dedup {
     * rooted at its minimum id. Convergence is O(log n) rounds (vs
     * rounds = diameter for min-label propagation); each round is
     * three O(E) shuffles of (id, id) pairs only — two partitionBy-u
-    * windows and one groupBy-u dedup (collect_set, which both
-    * canonicalizes the edge set for the fixpoint test and leaves it
-    * partitioned by u; intra-round duplicate emissions are harmless
-    * to the window mins, so no mid-round distinct).
+    * windows and one window-lag dedup (which both canonicalizes the
+    * edge set for the fixpoint test and leaves it partitioned by u;
+    * intra-round duplicate emissions are harmless to the window mins,
+    * so no mid-round distinct). All three are WindowExec passes whose
+    * per-partition buffers spill — no per-group array anywhere in the
+    * loop, so a component-sized hub degree is disk-bounded, not
+    * heap-bounded (r10 hardening; was groupBy-collect_set).
     *
     * `parts` sizes the loop's shuffles to edge volume by raising the
     * session shuffle-partition count for the loop's duration (windows
@@ -576,10 +601,19 @@ object Dedup {
     val verts = edges0.select($"u")
       .unionByName(edges0.select($"v".as("u")))
       .distinct().localCheckpoint()
-    // one-shuffle canonicalize: dedup (u, v) and land partitioned by u
-    def canon(df: DataFrame): DataFrame = df
-      .groupBy($"u").agg(collect_set($"v").as("vs"))
-      .select($"u", explode($"vs").as("v"))
+    // one-shuffle canonicalize: dedup (u, v) and land partitioned by u.
+    // Window-lag dedup instead of groupBy-collect_set: identical output
+    // and the same single exchange on u, but a hub's rows sit in
+    // WindowExec's SPILLABLE buffer rather than one in-memory array —
+    // at the fixpoint the component min's degree IS the component
+    // size, exactly where an agg-buffer array would OOM a task
+    // (r10 bounded-buffer hardening)
+    def canon(df: DataFrame): DataFrame = {
+      val wv = Window.partitionBy($"u").orderBy($"v")
+      df.withColumn("pv", lag($"v", 1).over(wv))
+        .filter($"pv".isNull || $"pv" =!= $"v")
+        .drop("pv")
+    }
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     if (parts > prevParts.toInt)
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -993,11 +1027,14 @@ object Dedup {
     // cap overfull buckets with a HASH-ordered sample: an ascending-id
     // cap would preferentially drop the highest ids — exactly where
     // nearFeed plants the near-copies — biasing recall in a dense
-    // bucket; hash order keeps the sample unbiased and deterministic
+    // bucket; hash order keeps the sample unbiased and deterministic.
+    // min_k_by (bounded TypedImperativeAggregate) selects the same
+    // 128 hash-smallest ids as the old sliced collect_list, but its
+    // partial buffers are 128-bounded — a degenerate bucket can't
+    // OOM a task (same r10 hardening as C3's min_k)
+    graft.functions.MinKAgg.register(s)
     val buckets = codes.groupBy($"tbl", $"code")
-      .agg(slice(transform(
-        array_sort(collect_list(struct(xxhash64($"vec_id").as("hk"),
-          $"vec_id".as("v")))), e => e("v")), 1, 128).as("ids"))
+      .agg(expr("min_k_by(struct(xxhash64(vec_id), vec_id), 128)").as("ids"))
       .filter(size($"ids") > 1)
     val cand = buckets
       .select(explode($"ids").as("v1"), $"ids")

@@ -637,8 +637,11 @@ object PipelineQueries {
           .withColumn("pfx", pmod($"bh", lit(16)).cast("string"))
           .persist()
         // within-batch candidates: the C3 bucket shape, 64-id cap
+        // bounded INSIDE the aggregate (MinKAgg — r10 hardening,
+        // same as C3: the sliced collect_list only bounded output)
+        graft.functions.MinKAgg.register(sp)
         val wbCand = bands.groupBy($"band", $"bh")
-          .agg(slice(sort_array(collect_list($"doc_id")), 1, 64).as("ids"))
+          .agg(expr("min_k(doc_id, 64)").as("ids"))
           .filter(size($"ids") > 1)
           .select(explode($"ids").as("d1"), $"ids")
           .select($"d1", explode($"ids").as("d2"))

@@ -1236,10 +1236,17 @@ object TextOps {
     * 100 TB: everything after the ONE corpus-sized word-frequency
     * rollup runs on the VOCABULARY (millions of rows, Zipf-capped),
     * not the corpus; each round is a vocab-local map (the replace) +
-    * two map-side-combinable vocab rollups + a 1-row collect. Each
-    * round's vocabulary is persisted so round k's consumers don't
-    * replay rounds 1..k−1 (same persist-per-round pattern as
-    * dedup_cluster's star-contraction). */
+    * two map-side-combinable vocab rollups, and the driver traffic is
+    * exactly two BOUNDED rows per round — the (l, r, n) winner and the
+    * 1-row curve point. Collecting the curve point (rather than
+    * union-ing six lazy per-round subplans) makes the final result a
+    * literal [[BpeSteps]]-row frame AND materializes each new
+    * vocabulary generation as it is built, so the superseded
+    * generation unpersists immediately: steady-state cache is ≤ 2
+    * vocab copies, not all [[BpeSteps]]+1 (r10 review finding — the
+    * lazy-union form kept every generation resident because earlier
+    * rounds' stats frames were only evaluated at the caller's final
+    * action). */
   val BpeSteps = 6
   def textBpeApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1273,22 +1280,29 @@ object TextOps {
         s"text_bpe_apply: no adjacent symbol pairs left at round $k")
       val (l, r, n) = (bestRows(0).getString(0), bestRows(0).getString(1),
         bestRows(0).getLong(2))
-      vocab = vocab
+      val prev = vocab
+      vocab = prev
         .select($"tf", replace($"seq",
           lit(Sep + l + B + r + Sep), lit(Sep + l + r + Sep)).as("seq"))
         .persist()
       // one stats rollup per round: each exploded symbol INSTANCE
       // contributes its word's tf, so sum(tf) over the explode IS
       // total_tokens (= Σ tf·|symbols|) and the same frame feeds the
-      // distinct-type count — no second vocab pass
-      vocab.select($"tf", explode(symsExpr).as("s"))
+      // distinct-type count — no second vocab pass. The 1-row collect
+      // materializes the NEW generation's persist, after which the
+      // superseded generation is safely dropped (nothing reads it
+      // again — earlier rounds' curve points are already local rows).
+      val st = vocab.select($"tf", explode(symsExpr).as("s"))
         .agg(sum($"tf").as("total_tokens"),
           countDistinct($"s").as("n_types"))
-        .select(lit(k.toLong).as("step"), lit(l).as("l"), lit(r).as("r"),
-          lit(l + r).as("merged"), lit(n).as("pair_n"),
-          $"total_tokens", $"n_types")
+        .collect()(0)
+      prev.unpersist()
+      (k.toLong, l, r, l + r, n, st.getLong(0), st.getLong(1))
     }
-    stepRows.reduce(_.unionByName(_)).orderBy($"step")
+    vocab.unpersist()
+    stepRows
+      .toDF("step", "l", "r", "merged", "pair_n", "total_tokens", "n_types")
+      .orderBy($"step")
   }
   /** Oracle: the identical [[BpeSteps]]-round trajectory, unrolled as
     * generated per-round CTEs (encode → pair-count → 1-row winner →

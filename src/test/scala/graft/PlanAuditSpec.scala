@@ -403,6 +403,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket caps live INSIDE the aggregate: no collect_list/collect_set in the dedup candidate plans") {
+    // r10 bounded-buffer hardening: the LSH bucket caps must be MinK
+    // aggregates (k-bounded partial buffers), never a sliced
+    // collect_list — that form bounds only the OUTPUT, so a degenerate
+    // bucket still materializes whole in one task's agg buffer.
+    // Audited on the analyzed plans of C3 (min_k) and C5 (min_k_by).
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet}
+    for ((name, df) <- Seq(
+        "dedup_minhash_lsh" -> ops.Dedup.dedupMinhashLsh(spark, sf0001),
+        "dedup_embedding" -> ops.Dedup.dedupEmbedding(spark, sf0001))) {
+      val analyzed = df.queryExecution.analyzed
+      def anyExpr(p: PartialFunction[Expression, Boolean]): Boolean =
+        analyzed.exists(_.expressions.exists(_.exists(
+          p.applyOrElse(_, (_: Expression) => false))))
+      assert(!anyExpr { case _: CollectList => true; case _: CollectSet => true },
+        s"$name: unbounded collect aggregate in plan")
+      assert(anyExpr {
+        case _: graft.functions.MinKAgg => true
+        case _: graft.functions.MinKPairAgg => true
+      }, s"$name: no MinK aggregate found — bucket cap missing")
+    }
+  }
+
   test("q_window_gap_fill: spine join and fill ride the rollup's exchanges") {
     // the B36 claim: one (user, hour) rollup shuffle + one user
     // shuffle shared by the spine agg/join/window, + the presentation
