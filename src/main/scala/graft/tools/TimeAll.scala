@@ -24,6 +24,9 @@ object TimeAll {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       try {
         if (tiny.isDirectory) fn(spark, tiny.getPath).count()
+        // Bench-parity: drop the warmup's (and prior queries') persists
+        // so each timing does its own IO/shuffle work (see TimeQuery)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val rows = fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9

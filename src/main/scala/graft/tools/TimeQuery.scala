@@ -27,6 +27,11 @@ object TimeQuery {
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       if (tiny.isDirectory) fn(spark, tiny.getPath).count()
+      // clear BEFORE timing, exactly like Bench between runs: a prior
+      // query's (or the warmup's) persisted branches would otherwise
+      // serve this timing from cache and understate it (r10: a repeat
+      // run read 3.25 s where the bench-comparable cost was ~4.3 s)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
       println(f"TIMER $n: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
