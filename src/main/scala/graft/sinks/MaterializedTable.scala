@@ -37,18 +37,21 @@ object MaterializedTable {
 
   private def pointerPath(table: String) = new Path(table, "_LATEST")
 
+  /** Small-file read shared by the pointer and manifest readers. */
+  private[sinks] def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      out.toString("UTF-8")
+    } finally in.close()
+  }
+
   private[sinks] def readPointer(s: SparkSession, table: String): Option[String] = {
     val f = fs(s, table)
     val p = pointerPath(table)
     if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-        Some(out.toString("UTF-8").trim)
-      } finally in.close()
-    }
+    else Some(readSmallFile(f, p).trim)
   }
 
   private[sinks] def writePointer(s: SparkSession, table: String, version: String): Unit = {
@@ -81,17 +84,29 @@ object MaterializedTable {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Sort key for `v{batch}_{millis}` snapshot names: the wall-clock
+    * suffix FIRST (it is the only component monotone across checkpoint
+    * restarts — batch ids reset to 0 on a fresh checkpoint, so a
+    * batch-id-first sort would rank a restarted job's new snapshots
+    * below the old run's and make vacuum delete the NEWEST dirs while
+    * retaining stale ones; r10 review finding), then the numeric batch
+    * id (two batches can share a millisecond in a fast loop; same-run
+    * batch ids are monotone), then the name. Lexicographic-only order
+    * would also put v10 before v2. */
+  private[sinks] def versionKey(v: String): (Long, Long, String) = {
+    val digits = v.drop(1).takeWhile(_.isDigit)
+    val ts = v.split('_').lift(1).filter(t => t.nonEmpty && t.forall(_.isDigit))
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    (ts, if (digits.isEmpty) Long.MaxValue else digits.toLong, v)
+  }
+
   /** Snapshot versions present, oldest → newest — the time-travel
-    * handles. Sorted NUMERICALLY by batch id (lexicographic order
-    * would put v10 before v2 and make vacuum delete the newest). */
+    * handles (see [[versionKey]] for the restart-safe ordering). */
   def versions(s: SparkSession, table: String): Seq[String] =
     fs(s, table).listStatus(new Path(table)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
       .map(_.getPath.getName)
-      .sortBy { v =>
-        val digits = v.drop(1).takeWhile(_.isDigit)
-        (if (digits.isEmpty) Long.MaxValue else digits.toLong, v)
-      }
+      .sortBy(versionKey)
 
   /** Read a specific (immutable) snapshot — time travel. Includes
     * tombstones; filter `op <> 'd'` for the visible state. */
@@ -99,10 +114,21 @@ object MaterializedTable {
     s.read.parquet(s"$table/$version")
 
   /** Delete all snapshots except the `keep` most recent (never the
-    * current pointer target). Returns the deleted version names. */
+    * current pointer target). Returns the deleted version names.
+    * REFUSES a [[PartitionedTable]] layout (pointer names an
+    * `m…` manifest, not a version dir): there, untouched buckets
+    * reference OLD version dirs by design, so keep-newest deletion
+    * would destroy data the current manifest still reads — use
+    * [[PartitionedTable.vacuum]], which retains every referenced dir. */
   def vacuum(s: SparkSession, table: String, keep: Int = 2): Seq[String] = {
     val f = fs(s, table)
     val current = readPointer(s, table)
+    current.filter(_.startsWith("m")).foreach { m =>
+      throw new IllegalStateException(
+        s"vacuum: $table is a PartitionedTable layout (pointer → manifest $m); " +
+          "its manifest references old version dirs by design — use " +
+          "PartitionedTable.vacuum")
+    }
     val doomed = versions(s, table).dropRight(keep).filterNot(current.contains)
     doomed.foreach(v => f.delete(new Path(table, v), true))
     doomed

@@ -41,30 +41,58 @@ import graft.cdc.ChangeRecord
   */
 object PartitionedTable {
 
-  import MaterializedTable.{fs, latestWithTombstones, readPointer, writePointer}
+  import MaterializedTable.{fs, latestWithTombstones, readPointer, readSmallFile, writePointer}
 
   private def bucketCol(buckets: Int) = pmod(hash(col("key")), lit(buckets))
+
+  /** Parse a manifest body: header line `buckets\t<N>` (the persisted
+    * layout contract — see [[requireBuckets]]) + `<bucket>\t<dir>`
+    * rows. The header is optional on read so pre-header tables still
+    * open (they just skip the layout check). */
+  private def parseManifest(text: String): (Option[Int], Map[Int, String]) = {
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val declared = lines.collectFirst {
+      case l if l.startsWith("buckets\t") => l.split('\t')(1).toInt
+    }
+    val entries = lines.filterNot(_.startsWith("buckets\t")).map { l =>
+      val Array(b, v) = l.split('\t'); b.toInt -> v
+    }.toMap
+    (declared, entries)
+  }
+
+  private def readManifestNamed(s: SparkSession, table: String,
+      name: String): (Option[Int], Map[Int, String]) =
+    parseManifest(readSmallFile(fs(s, table), new Path(table, name)))
 
   /** bucket → version-dir map of the current manifest (empty if none). */
   def readManifest(s: SparkSession, table: String): Map[Int, String] =
     readPointer(s, table) match {
       case None => Map.empty
-      case Some(m) =>
-        val f = fs(s, table)
-        val in = f.open(new Path(table, m))
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-          out.toString("UTF-8").linesIterator.filter(_.nonEmpty).map { l =>
-            val Array(b, v) = l.split('\t'); b.toInt -> v
-          }.toMap
-        } finally in.close()
+      case Some(m) => readManifestNamed(s, table, m)._2
+    }
+
+  /** The layout's persisted bucket count, if a manifest exists. */
+  def declaredBuckets(s: SparkSession, table: String): Option[Int] =
+    readPointer(s, table).flatMap(m => readManifestNamed(s, table, m)._1)
+
+  /** FAIL FAST when a caller's bucket count disagrees with the one the
+    * table was written with: `pmod(hash(key), buckets)` routes keys,
+    * so a mismatched count silently splits a key's history across two
+    * buckets — the upsert window then never sees the key's prior row
+    * and readLatest returns DUPLICATE rows per key (r10 review
+    * finding). The count is persisted in every manifest header. */
+  private def requireBuckets(s: SparkSession, table: String, buckets: Int): Unit =
+    declaredBuckets(s, table).foreach { d =>
+      if (d != buckets) throw new IllegalArgumentException(
+        s"$table was written with buckets=$d but caller passed buckets=$buckets — " +
+          "a mismatched bucket count splits keys across buckets and corrupts upserts")
     }
 
   private def writeManifest(s: SparkSession, table: String, name: String,
-      manifest: Map[Int, String]): Unit = {
+      manifest: Map[Int, String], buckets: Int): Unit = {
     val f = fs(s, table)
-    val body = manifest.toSeq.sorted.map { case (b, v) => s"$b\t$v" }
+    val body = (s"buckets\t$buckets" +:
+      manifest.toSeq.sorted.map { case (b, v) => s"$b\t$v" })
       .mkString("\n")
     val out = f.create(new Path(table, name), true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -78,6 +106,7 @@ object PartitionedTable {
     * `__b` is recomputed from the key (partition-dir reads drop the
     * partition column). */
   def readSnapshot(s: SparkSession, table: String, buckets: Int): Option[DataFrame] = {
+    requireBuckets(s, table, buckets)
     val m = readManifest(s, table)
     if (m.isEmpty) None
     else Some(s.read.parquet(bucketPaths(table, m): _*)
@@ -98,24 +127,31 @@ object PartitionedTable {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[ChangeRecord], batchId: Long) =>
         val s = batch.sparkSession
-        val b = batch.toDF().withColumn("__b", bucketCol(buckets))
-        // the touched-bucket list is ≤ `buckets` ints — a bounded
-        // driver-side manifest decision, not per-row driver work
-        val touched = b.select("__b").distinct()
-          .collect().map(_.getInt(0)).sorted
-        val manifest = readManifest(s, table)
-        val priorPaths = touched
-          .flatMap(p => manifest.get(p).map(v => s"$table/$v/__b=$p"))
-        val prior =
-          if (priorPaths.isEmpty) None
-          else Some(s.read.parquet(priorPaths.toIndexedSeq: _*)
-            .withColumn("__b", bucketCol(buckets)))
-        val all = prior.map(_.unionByName(b)).getOrElse(b)
-        val version = s"v${batchId}_${System.currentTimeMillis()}"
-        latestWithTombstones(all).write.partitionBy("__b")
-          .mode("overwrite").parquet(s"$table/$version")
-        writeManifest(s, table, s"m${batchId}_${System.currentTimeMillis()}",
-          manifest ++ touched.map(_ -> version))
+        requireBuckets(s, table, buckets)
+        // persisted: the touched-bucket collect AND the snapshot write
+        // both act on the micro-batch — unpersisted, a file-backed
+        // source would re-read and re-parse its segments twice per
+        // batch (r10 review finding)
+        val b = batch.toDF().withColumn("__b", bucketCol(buckets)).persist()
+        try {
+          // the touched-bucket list is ≤ `buckets` ints — a bounded
+          // driver-side manifest decision, not per-row driver work
+          val touched = b.select("__b").distinct()
+            .collect().map(_.getInt(0)).sorted
+          val manifest = readManifest(s, table)
+          val priorPaths = touched
+            .flatMap(p => manifest.get(p).map(v => s"$table/$v/__b=$p"))
+          val prior =
+            if (priorPaths.isEmpty) None
+            else Some(s.read.parquet(priorPaths.toIndexedSeq: _*)
+              .withColumn("__b", bucketCol(buckets)))
+          val all = prior.map(_.unionByName(b)).getOrElse(b)
+          val version = s"v${batchId}_${System.currentTimeMillis()}"
+          latestWithTombstones(all).write.partitionBy("__b")
+            .mode("overwrite").parquet(s"$table/$version")
+          writeManifest(s, table, s"m${batchId}_${System.currentTimeMillis()}",
+            manifest ++ touched.map(_ -> version), buckets)
+        } finally b.unpersist()
         ()
       }
       .start()
@@ -140,7 +176,7 @@ object PartitionedTable {
       kept.drop("__b").repartition(1)
         .write.mode("overwrite").parquet(s"$table/$version/__b=0")
       writeManifest(s, table, s"mc_${System.currentTimeMillis()}",
-        Map(0 -> version))
+        Map(0 -> version), buckets)
     } else {
       kept.repartition(buckets, col("__b")).write.partitionBy("__b")
         .mode("overwrite").parquet(s"$table/$version")
@@ -149,8 +185,37 @@ object PartitionedTable {
       val present = s.read.parquet(s"$table/$version")
         .select("__b").distinct().collect().map(_.getInt(0))
       writeManifest(s, table, s"mc_${System.currentTimeMillis()}",
-        present.map(_ -> version).toMap)
+        present.map(_ -> version).toMap, buckets)
     }
     version
+  }
+
+  /** Manifest-aware vacuum — the maintenance pass
+    * [[MaterializedTable.vacuum]] refuses to run on this layout:
+    * keeps the `keep` most recent manifests (plus the pointer target)
+    * and EVERY version dir any kept manifest references — untouched
+    * buckets point at old version dirs by design, so "keep the newest
+    * version dirs" would delete data the current manifest still
+    * reads. Deletes older manifests and unreferenced version dirs;
+    * returns the deleted names. */
+  def vacuum(s: SparkSession, table: String, keep: Int = 2): Seq[String] = {
+    val f = fs(s, table)
+    val entries = f.listStatus(new Path(table)).toSeq
+    val manifests = entries
+      .filter(st => st.isFile && st.getPath.getName.startsWith("m"))
+      .map(_.getPath.getName)
+      .sortBy(m => MaterializedTable.versionKey(m)) // m{batch}_{ts}: same shape
+    val keptManifests =
+      (manifests.takeRight(keep) ++ readPointer(s, table).toSeq).distinct
+    val referenced = keptManifests
+      .flatMap(m => readManifestNamed(s, table, m)._2.values).toSet
+    val doomedV = entries
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .map(_.getPath.getName)
+      .filterNot(referenced)
+    val doomedM = manifests.filterNot(keptManifests.contains)
+    val doomed = doomedV ++ doomedM
+    doomed.foreach(n => f.delete(new Path(table, n), true))
+    doomed
   }
 }

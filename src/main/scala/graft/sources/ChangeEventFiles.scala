@@ -66,7 +66,7 @@ object ChangeEventFiles {
   def typedCell(m: Column, name: String, pgType: String): Column =
     pgTyped(m(name), pgType)
 
-  def pgTyped(raw: Column, pgType: String): Column = pgType match {
+  def pgTyped(raw: Column, pgType: String): Column = normalize(pgType) match {
     // array path needs PgOutputExpressions.register(spark) first
     case ArrayName(elem) =>
       transform(call_function("pg_array", raw), e => pgTyped(e, elem))
@@ -89,6 +89,16 @@ object ChangeEventFiles {
         regexp_extract(raw, "\\((\\d+),(\\d+)\\)", 2).cast("int").as("offset"))
     case _ => raw // text/varchar/name/inet/cidr/aclitem/record/unknown
   }
+
+  /** Strip the typmod from a rendered PG type name — wal2json reports
+    * names AS DECLARED, so `timestamp(3) with time zone` or
+    * `numeric(10,2)` arrive typmod'd, and matching the raw string
+    * routed typmod'd timestamptz into the bare-`timestamp` arm
+    * (→ ntz, dropping the zone) and typmod'd numeric to text (r10
+    * review finding). The typmod (precision/scale/length) never
+    * changes which decode arm applies. */
+  private def normalize(t: String): String =
+    t.replaceFirst("""\(\d+(,\s*\d+)?\)""", "").replaceAll("\\s+", " ").trim
 
   /** `integer[]` / `_int4` array type-name forms. */
   private object ArrayName {

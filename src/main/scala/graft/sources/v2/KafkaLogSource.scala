@@ -74,14 +74,14 @@ object KafkaLogSource {
   private val SegName = """(\d+)-(\d+)\.jsonl""".r
   private val PartDir = """p=(\d+)""".r
 
-  private[v2] def fs(path: String): FileSystem =
-    new HPath(path).getFileSystem(new Configuration())
+  private[sources] def fs(path: String, conf: Configuration): FileSystem =
+    new HPath(path).getFileSystem(conf)
 
   /** (partition → name-sorted segments (path, baseOffset, count)). */
-  private[v2] def listTopic(path: String)
+  private[sources] def listTopic(path: String, conf: Configuration)
       : Map[Int, Seq[(String, Long, Long)]] = {
     val root = new HPath(path)
-    val f = fs(path)
+    val f = fs(path, conf)
     if (!f.exists(root)) Map.empty
     else f.listStatus(root).filter(_.isDirectory).flatMap { d =>
       d.getPath.getName match {
@@ -99,10 +99,20 @@ object KafkaLogSource {
   }
 
   /** Log-end offset per partition, from segment NAMES only. */
-  private[v2] def endOffsets(path: String): Map[Int, Long] =
-    listTopic(path).map { case (p, segs) =>
+  private[sources] def endOffsets(topic: Map[Int, Seq[(String, Long, Long)]]): Map[Int, Long] =
+    topic.map { case (p, segs) =>
       p -> segs.lastOption.map(s => s._2 + s._3).getOrElse(0L)
     }
+
+  /** The segments a [startOff, endOff) slice can touch — computed at
+    * PLAN time on the driver and embedded in the input partition, so
+    * (a) readers never re-list the topic (the old per-reader listTopic
+    * was O(partitions) full-topic listings per micro-batch), and (b)
+    * the records read are exactly the records planned even if segments
+    * are compacted/renamed between planning and execution. */
+  private[sources] def sliceSegments(segs: Seq[(String, Long, Long)],
+      startOff: Long, endOff: Long): Seq[(String, Long, Long)] =
+    segs.filter(s => s._2 + s._3 > startOff && s._2 < endOff)
 }
 
 class KafkaLogTable(path: String) extends Table with SupportsRead {
@@ -120,37 +130,52 @@ class KafkaLogScan(path: String) extends Scan {
   override def readSchema(): StructType = KafkaLogSource.schema
   override def description(): String = s"KafkaLogScan($path)"
 
+  // driver-session Hadoop conf, shipped to readers (see
+  // SerializableHadoopConf — a bare Configuration drops spark.hadoop.*)
+  private val conf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      KafkaLogSource.endOffsets(path).toSeq.sortBy(_._1)
+    override def planInputPartitions(): Array[InputPartition] = {
+      val topic = KafkaLogSource.listTopic(path, conf.value)
+      KafkaLogSource.endOffsets(topic).toSeq.sortBy(_._1)
         .filter(_._2 > 0)
         .map { case (p, end) =>
-          TopicSlicePartition(path, p, 0L, end): InputPartition
+          TopicSlicePartition(path, p, 0L, end,
+            KafkaLogSource.sliceSegments(topic(p), 0L, end)): InputPartition
         }.toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
-      TopicSliceReaderFactory
+      TopicSliceReaderFactory(conf)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream {
       override def initialOffset(): Offset =
-        KafkaLogOffset(KafkaLogSource.endOffsets(path).map { case (p, _) => p -> 0L })
+        KafkaLogOffset(KafkaLogSource.endOffsets(
+          KafkaLogSource.listTopic(path, conf.value)).map { case (p, _) => p -> 0L })
       override def latestOffset(): Offset =
-        KafkaLogOffset(KafkaLogSource.endOffsets(path))
+        KafkaLogOffset(KafkaLogSource.endOffsets(
+          KafkaLogSource.listTopic(path, conf.value)))
       override def deserializeOffset(json: String): Offset =
         KafkaLogOffset.fromJson(json)
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
         val s = start.asInstanceOf[KafkaLogOffset].offsets
         val e = end.asInstanceOf[KafkaLogOffset].offsets
+        // one listing for the whole batch; each partition's slice
+        // carries its own segment list to the executor
+        val topic = KafkaLogSource.listTopic(path, conf.value)
         e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
           val startOff = s.getOrElse(p, 0L)
           if (endOff > startOff)
-            Some(TopicSlicePartition(path, p, startOff, endOff): InputPartition)
+            Some(TopicSlicePartition(path, p, startOff, endOff,
+              KafkaLogSource.sliceSegments(topic.getOrElse(p, Seq.empty),
+                startOff, endOff)): InputPartition)
           else None
         }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        TopicSliceReaderFactory
+        TopicSliceReaderFactory(conf)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
     }
@@ -171,23 +196,28 @@ object KafkaLogOffset {
 }
 
 /** One partition's records in [startOff, endOff) — a micro-batch's
-  * per-partition split (ordered within; partitions read in parallel). */
+  * per-partition split (ordered within; partitions read in parallel).
+  * Carries its plan-time segment list (path, baseOffset, count): the
+  * reader opens exactly the segments the driver planned — no
+  * executor-side re-listing, no drift if the topic changes between
+  * planning and execution. */
 case class TopicSlicePartition(path: String, partition: Int,
-    startOff: Long, endOff: Long) extends InputPartition
+    startOff: Long, endOff: Long,
+    segs: Seq[(String, Long, Long)]) extends InputPartition
 
-object TopicSliceReaderFactory extends PartitionReaderFactory {
+case class TopicSliceReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TopicSliceReader(partition.asInstanceOf[TopicSlicePartition])
+    new TopicSliceReader(partition.asInstanceOf[TopicSlicePartition], conf.value)
 }
 
-/** Walks the partition's name-sorted segments, skipping whole
-  * segments outside the slice by NAME (never opened) and leading
-  * lines of the first overlapping segment by count — then emits
+/** Walks the slice's plan-time segment list, skipping whole segments
+  * outside the slice by NAME (never opened) and leading records of
+  * the first overlapping segment by count — then emits
   * (partition, offset, key, value) rows until endOff. */
-class TopicSliceReader(slice: TopicSlicePartition)
+class TopicSliceReader(slice: TopicSlicePartition, conf: Configuration)
     extends PartitionReader[InternalRow] {
-  private val segs = KafkaLogSource.listTopic(slice.path)
-    .getOrElse(slice.partition, Seq.empty)
+  private val segs = slice.segs
     .filter(s => s._2 + s._3 > slice.startOff && s._2 < slice.endOff)
     .iterator
   private var reader: java.io.BufferedReader = _
@@ -201,12 +231,24 @@ class TopicSliceReader(slice: TopicSlicePartition)
       val (file, base, _) = segs.next()
       val hp = new HPath(file)
       reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-        KafkaLogSource.fs(file).open(hp),
+        KafkaLogSource.fs(file, conf).open(hp),
         java.nio.charset.StandardCharsets.UTF_8), 65536)
       off = base - 1
       // seek within the first overlapping segment: skip records below
-      // the slice start (bounded by one segment's rotation size)
-      while (off + 1 < slice.startOff && reader.readLine() != null) off += 1
+      // the slice start (bounded by one segment's rotation size).
+      // Count only NON-BLANK lines — next() skips blank lines without
+      // assigning them offsets, and the seek must agree or a resume
+      // lands one record early per blank line and re-emits a record
+      // under a shifted offset (r10 review finding)
+      var seeking = off + 1 < slice.startOff
+      while (seeking) {
+        val l = reader.readLine()
+        if (l == null) seeking = false
+        else {
+          if (!l.isEmpty) off += 1
+          seeking = off + 1 < slice.startOff
+        }
+      }
       true
     }
 

@@ -105,20 +105,33 @@ class FramedFileScan(path: String, tblSchema: StructType, binaryFrames: Boolean)
   override def readSchema(): StructType = tblSchema
   override def description(): String = s"FramedFileScan($path)"
 
+  // the session's Hadoop conf (incl. spark.hadoop.*), captured on the
+  // driver at scan build and shipped to readers — a bare
+  // `new Configuration()` would drop credentials/fs settings
+  private val conf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   private def listSegments(): Seq[String] = {
     val p = new HPath(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isFile)
+      // hide marker/temp files by their own NAME only — matching the
+      // whole path string ("/_", "/.") silently empties the listing
+      // whenever any ANCESTOR dir starts with '_' or '.'
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
       .map(_.getPath.toString)
-      .filterNot(f => f.contains("/_") || f.contains("/."))
       .sorted.toSeq
   }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       listSegments().map(f => SegmentPartition(f, binaryFrames): InputPartition).toArray
-    override def createReaderFactory(): PartitionReaderFactory = SegmentReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      SegmentReaderFactory(conf)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -139,7 +152,8 @@ class FramedFileScan(path: String, tblSchema: StructType, binaryFrames: Boolean)
         files.slice(s, e)
           .map(f => SegmentPartition(f, binaryFrames): InputPartition).toArray
       }
-      override def createReaderFactory(): PartitionReaderFactory = SegmentReaderFactory
+      override def createReaderFactory(): PartitionReaderFactory =
+        SegmentReaderFactory(conf)
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
     }
@@ -153,20 +167,23 @@ case class FileCountOffset(n: Int) extends Offset {
 
 case class SegmentPartition(file: String, binaryFrames: Boolean) extends InputPartition
 
-object SegmentReaderFactory extends PartitionReaderFactory {
+case class SegmentReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SegmentPartition]
-    if (p.binaryFrames) new BinaryFrameReader(p.file) else new LineFrameReader(p.file)
+    if (p.binaryFrames) new BinaryFrameReader(p.file, conf.value)
+    else new LineFrameReader(p.file, conf.value)
   }
 }
 
 /** Streams one segment, yielding length-prefixed frames. Memory bound:
   * one frame at a time plus the 64 KiB read buffer. */
-class BinaryFrameReader(file: String) extends PartitionReader[InternalRow] {
+class BinaryFrameReader(file: String, conf: Configuration)
+    extends PartitionReader[InternalRow] {
   private val in = {
     val hp = new HPath(file)
     new java.io.DataInputStream(new java.io.BufferedInputStream(
-      hp.getFileSystem(new Configuration()).open(hp), 65536))
+      hp.getFileSystem(conf).open(hp), 65536))
   }
   private val pathUtf = UTF8String.fromString(file)
   private var idx = -1L
@@ -191,10 +208,11 @@ class BinaryFrameReader(file: String) extends PartitionReader[InternalRow] {
 
 /** Streams one JSON-lines segment, one document per line; skips blank
   * lines (trailing newline). */
-class LineFrameReader(file: String) extends PartitionReader[InternalRow] {
+class LineFrameReader(file: String, conf: Configuration)
+    extends PartitionReader[InternalRow] {
   private val hp = new HPath(file)
   private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-    hp.getFileSystem(new Configuration()).open(hp),
+    hp.getFileSystem(conf).open(hp),
     java.nio.charset.StandardCharsets.UTF_8), 65536)
   private val pathUtf = UTF8String.fromString(file)
   private var idx = -1L

@@ -76,4 +76,21 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(deleted === Seq("v0_1", "v1_2"))
     assert(new java.io.File(f, "v2_3").exists())
   }
+
+  test("vacuum survives a checkpoint restart that reset batch ids") {
+    // r10 review finding: batch ids restart at 0 on a fresh checkpoint
+    // while the wall-clock suffix keeps growing — a batch-id-first
+    // sort would rank the restarted run's snapshots below the dead
+    // run's and vacuum would delete the NEWEST dirs, keeping stale ones
+    val table = Files.createTempDirectory("vac_restart").toString
+    val f = new java.io.File(table)
+    // run 1 wrote v4_100/v5_101; the restarted job wrote v0_200 (current)
+    Seq("v4_100", "v5_101", "v0_200").foreach(v => new java.io.File(f, v).mkdirs())
+    Files.write(java.nio.file.Paths.get(table, "_LATEST"), "v0_200".getBytes)
+    assert(graft.sinks.MaterializedTable.versions(spark, table) ===
+      Seq("v4_100", "v5_101", "v0_200"))
+    val deleted = graft.sinks.MaterializedTable.vacuum(spark, table, keep = 1)
+    assert(deleted === Seq("v4_100", "v5_101"))
+    assert(new java.io.File(f, "v0_200").exists())
+  }
 }

@@ -43,6 +43,25 @@ class TypedDecodeSpec extends AnyFunSuite {
     assert(one("not-a-known-type", "cidr") === "not-a-known-type") // passthrough
   }
 
+  test("typmod'd type names decode like their bare forms") {
+    // r10 review finding: wal2json reports names AS DECLARED —
+    // "timestamp(3) with time zone" previously fell into the bare
+    // `timestamp` arm (→ ntz, zone dropped) and "numeric(10,2)"
+    // passed through as text; the typmod never changes the decode arm
+    assert(one("2020-09-15 11:58:28.988+00", "timestamp(3) with time zone")
+      .isInstanceOf[java.sql.Timestamp])
+    assert(one("2020-09-15 11:58:28.988", "timestamp(3) without time zone")
+      .isInstanceOf[java.time.LocalDateTime])
+    assert(one("12.34", "numeric(10,2)") ===
+      new java.math.BigDecimal("12.340000000000000000"))
+    assert(one("hello", "character varying(255)") === "hello")
+    // typmod + array composes
+    assert(one("{1.5,2.5}", "numeric(6,1)[]")
+      .asInstanceOf[scala.collection.Seq[Any]].toSeq ===
+      Seq(new java.math.BigDecimal("1.500000000000000000"),
+        new java.math.BigDecimal("2.500000000000000000")))
+  }
+
   test("pg array literal grammar: quoting, escapes, NULL, empty") {
     def arr(cell: String, t: String): Seq[Any] =
       one(cell, t).asInstanceOf[scala.collection.Seq[Any]].toSeq

@@ -137,4 +137,44 @@ class PartitionedTableSpec extends AnyFunSuite {
     // so the tombstone must survive compaction
     assert(raw.filter($"op" === "d").count() === 1)
   }
+
+  test("a mismatched bucket count fails fast by name (layout persisted in the manifest)") {
+    // r10 review finding: pmod(hash(key), buckets) routes keys, so a
+    // caller passing a different count would silently split a key's
+    // history across two buckets and read duplicate rows — the count
+    // is persisted in every manifest header and validated on use
+    val b1 = (0L until 20L).map(k => rec(k, k + 1, "i"))
+    val table = runTwoBatches("bmis", b1, Seq(rec(0L, 100L, "u")))
+    assert(PartitionedTable.declaredBuckets(spark, table) === Some(Buckets))
+    val e = intercept[IllegalArgumentException] {
+      PartitionedTable.readLatest(spark, table, Buckets * 2)
+    }
+    assert(e.getMessage.contains("buckets"), e.getMessage)
+  }
+
+  test("generic vacuum refuses the layout; manifest-aware vacuum keeps referenced dirs") {
+    // r10 review finding: keep-newest vacuum on this layout would
+    // delete version dirs the CURRENT manifest still references for
+    // untouched buckets
+    val b1 = (0L until 100L).map(k => rec(k, k + 1, "i"))
+    val table = runTwoBatches("ptvac", b1, Seq(rec(0L, 1000L, "u")))
+    val e = intercept[IllegalStateException] {
+      MaterializedTable.vacuum(spark, table, keep = 1)
+    }
+    assert(e.getMessage.contains("PartitionedTable.vacuum"), e.getMessage)
+    // both version dirs are referenced by the current manifest (batch-2
+    // rewrote one bucket; 15 carry forward) — only the old manifest
+    // may be deleted
+    val deleted = PartitionedTable.vacuum(spark, table, keep = 1)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("m")),
+      s"deleted a referenced dir: $deleted")
+    assert(PartitionedTable.readLatest(spark, table, Buckets).count() === 100)
+    // after compaction rewrites every bucket under one fresh version,
+    // the old version dirs fall out of every kept manifest and go
+    PartitionedTable.compact(spark, table, Buckets, horizon = 0L)
+    val deleted2 = PartitionedTable.vacuum(spark, table, keep = 1)
+    assert(deleted2.exists(_.startsWith("v")),
+      s"expected unreferenced v-dirs deleted: $deleted2")
+    assert(PartitionedTable.readLatest(spark, table, Buckets).count() === 100)
+  }
 }

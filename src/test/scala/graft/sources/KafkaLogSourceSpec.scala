@@ -42,9 +42,13 @@ class KafkaLogSourceSpec extends AnyFunSuite {
     seg(dir, 0, 0L, (0 until 4).map(i => (s"k$i", s"v$i")))
     seg(dir, 0, 4L, (4 until 8).map(i => (s"k$i", s"v$i")))
     // a reader over [5, 7) must never open the first segment and must
-    // skip one leading record of the second
+    // skip one leading record of the second; the segment list is
+    // plan-time state now, so build it the way the planner does
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val segs = graft.sources.v2.KafkaLogSource.listTopic(dir, conf)(0)
     val r = new graft.sources.v2.TopicSliceReader(
-      graft.sources.v2.TopicSlicePartition(dir, 0, 5L, 7L))
+      graft.sources.v2.TopicSlicePartition(dir, 0, 5L, 7L,
+        graft.sources.v2.KafkaLogSource.sliceSegments(segs, 5L, 7L)), conf)
     val out = scala.collection.mutable.Buffer[(Long, String)]()
     while (r.next()) {
       val row = r.get()
@@ -102,6 +106,37 @@ class KafkaLogSourceSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     assert(emitted.asScala.toSeq.sorted === Seq("m1", "m2", "m3", "m4"),
       s"restart re-emitted or skipped records: ${emitted.asScala.toSeq.sorted}")
+  }
+
+  test("blank lines inside a segment never shift offsets — full read and resume agree") {
+    // r10 review finding: the resume seek counted blank lines as
+    // records while next() skipped them uncounted, so a resume after a
+    // blank line re-emitted a record under a shifted offset
+    val dir = Files.createTempDirectory("kafkalog_blank").toString
+    val pdir = Paths.get(dir, "p=0")
+    Files.createDirectories(pdir)
+    // 4 records with a blank line between v1 and v2; the name's count
+    // declares the RECORD count (4)
+    Files.write(pdir.resolve(f"${0L}%020d-4.jsonl"),
+      "a\tv0\nb\tv1\n\nc\tv2\nd\tv3\n".getBytes("UTF-8"))
+    val full = spark.read.format("kafkalog").load(dir)
+      .orderBy($"offset").as[(Int, Long, String, String)].collect().toSeq
+    assert(full.map(r => (r._2, r._4)) ===
+      Seq((0L, "v0"), (1L, "v1"), (2L, "v2"), (3L, "v3")))
+    // a resume from offset 2 seeks past the blank line without
+    // counting it and emits exactly (2, v2), (3, v3)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val segs = graft.sources.v2.KafkaLogSource.listTopic(dir, conf)(0)
+    val r = new graft.sources.v2.TopicSliceReader(
+      graft.sources.v2.TopicSlicePartition(dir, 0, 2L, 4L,
+        graft.sources.v2.KafkaLogSource.sliceSegments(segs, 2L, 4L)), conf)
+    val out = scala.collection.mutable.Buffer[(Long, String)]()
+    while (r.next()) {
+      val row = r.get()
+      out += ((row.getLong(1), row.getUTF8String(3).toString))
+    }
+    r.close()
+    assert(out.toSeq === Seq((2L, "v2"), (3L, "v3")))
   }
 
   test("empty topic plans zero partitions, not an error") {

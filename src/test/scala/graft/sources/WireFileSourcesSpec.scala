@@ -101,6 +101,21 @@ class WireFileSourcesSpec extends AnyFunSuite {
       s"restart re-emitted or skipped frames: ${emitted.asScala.toSeq}")
   }
 
+  test("segments under a dot/underscore ANCESTOR are read; marker files are skipped by NAME") {
+    // r10 review finding: the hidden-file filter matched the whole
+    // path string ("/_", "/."), so a /.cache/ or /_staging/ ancestor
+    // dir silently emptied every listing — it must test only the
+    // file's own name
+    val parent = Files.createTempDirectory("wiresrc_hidden")
+    val dir = parent.resolve("_staging").resolve(".cache").resolve("wal")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("seg0.jsonl"), "{\"a\":1}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    Files.write(dir.resolve(".seg0.jsonl.crc"), "x".getBytes("UTF-8"))
+    val got = spark.read.format("wal2json").load(dir.toString)
+    assert(got.count() === 1L, "segment under hidden ancestor not read, or marker files read")
+  }
+
   test("empty directory plans zero partitions, not an error") {
     val dir = Files.createTempDirectory("wiresrc_empty").toString
     assert(spark.read.format("pgoutput").load(dir).count() === 0L)
