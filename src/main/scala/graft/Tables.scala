@@ -20,11 +20,25 @@ object Tables {
     * type; never assume the int64's unit (a micros column read through
     * a nanos-era `ts div 1000` collapses event-time by 1000× and
     * passes silently — round-8 postmortem). */
+  /** True only for the specific failure the legacy retry exists for:
+    * Spark refusing a TIMESTAMP(NANOS) parquet footer. Retrying on ANY
+    * error would set the session-wide legacy conf on e.g. a missing
+    * directory, silently changing how every LATER nanos-era read in
+    * the session resolves (r10 review finding). */
+  private def isNanosFooterError(t: Throwable): Boolean = {
+    val m = Option(t.getMessage).getOrElse("")
+    m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("NANOS")
+  }
+
   def eventsRaw(s: SparkSession, dir: String): DataFrame =
     try table(s, dir, "events") catch {
-      case first: Throwable =>
+      case first: Throwable if isNanosFooterError(first) =>
         // nanos footer: retry with the legacy raw-long read (older
-        // Sparks); if that conf is gone too, surface the original error
+        // Sparks); if that conf is gone too, surface the original
+        // error. The conf is DELIBERATELY left set for the session:
+        // the streaming readers over the same feed must resolve the
+        // same footer the same way, and it is only ever set after the
+        // nanos error was actually observed.
         try {
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           table(s, dir, "events")

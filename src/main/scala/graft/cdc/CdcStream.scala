@@ -31,14 +31,36 @@ object CdcStream {
     * @ 8; a cluster with large state raises it instead). Bounded
     * runners scope the setting to the streaming query and restore.
     * Env-overridable so deployments (and the SCALING.md sf1
-    * measurement) can size it to state volume without a rebuild. */
-  val StatePartitions: Int =
-    sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "8").toInt
+    * measurement) can size it to state volume without a rebuild;
+    * validated here so a malformed value fails by NAME, not as an
+    * ExceptionInInitializerError at the first streaming query. */
+  val StatePartitions: Int = {
+    val raw = sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "8")
+    val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"GRAFT_STATE_PARTITIONS must be a positive int, got '$raw'"))
+    require(n > 0, s"GRAFT_STATE_PARTITIONS must be positive, got $n")
+    n
+  }
 
   private[cdc] def withStatePartitions[T](s: SparkSession)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Shared bounded-run scaffold: start `df` into a uniquely-named
+    * memory sink under [[StatePartitions]], drain, stop, and return
+    * the sink table — the sequence every bounded runner repeats
+    * (factored in r10; a drain-behavior fix now lands in one place). */
+  private def runToMemorySink(spark: SparkSession, df: DataFrame,
+      mode: OutputMode, prefix: String): DataFrame = {
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark) {
+      val q = df.writeStream
+        .outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
   }
 
   /** Latest-state upserts via flatMapGroupsWithState (Update mode).
@@ -61,29 +83,31 @@ object CdcStream {
     * a memory sink and return the final materialized table (batch-
     * equivalent of [[ApplyChanges.latest]]). */
   def runLatestStateBounded(spark: SparkSession, changes: Dataset[ChangeRecord]): DataFrame = {
-    import spark.implicits._
-    val name = "graft_upserts_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark) {
-      val q = latestState(changes).writeStream
-        .outputMode(OutputMode.Update).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    // A key may be emitted once per micro-batch: keep its max-seq row.
-    val all = spark.table(name)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"key").orderBy($"seq".desc)
-    all.withColumn("__rn", row_number().over(w))
-      .filter($"__rn" === 1 && $"op" =!= "d").drop("__rn")
+    val all = runToMemorySink(spark, latestState(changes).toDF(),
+      OutputMode.Update, "graft_upserts_")
+    // A key may be emitted once per micro-batch: keep its max-seq row —
+    // exactly the batch operator this runner is contracted to equal
+    ApplyChanges.latest(all, Seq("key"), Seq("seq"))
   }
 
   /** Streaming SCD2: per-key state holds the open (current) version;
     * each arriving change closes it (emit with valid_to) and opens a
     * new one. Emissions are keyed (key, seq) so the bounded reader can
     * keep the latest emission per version — the final table must equal
-    * the batch [[ApplyChanges.scd2]]. State is one row per live key. */
+    * the batch [[ApplyChanges.scd2]]. State is one row per live key.
+    *
+    * Delivery contract (disclosed, r10 review): cross-BATCH late
+    * lower-seq changes are joined against the retained newest version
+    * only, so a version already emitted closed can keep a stale
+    * valid_to if a strictly lower seq for the same key arrives in a
+    * LATER micro-batch. Within a batch, order is free. This is the
+    * WAL-order guarantee every real CDC transport provides (changes
+    * arrive in commit/LSN order per key); the bounded gates feed all
+    * data in one batch, where the equality is unconditional. Keeping
+    * full per-key version history in state would lift the contract at
+    * unbounded state cost. */
   def runScd2Bounded(spark: SparkSession, changes: Dataset[ChangeRecord]): DataFrame = {
     import spark.implicits._
-    val name = "graft_scd2_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val versions = changes
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
@@ -103,16 +127,11 @@ object CdcStream {
         })
       .toDF("key", "seq", "op", "event_type", "value",
         "valid_from_us", "valid_to_us", "is_current")
-    withStatePartitions(spark) {
-      val q = versions.writeStream
-        .outputMode(OutputMode.Update).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
     // keep each version's latest emission (a version re-emits when a
     // later batch closes it)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"key", $"seq").orderBy($"valid_to_us".asc_nulls_last)
-    spark.table(name)
+    runToMemorySink(spark, versions, OutputMode.Update, "graft_scd2_")
       .withColumn("__rn", row_number().over(w))
       .filter($"__rn" === 1).drop("__rn")
   }
@@ -124,7 +143,6 @@ object CdcStream {
     * condition can no longer match — bounded state at 100 TB. */
   def runStreamJoinBounded(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val name = "graft_sjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val signups = events.filter($"event_type" === "signup")
       .select($"user_id", $"ts".as("signup_ts"), $"event_id".as("signup_seq"))
       .withWatermark("signup_ts", "2 hours")
@@ -136,30 +154,17 @@ object CdcStream {
       $"user_id" === $"p_user_id" &&
         $"purchase_ts" >= $"signup_ts" &&
         $"purchase_ts" <= $"signup_ts" + expr("INTERVAL 1 HOUR"))
-    withStatePartitions(spark) {
-      val q = joined.writeStream
-        .outputMode(OutputMode.Append).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.table(name)
+    runToMemorySink(spark, joined, OutputMode.Append, "graft_sjoin_")
   }
 
   /** Streaming exact dedup on event_id with watermark-bounded state:
     * duplicates arriving within the watermark horizon are dropped, and
     * state for expired event-times is GC'd (unbounded-stream safe,
     * unlike plain dropDuplicates). */
-  def runStreamDedupBounded(spark: SparkSession, events: DataFrame): DataFrame = {
-    val name = "graft_sdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark) {
-      val q = events
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream
-        .outputMode(OutputMode.Append).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.table(name)
-  }
+  def runStreamDedupBounded(spark: SparkSession, events: DataFrame): DataFrame =
+    runToMemorySink(spark,
+      events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id"),
+      OutputMode.Append, "graft_sdedup_")
 
   /** One event in the streaming as-of buffer (`ts` carries the
     * watermark; `tsUs` is the exact microsecond join key). */
@@ -224,10 +229,8 @@ object CdcStream {
     * require its min event-time to be post-2000 — cheap (one small
     * agg) and it turns silent garbage into a named failure. */
   private[cdc] def assertEventTimeSane(spark: SparkSession, path: String,
-      schema: StructType, globFilter: Option[String] = None): Unit = {
-    val reader = spark.read.schema(schema)
-    val batch = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
-      .parquet(path)
+      schema: StructType): Unit = {
+    val batch = spark.read.schema(schema).parquet(path)
     val minTs = batch
       .agg(min(graft.Tables.eventTs(schema("ts").dataType)).as("min_ts"))
       .head.getTimestamp(0)
@@ -255,13 +258,31 @@ object CdcStream {
     val inDir = graft.Scratch.dir("graft_punct_in")
     // events.parquet may be one file (driver test data) or a directory
     // of part files (ScaleUp replicas) — stage every data file first.
-    // Ordering vs the sentinel is TEMPORAL, not lexicographic: the
-    // sentinel file is moved in only after the first
-    // processAllAvailable() below has drained every staged data file,
-    // so the file source is guaranteed to see it in a later batch
-    // regardless of names (r9 ADVICE fixed the comment that claimed a
-    // name-ordering guarantee the i >= 20000 case didn't have).
+    // Staged via HARDLINK where the filesystem allows (a bench JVM
+    // calls this per punctuated query per run — full copies of an sf1
+    // feed accumulated gigabytes in scratch before the exit hook;
+    // r10 review finding), falling back to copy across filesystems.
+    //
+    // ALL data files must land in ONE micro-batch (no
+    // maxFilesPerTrigger): part files are not time-ordered (ScaleUp
+    // replicas are round-robin repartitioned, every part spans the
+    // full event-time range), so a file-per-batch read advances the
+    // watermark to max−delay after the FIRST part and every later
+    // part's rows are silently dropped as late by the watermarked
+    // aggregation — measured at sf1: the A24 as-of emitted 12,874 of
+    // ~19,810 expected rows under file-per-batch staging, while the
+    // single-file gates (sf0.001–0.1) never exercised the path (the
+    // r8 silent-garbage class again; caught by the r10 review, pinned
+    // by CdcStreamSpec's out-of-order two-part feed). The sentinel
+    // still arrives in its OWN later batch — it is moved in only
+    // after the first processAllAvailable() has drained the data —
+    // so watermark punctuation and APPEND finalization are unchanged.
     val src = java.nio.file.Paths.get(dir, "events.parquet")
+    def stage(p: java.nio.file.Path, to: String): Unit = {
+      val dst = inDir.resolve(to)
+      try java.nio.file.Files.createLink(dst, p)
+      catch { case _: Exception => java.nio.file.Files.copy(p, dst); () }
+    }
     if (java.nio.file.Files.isDirectory(src)) {
       val listing = java.nio.file.Files.list(src)
       val parts =
@@ -270,15 +291,15 @@ object CdcStream {
           .sortBy(_.getFileName.toString)
         finally listing.close()
       parts.zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.copy(p, inDir.resolve(f"0${i}%05d_events.parquet"))
+        stage(p, f"0${i}%05d_events.parquet")
       }
     } else {
-      java.nio.file.Files.copy(src, inDir.resolve("000000_events.parquet"))
+      stage(src, "000000_events.parquet")
     }
     assertEventTimeSane(spark, inDir.toString, schema)
     val name = "graft_punct_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val agg = build(spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .parquet(inDir.toString)
       .withColumn("ts", graft.Tables.eventTs(tsType)))
     withStatePartitions(spark) {
       val q = agg.writeStream
