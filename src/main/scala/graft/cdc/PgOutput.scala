@@ -35,11 +35,26 @@ object PgOutput {
 
   // ------------------------------------------------------------ encode
 
-  private def putString(b: ByteBuffer, s: String): Unit = {
+  /** Growable big-endian writer — a fixed 64 KiB ByteBuffer threw
+    * BufferOverflowException on any message past it, and PG text cells
+    * (TOAST) legitimately run to 1 GB (r10 review finding).
+    * DataOutputStream writes big-endian, matching the wire spec. */
+  private final class Writer {
+    private val out = new java.io.ByteArrayOutputStream(256)
+    private val d = new java.io.DataOutputStream(out)
+    def put(x: Byte): Unit = d.writeByte(x)
+    def put(xs: Array[Byte]): Unit = d.write(xs)
+    def putShort(x: Short): Unit = d.writeShort(x)
+    def putInt(x: Int): Unit = d.writeInt(x)
+    def putLong(x: Long): Unit = d.writeLong(x)
+    def bytes: Array[Byte] = { d.flush(); out.toByteArray }
+  }
+
+  private def putString(b: Writer, s: String): Unit = {
     b.put(s.getBytes(UTF_8)); b.put(0.toByte)
   }
 
-  private def putTuple(b: ByteBuffer, row: Seq[Option[String]]): Unit = {
+  private def putTuple(b: Writer, row: Seq[Option[String]]): Unit = {
     b.putShort(row.size.toShort)
     row.foreach {
       case None => b.put('n'.toByte)
@@ -49,14 +64,8 @@ object PgOutput {
     }
   }
 
-  private def alloc(): ByteBuffer = ByteBuffer.allocate(1 << 16)
-
-  private def finish(b: ByteBuffer): Array[Byte] = {
-    val out = new Array[Byte](b.position()); b.flip(); b.get(out); out
-  }
-
   def encode(m: Msg): Array[Byte] = {
-    val b = alloc()
+    val b = new Writer
     m match {
       case Begin(lsn, micros, xid) =>
         b.put('B'.toByte); b.putLong(lsn); b.putLong(micros); b.putInt(xid)
@@ -86,7 +95,7 @@ object PgOutput {
       case Truncate(n, opts, ids) =>
         b.put('T'.toByte); b.putInt(n); b.put(opts); ids.foreach(b.putInt)
     }
-    finish(b)
+    b.bytes
   }
 
   // ------------------------------------------------------------ decode
@@ -98,12 +107,6 @@ object PgOutput {
     def int32(): Int = b.getInt()
     def int64(): Long = b.getLong()
     def hasRemaining: Boolean = b.hasRemaining
-    def string(): String = {
-      val sb = new java.lang.StringBuilder
-      var c = b.get()
-      while (c != 0) { sb.append(c.toChar); c = b.get() }
-      sb.toString
-    }
     def utf8String(): String = {
       val start = b.position()
       while (b.get() != 0) {}
@@ -123,7 +126,17 @@ object PgOutput {
         byte() match {
           case 'n' => None
           case 'u' => None // TOAST-unchanged: surfaced as null (main.go:199)
-          case 't' => val len = int32(); Some(new String(bytesOf(len), UTF_8))
+          case 't' =>
+            val len = int32()
+            // bound the wire-declared length by the bytes actually
+            // present BEFORE allocating: a corrupt frame declaring a
+            // multi-GB cell would otherwise allocate it, and the
+            // resulting OutOfMemoryError escapes the permissive
+            // decoder's RuntimeException net (r10 review finding)
+            if (len < 0 || len > b.remaining())
+              throw new IllegalArgumentException(
+                s"cell length $len exceeds remaining ${b.remaining()} bytes")
+            Some(new String(bytesOf(len), UTF_8))
           case other => throw new IllegalArgumentException(s"bad cell flag: $other")
         }
       }

@@ -48,7 +48,12 @@ object PgOutputExpressions {
         case PgOutput.TypeMsg(id, _, _) => InternalRow(op("Y"), id, null, null, null, null)
         case PgOutput.Origin(lsn, _) => InternalRow(op("O"), null, null, null, lsn, null)
         case PgOutput.Truncate(_, _, ids) =>
-          InternalRow(op("T"), ids.headOption.map(Int.box).orNull, null, null, null, null)
+          // relation_id = first id (primary projection); EVERY
+          // truncated relation id rides `cells` as text — head-only
+          // silently lost tables 2..n of a multi-table TRUNCATE and a
+          // materializer kept serving their rows (r10 review finding)
+          InternalRow(op("T"), ids.headOption.map(Int.box).orNull, null,
+            utf8Cells(ids.map(i => Some(i.toString))), null, null)
       }
   }
 
@@ -80,7 +85,13 @@ object PgOutputExpressions {
         }
       op match {
         case "I" => PgOutput.encode(PgOutput.Insert(rel, cells(3)))
-        case "U" => PgOutput.encode(PgOutput.Update(rel, Some(cells(2)), None, cells(3)))
+        case "U" =>
+          // NULL key_cells must OMIT the key block — wrapping it in
+          // Some emitted a zero-column 'K' tuple PostgreSQL never
+          // produces, and the roundtrip decoded Some(Seq()) instead
+          // of None (r10 review finding)
+          val key = if (row.isNullAt(2)) None else Some(cells(2))
+          PgOutput.encode(PgOutput.Update(rel, key, None, cells(3)))
         case "D" => PgOutput.encode(PgOutput.Delete(rel, viaKey = true, cells(2)))
         case other => throw new IllegalArgumentException(s"encode: unsupported op $other")
       }
@@ -187,7 +198,10 @@ object PgOutputExpressions {
         throw new IllegalArgumentException(s"truncated frame header at $i")
       val len = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
         ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-      if (len < 0 || i + 4 + len > bytes.length)
+      // long arithmetic: `i + 4 + len` overflows Int for lengths near
+      // Int.MaxValue, bypassing this guard and surfacing a confusing
+      // copyOfRange error instead of the named one (r10 review finding)
+      if (len < 0 || i + 4 + len.toLong > bytes.length)
         throw new IllegalArgumentException(s"bad frame length $len at $i")
       out += java.util.Arrays.copyOfRange(bytes, i + 4, i + 4 + len)
       i += 4 + len

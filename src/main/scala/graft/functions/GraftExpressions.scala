@@ -94,9 +94,14 @@ object GraftExpressions {
   }
 
   /** array<double> → int LSH bucket code from `numPlanes` seeded
-    * pseudo-random hyperplanes. */
+    * pseudo-random hyperplanes. numPlanes is bounded by the Int bitset:
+    * past 32 the `1 << p` plane bit wraps around and silently aliases
+    * plane p onto plane p−32, collapsing unrelated vectors into one
+    * bucket with no error (r10 review finding). */
   case class HyperplaneLsh(child: Expression, numPlanes: Int, seed: Long)
       extends UnaryExpression {
+    require(numPlanes >= 1 && numPlanes <= 32,
+      s"lsh_bucket numPlanes must be in 1..32 (Int-bitset bucket code), got $numPlanes")
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any =

@@ -22,6 +22,8 @@ import org.apache.spark.sql.types._
   */
 object PqOps {
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
   private[functions] def decodeCodebooks(cbExpr: Expression): Array[Array[Array[Double]]] = {
     val top = cbExpr.eval(null).asInstanceOf[ArrayData]
     (0 until top.numElements()).map { s =>
@@ -31,6 +33,25 @@ object PqOps {
       }.toArray
     }.toArray
   }
+
+  /** Subvector start offset per subspace — CUMULATIVE widths, so
+    * codebooks with non-uniform subspace dims slice the right vector
+    * range (the old `s * dim` used the current subspace's width for
+    * every predecessor — silently wrong slices the moment widths
+    * differ; r10 review finding). */
+  private[functions] def subOffsets(cb: Array[Array[Array[Double]]]): Array[Int] =
+    cb.scanLeft(0)((acc, sub) => acc + sub(0).length).init
+
+  /** The codebook argument must be a literal: [[decodeCodebooks]]
+    * evals it with a null input row ONCE and caches — a real column
+    * there would either throw or silently freeze one arbitrary row's
+    * value for the whole query (r10 review finding). */
+  private[functions] def requireFoldableCodebooks(name: String,
+      right: Expression): TypeCheckResult =
+    if (right.foldable) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name codebooks must be a foldable literal (decoded once per executor), " +
+        s"got ${right.sql}")
 
   /** fp distance of subvector [off, off+dim) of v to centroid cen. */
   @inline private[functions] def fpDist(v: Array[Double], off: Int,
@@ -51,17 +72,19 @@ object PqOps {
       extends BinaryExpression with CodegenFallback {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFoldableCodebooks("pq_codes", right)
     @transient private lazy val cb = decodeCodebooks(right)
+    @transient private lazy val offs = subOffsets(cb)
     override def nullSafeEval(vAny: Any, _cb: Any): Any = {
       val v = vAny.asInstanceOf[ArrayData].toDoubleArray()
       val out = new Array[Any](cb.length)
       var s = 0
       while (s < cb.length) {
-        val dim = cb(s)(0).length
         var best = 0; var bestD = Long.MaxValue
         var k = 0
         while (k < cb(s).length) {
-          val d = fpDist(v, s * dim, cb(s)(k))
+          val d = fpDist(v, offs(s), cb(s)(k))
           if (d < bestD) { bestD = d; best = k }
           k += 1
         }
@@ -82,17 +105,19 @@ object PqOps {
     override def nullIntolerant: Boolean = true
     override def dataType: DataType =
       ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFoldableCodebooks("pq_adc_lut", right)
     @transient private lazy val cb = decodeCodebooks(right)
+    @transient private lazy val offs = subOffsets(cb)
     override def nullSafeEval(vAny: Any, _cb: Any): Any = {
       val v = vAny.asInstanceOf[ArrayData].toDoubleArray()
       val out = new Array[Any](cb.length)
       var s = 0
       while (s < cb.length) {
-        val dim = cb(s)(0).length
         val row = new Array[Any](cb(s).length)
         var k = 0
         while (k < cb(s).length) {
-          row(k) = fpDist(v, s * dim, cb(s)(k))
+          row(k) = fpDist(v, offs(s), cb(s)(k))
           k += 1
         }
         out(s) = new GenericArrayData(row)

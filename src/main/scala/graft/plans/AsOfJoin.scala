@@ -101,6 +101,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
+          // SQL NULL semantics (r10 review): getLong on a null field
+          // reads 0, so a NULL key/ts row would silently merge as
+          // key 0. A NULL on either side never matches; the sort puts
+          // NULLS FIRST, so a null left row precedes every non-null
+          // one and emitting it unmatched without touching the right
+          // cursor preserves the merge invariant.
+          if (lk.isNullAt(0) || lk.isNullAt(1))
+            return out(joined(l, nullRight))
           val key = lk.getLong(0); val ts = lk.getLong(1)
           if (cand != null && candKey != key) cand = null
           // advance the right cursor through all rows at or before
@@ -109,11 +117,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rk = rKeyProj(rBuf.head)
-            val rKeyV = rk.getLong(0); val rTsV = rk.getLong(1)
-            if (rKeyV < key || (rKeyV == key && rTsV <= ts)) {
-              val r = rBuf.next()
-              if (rKeyV == key) { cand = r.copy(); candKey = rKeyV; candTs = rTsV }
-            } else advancing = false
+            if (rk.isNullAt(0) || rk.isNullAt(1)) {
+              rBuf.next(); () // NULL key/ts is never a candidate
+            } else {
+              val rKeyV = rk.getLong(0); val rTsV = rk.getLong(1)
+              if (rKeyV < key || (rKeyV == key && rTsV <= ts)) {
+                val r = rBuf.next()
+                if (rKeyV == key) { cand = r.copy(); candKey = rKeyV; candTs = rTsV }
+              } else advancing = false
+            }
           }
           if (cand != null && candKey == key && candTs <= ts)
             out(joined(l, cand))

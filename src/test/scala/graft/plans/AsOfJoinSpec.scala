@@ -28,6 +28,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     ))
   }
 
+  test("NULL keys and timestamps never match (SQL semantics)") {
+    // r10 review finding: the merge read key/ts with getLong, so a
+    // NULL field silently joined as key/ts 0 — NULLs on either side
+    // must behave like SQL join keys (no match), with the NULLS FIRST
+    // sort keeping the merge cursor invariant intact
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(100L), 10L),
+      (Option.empty[Long], Option(50L), 11L), // null key
+      (Option(1L), Option.empty[Long], 12L)) // null ts
+      .toDF("k", "t", "lid")
+    val right = Seq(
+      (Option(1L), Option(40L), 1L, "a"),
+      (Option.empty[Long], Option(10L), 2L, "nullk"), // never a candidate
+      (Option(1L), Option.empty[Long], 3L, "nullt")) // never a candidate
+      .toDF("rk", "rt", "rid", "v")
+    val out = AsOf.join(left, right, "k", "t", "lid", "rk", "rt", "rid")
+      .select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out === Set((10L, 1L), (11L, -1L), (12L, -1L)))
+  }
+
   test("merge exec matches the union+last(ignoreNulls) window formulation on a random feed") {
     // the AsOfProbe equivalence, pinned: both formulations must agree
     // row-for-row on a seeded feed dense in the adversarial shapes —
