@@ -22,10 +22,26 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
 
-  /** Local session sized to the machine (tests, examples, bench). */
+  /** Local session sized to the machine (tests, examples, bench).
+    * `getOrCreate` returns any pre-existing session UNCHANGED —
+    * builder configs are silently ignored then, and a session built
+    * without the graft extensions cannot plan the as-of operator. We
+    * can't retrofit a foreign session, so fail by NAME instead of
+    * running with wrong parallelism / missing strategies (r10 review
+    * finding). Same-master re-requests (the common repeat call in one
+    * JVM) pass through untouched. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
-      ui: Boolean = false): SparkSession =
-    builder(s"local[$cores]", cores)
+      ui: Boolean = false): SparkSession = {
+    val s = builder(s"local[$cores]", cores)
       .config("spark.ui.enabled", ui.toString)
       .getOrCreate()
+    val master = s.sparkContext.master
+    require(master == s"local[$cores]",
+      s"GraftSession.local(cores=$cores) got an existing session on '$master' — " +
+        "getOrCreate cannot reconfigure it; stop the prior session first")
+    require(s.conf.getOption("spark.sql.extensions").exists(_.contains("graft.GraftExtensions")),
+      "existing session lacks spark.sql.extensions=graft.GraftExtensions — " +
+        "as-of planning would silently fall back; stop the prior session first")
+    s
+  }
 }
