@@ -1062,7 +1062,14 @@ object Relational {
     val parts = t(s, dir, "part")
       .filter($"p_size" <= 10 && $"p_type" === "STANDARD")
       .select($"p_partkey", $"p_brand")
+    // prune the fact BEFORE the rollup: the filtered part dim keeps ~3%
+    // of partkeys, so a broadcast semi-join ahead of the (part, supp)
+    // aggregate shrinks both the shuffle and the rollup state ~30× —
+    // cost_fp per surviving key is unchanged (the filter is on the
+    // part dim only, independent of the per-pair min)
     val cost = t(s, dir, "lineitem")
+      .join(broadcast(parts.select($"p_partkey")),
+        $"l_partkey" === $"p_partkey", "left_semi")
       .groupBy($"l_partkey", $"l_suppkey")
       .agg(min(floor($"l_extendedprice" / $"l_quantity" * 10000 + 0.5)
         .cast("long")).as("cost_fp"))
@@ -1472,11 +1479,17 @@ object Relational {
   def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
-    val cost = li.groupBy($"l_partkey".as("cp"), $"l_suppkey".as("cs"))
-      .agg(min(floor($"l_extendedprice" / $"l_quantity" * 10000 + 0.5)
-        .cast("long")).as("cost_fp"))
     val largeParts = t(s, dir, "part").filter($"p_type" === "LARGE")
       .select($"p_partkey")
+    // prune the rollup input to LARGE partkeys up front (B38's r10
+    // lesson): the filter is partkey-only, so every surviving
+    // (part, supp) pair keeps ALL its rows and min is unchanged —
+    // the rollup shuffles ~1/6 of the fact's keys instead of all
+    val cost = li
+      .join(broadcast(largeParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey".as("cp"), $"l_suppkey".as("cs"))
+      .agg(min(floor($"l_extendedprice" / $"l_quantity" * 10000 + 0.5)
+        .cast("long")).as("cost_fp"))
     val supp = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")
         .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
