@@ -588,4 +588,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(windows.isEmpty, s"winnowing fell back to a window:\n$plan")
   }
+
+  test("q2/q9: the part filter semi-joins the fact BELOW the cost rollup") {
+    // B38/B47 r10 change: the (part, supp) min-cost rollup must not
+    // aggregate the whole fact only to discard ~97%/~83% of its keys
+    // against the filtered part dim — the broadcast LeftSemi prune has
+    // to sit UNDER the aggregate so the rollup shuffles only surviving
+    // partkeys. Assert some aggregate's subtree contains the semi join.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    Seq(
+      queries.Relational.q2MinCostSupp(spark, sf0001),
+      queries.Relational.q9ProductProfit(spark, sf0001)
+    ).foreach { df =>
+      val plan = executed(df)
+      val prunedRollup = plan.collect { case a: HashAggregateExec => a }
+        .exists(_.collect {
+          case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+        }.nonEmpty)
+      assert(prunedRollup,
+        s"no LeftSemi broadcast prune under the cost rollup:\n$plan")
+    }
+  }
 }
