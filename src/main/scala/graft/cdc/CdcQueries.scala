@@ -672,7 +672,11 @@ object CdcQueries {
         "stack(3, 'wm_01h', late_01h, 'wm_06h', late_06h, 'wm_24h', late_24h)" +
           " as (delay, n_late)"))
       .select($"delay", $"n_changes", $"n_late",
-        expr("n_late * 1000000 div n_changes").as("late_ppm"))
+        // DECIMAL(38) widen: n_late ×1e6 has only ~9× headroom under
+        // 2^63 at a 10^12-change feed — same overflow class as the
+        // revenue/token ppm sites, widened uniformly
+        expr("cast(n_late as decimal(38,0)) * 1000000 div n_changes")
+          .as("late_ppm"))
       .orderBy($"delay")
   }
 

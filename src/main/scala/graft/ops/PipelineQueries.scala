@@ -1121,10 +1121,14 @@ object PipelineQueries {
       docs.agg(
         count(when($"n_tok" > maxLen, 1)).as("n_docs"),
         sum($"n_tok").as("n_tokens"),
-        expr(s"sum(greatest(n_tok - $maxLen, 0L)) * 1000000 div sum(n_tok)")
-          .as("tokens_lost_ppm"),
-        expr(s"sum(greatest($maxLen - n_tok, 0L)) * 1000000 " +
-          s"div (count(1) * $maxLen)").as("padding_ppm"))
+        // DECIMAL(38) widen: both numerators track the corpus token
+        // count (~2.5e13 at 100 TB) — ×1e6 overflows a BIGINT (ANSI
+        // abort / legacy wrap); DuckDB's sum() is HUGEINT already,
+        // so only the Spark side needed it
+        expr(s"cast(sum(greatest(n_tok - $maxLen, 0L)) as decimal(38,0))" +
+          s" * 1000000 div sum(n_tok)").as("tokens_lost_ppm"),
+        expr(s"cast(sum(greatest($maxLen - n_tok, 0L)) as decimal(38,0))" +
+          s" * 1000000 div (count(1) * $maxLen)").as("padding_ppm"))
         .select(lit(s"maxlen_$maxLen").as("bucket"), $"n_docs", $"n_tokens",
           $"tokens_lost_ppm", $"padding_ppm")
     }.reduce(_ unionByName _)
@@ -1312,8 +1316,14 @@ object PipelineQueries {
       .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select($"b",
-        floor(log(((coalesce($"tc", lit(0L)) + 1L) * ($"r_tot" + B)) * lit(1.0) /
-          ((coalesce($"rc", lit(0L)) + 1L) * ($"t_tot" + B))) * 1000000 + 0.5)
+        // each long factor promotes to DOUBLE before the product: the
+        // old ((tc+1) * (r_tot+B)) long product is a bucket count ×
+        // the corpus feature total (~2.5e25 at 100 TB), far past 2^63
+        // (ANSI abort / legacy wrap); in double space both engines
+        // compute the identical IEEE tree (exact below 2^53, so
+        // test-SF values unchanged)
+        floor(log((coalesce($"tc", lit(0L)) + 1L).cast("double") * ($"r_tot" + B) /
+          ((coalesce($"rc", lit(0L)) + 1L).cast("double") * ($"t_tot" + B))) * 1000000 + 0.5)
           .cast("long").as("lr_fp"))
     val perDoc = feats.join(broadcast(lr), "b")
       .groupBy($"doc_id")
@@ -1347,9 +1357,9 @@ object PipelineQueries {
       |    count(*) AS r_tot FROM feats),
       |spine AS (SELECT unnest(range(0, 256)) AS b),
       |lr AS (SELECT spine.b,
-      |    CAST(floor(ln(((COALESCE(tc, 0) + 1) * (r_tot + 256)) * 1.0 /
-      |      ((COALESCE(rc, 0) + 1) * (t_tot + 256))) * 1000000 + 0.5)
-      |      AS BIGINT) AS lr_fp
+      |    CAST(floor(ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) * (r_tot + 256) /
+      |      (CAST(COALESCE(rc, 0) + 1 AS DOUBLE) * (t_tot + 256)))
+      |      * 1000000 + 0.5) AS BIGINT) AS lr_fp
       |  FROM spine LEFT JOIN tgt ON spine.b = tgt.b
       |  LEFT JOIN raw ON spine.b = raw.b CROSS JOIN tot),
       |pd AS (SELECT doc_id, count(*) AS n_feat,
@@ -1403,9 +1413,16 @@ object PipelineQueries {
           .otherwise($"target" + expr("surplus div k_open")))
       .select($"source", $"n_docs", $"tokens_avail", $"target", $"capped",
         $"final_target",
-        least(lit(1000000L), expr("final_target * 1000000 div tokens_avail"))
-          .as("rate_ppm"),
-        expr("tokens_avail * least(1000000, final_target * 1000000 div tokens_avail) div 1000000")
+        // DECIMAL(38) widen on both ×1e6 products: final_target and
+        // tokens_avail are per-source token counts (~1e13 at 100 TB),
+        // so a BIGINT multiply overflows (ANSI abort / legacy wrap);
+        // the div result is back in ppm / token range, lands as BIGINT
+        least(lit(1000000L),
+          expr("cast(final_target as decimal(38,0)) * 1000000" +
+            " div tokens_avail")).as("rate_ppm"),
+        expr("cast(tokens_avail as decimal(38,0)) * least(1000000," +
+          " cast(final_target as decimal(38,0)) * 1000000" +
+          " div tokens_avail) div 1000000")
           .as("expected_tokens"))
       .orderBy($"source")
   }
@@ -1517,7 +1534,11 @@ object PipelineQueries {
     val tot = perSource.agg(
       sum($"tokens").as("tot_tokens"), sum($"sfp").as("tot_sfp"))
     perSource.crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("sfp * 1000000 div tot_sfp"))
+      // DECIMAL(38) widen: sfp = sqrt(tokens)·1e6 reaches ~5e12 when
+      // one source holds the whole 2.5e13-token corpus — ×1e6 leaves
+      // only 1.8× headroom under 2^63; widened like every ppm site
+      .withColumn("share_ppm",
+        expr("cast(sfp as decimal(38,0)) * 1000000 div tot_sfp"))
       // target = 2 · tot_tokens · share_ppm / 1e6, split-multiplied
       .withColumn("target_tokens", expr(
         "2 * ((tot_tokens div 1000000) * share_ppm" +
@@ -1548,7 +1569,8 @@ object PipelineQueries {
       |    + 0.5) AS BIGINT) AS sfp FROM ps),
       |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
       |    CAST(sum(sfp) AS BIGINT) AS tot_sfp FROM ps2),
-      |a AS (SELECT *, sfp * 1000000 // tot_sfp AS share_ppm
+      |a AS (SELECT *, CAST(CAST(sfp AS HUGEINT) * 1000000 // tot_sfp
+      |    AS BIGINT) AS share_ppm
       |  FROM ps2 CROSS JOIN t),
       |b AS (SELECT *,
       |    2 * ((tot_tokens // 1000000) * share_ppm
@@ -1644,11 +1666,12 @@ object PipelineQueries {
       |      ELSE target + surplus // k_open END AS final_target
       |  FROM tg CROSS JOIN rd)
       |SELECT source, n_docs, tokens_avail, target, capped, final_target,
-      |  least(CAST(1000000 AS BIGINT),
-      |    final_target * CAST(1000000 AS BIGINT) // tokens_avail) AS rate_ppm,
-      |  tokens_avail * least(CAST(1000000 AS BIGINT),
-      |    final_target * CAST(1000000 AS BIGINT) // tokens_avail)
-      |    // CAST(1000000 AS BIGINT) AS expected_tokens
+      |  CAST(least(CAST(1000000 AS HUGEINT),
+      |    CAST(final_target AS HUGEINT) * 1000000 // tokens_avail)
+      |    AS BIGINT) AS rate_ppm,
+      |  CAST(CAST(tokens_avail AS HUGEINT) * least(CAST(1000000 AS HUGEINT),
+      |    CAST(final_target AS HUGEINT) * 1000000 // tokens_avail)
+      |    // 1000000 AS BIGINT) AS expected_tokens
       |FROM fin ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

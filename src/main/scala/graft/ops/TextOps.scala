@@ -797,7 +797,11 @@ object TextOps {
             .unboundedPreceding, 0)))
     top.crossJoin(broadcast(total))
       .select($"rank", $"word", $"tf",
-        expr("cum_tf * 1000000 div total_tf").as("coverage_ppm"))
+        // DECIMAL(38) widen: cum_tf approaches the corpus token count
+        // (~2.5e13 at 100 TB), so ×1e6 overflows a BIGINT (ANSI abort
+        // / legacy wrap); DuckDB's sum() is already HUGEINT
+        expr("cast(cum_tf as decimal(38,0)) * 1000000 div total_tf")
+          .as("coverage_ppm"))
       .orderBy($"rank")
   }
   val textVocabSql: String =

@@ -1307,7 +1307,13 @@ object Relational {
         sum(cents).as("total_cents"))
       .select(($"promo_cents" / 100.0).as("promo_revenue"),
         ($"total_cents" / 100.0).as("total_revenue"),
-        ($"promo_cents" * lit(1000000L) / $"total_cents").cast("long")
+        // ppm through DECIMAL(38): cents × 1e6 exceeds 2^63 once the
+        // branch passes ~9.2e12 cents ($92B) — far below the 100 TB
+        // revenue totals (~2.2e18 cents). A BIGINT multiply there
+        // aborts under ANSI Spark (wraps silently on legacy non-ANSI),
+        // and the old double-divide form could round across the floor
+        // on either engine. Exact, returns BIGINT.
+        expr("cast(promo_cents as decimal(38,0)) * 1000000 div total_cents")
           .as("promo_ppm"))
   }
   val q14PromoShareSql: String =
@@ -1323,7 +1329,8 @@ object Relational {
       |    sum(cents) AS total_cents FROM j)
       |SELECT promo_cents / 100.0 AS promo_revenue,
       |  total_cents / 100.0 AS total_revenue,
-      |  CAST(promo_cents * 1000000 // total_cents AS BIGINT) AS promo_ppm
+      |  CAST(CAST(promo_cents AS HUGEINT) * 1000000 // total_cents
+      |    AS BIGINT) AS promo_ppm
       |FROM a""".stripMargin
 
   // --------------------------------------------------------------- B44
@@ -1439,7 +1446,8 @@ object Relational {
       .select($"o_year",
         ($"nation_cents" / 100.0).as("nation_revenue"),
         ($"total_cents" / 100.0).as("total_revenue"),
-        ($"nation_cents" * lit(1000000L) / $"total_cents").cast("long")
+        // DECIMAL(38) ppm — same overflow/rounding rationale as Q14
+        expr("cast(nation_cents as decimal(38,0)) * 1000000 div total_cents")
           .as("share_ppm"))
       .orderBy($"o_year")
   }
@@ -1462,7 +1470,8 @@ object Relational {
       |  FROM j GROUP BY 1)
       |SELECT o_year, nation_cents / 100.0 AS nation_revenue,
       |  total_cents / 100.0 AS total_revenue,
-      |  CAST(nation_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+      |  CAST(CAST(nation_cents AS HUGEINT) * 1000000 // total_cents
+      |    AS BIGINT) AS share_ppm
       |FROM a ORDER BY o_year""".stripMargin
 
   // --------------------------------------------------------------- B47
@@ -1650,7 +1659,11 @@ object Relational {
     val tot = v.agg(sum($"value_fp").as("total_fp"),
       count(lit(1)).as("n_parts"))
     v.crossJoin(broadcast(tot))
-      .filter($"value_fp" > expr("(total_fp * 3) div (n_parts * 2)"))
+      // total_fp is the WHOLE corpus's 100-scaled revenue (~2.2e18 at
+      // 100 TB) — ×3 as BIGINT overflows 2^63 (ANSI abort / legacy
+      // wrap); widen to DECIMAL(38)
+      .filter($"value_fp" >
+        expr("cast(total_fp as decimal(38,0)) * 3 div (n_parts * 2)"))
       .select($"l_partkey".as("p_partkey"), $"value_fp")
       .orderBy($"value_fp".desc, $"p_partkey")
   }
@@ -1661,7 +1674,8 @@ object Relational {
       |  FROM lineitem GROUP BY 1),
       |s AS (SELECT sum(value_fp) AS total_fp, count(*) AS n_parts FROM v)
       |SELECT l_partkey AS p_partkey, value_fp
-      |FROM v, s WHERE value_fp > (total_fp * 3) // (n_parts * 2)
+      |FROM v, s
+      |WHERE value_fp > CAST(total_fp AS HUGEINT) * 3 // (n_parts * 2)
       |ORDER BY value_fp DESC, p_partkey""".stripMargin
 
   // --------------------------------------------------------------- B52
