@@ -173,7 +173,10 @@ object CdcQueries {
 
   private def changeStream(s: SparkSession, dir: String): Dataset[ChangeRecord] = {
     import s.implicits._
+    // same well-formedness predicate as the batch synthesis — the
+    // framing fields are mandatory on the wire (ChangeFeed contract)
     rawEventStream(s, dir)
+      .filter(ChangeFeed.wellFormedSql)
       .select($"user_id".as("key"), $"event_id".as("seq"),
         when($"event_type" === "signup", "i").when($"event_type" === "error", "d")
           .otherwise("u").as("op"),
@@ -452,7 +455,11 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_events"),
           (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
     }
-      .filter($"event_type" =!= "sentinel")
+      // null-SAFE sentinel drop: a NULL event_type is a real group
+      // (dirty feeds have them); `=!= "sentinel"` alone would silently
+      // swallow it. Null-TS rows have no window and are excluded by
+      // the watermark runtime — the oracle carries the same predicate.
+      .filter($"event_type".isNull || $"event_type" =!= "sentinel")
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
         $"event_type", $"n_events", $"total_value")
       .orderBy($"win_start", $"event_type")
@@ -965,7 +972,9 @@ object CdcQueries {
         when($"d.op" === "I", "i").when($"d.op" === "D", "d")
           .otherwise("u").as("op"),
         coalesce(element_at($"d.cells", 2), lit("")).as("event_type"),
-        coalesce(element_at($"d.cells", 3).cast("double"), lit(0.0)).as("value"),
+        // a NULL column value survives the wire ('n' cell) round trip —
+        // ChangeRecord.value is Option, no 0.0 default
+        element_at($"d.cells", 3).cast("double").as("value"),
         coalesce(element_at($"d.cells", 4).cast("long"), lit(0L)).as("tsMicros"))
       .as[ChangeRecord]
     CdcStream.runLatestStateBounded(s, decoded)
@@ -1018,8 +1027,9 @@ object CdcQueries {
         when($"kind" === "insert", "i").when($"kind" === "delete", "d")
           .otherwise("u").as("op"),
         coalesce($"after"("event_type"), lit("")).as("event_type"),
-        coalesce(ChangeEventFiles.typedCell($"after", "value", "double precision"),
-          lit(0.0)).as("value"),
+        // NULL column value survives the JSON round trip (Option field)
+        ChangeEventFiles.typedCell($"after", "value", "double precision")
+          .as("value"),
         coalesce(ChangeEventFiles.typedCell($"after", "ts_us", "bigint"),
           lit(0L)).as("tsMicros"))
       .as[ChangeRecord]
@@ -1040,7 +1050,19 @@ object CdcQueries {
     import s.implicits._
     CdcStream.runPunctuatedAppend(s, dir) { raw =>
       CdcStream.streamAsOf(
-        raw.select($"user_id", $"event_id".as("id"), $"ts",
+        // Streaming as-of contract: rows need a user (the state key)
+        // and an event time (the merge order) to participate — the
+        // typed Long-keyed state cannot represent a null user, and a
+        // null event time has no as-of position. The BATCH twin keeps
+        // null-user probes (LEFT semantics over null-never-equals), so
+        // the two share the join logic but carry separate oracles.
+        // Null event_type is excluded on BOTH sides already (batch's
+        // `=== / =!= 'purchase'` filters null-reject) — made explicit
+        // here because a null etype inside state would otherwise
+        // serialize as Some(null).
+        raw.filter($"user_id".isNotNull && $"ts".isNotNull &&
+            $"event_id".isNotNull && $"event_type".isNotNull)
+          .select($"user_id", $"event_id".as("id"), $"ts",
             unix_micros($"ts").as("tsUs"),
             $"event_type".as("etype"), $"value")
           .withWatermark("ts", "1 hour")
@@ -1085,7 +1107,9 @@ object CdcQueries {
         when($"op" === "c", "i").when($"op" === "d", "d")
           .otherwise("u").as("op"),
         coalesce($"after.event_type", lit("")).as("event_type"),
-        coalesce($"after.value", lit(0.0)).as("value"),
+        // value is COLUMN data: NULL must survive the envelope round
+        // trip (ChangeRecord.value is Option), not default to 0.0
+        $"after.value".as("value"),
         coalesce($"after.ts_us", lit(0L)).as("tsMicros"))
       .as[ChangeRecord]
     CdcStream.runLatestStateBounded(s, decoded)
@@ -1444,6 +1468,13 @@ object CdcQueries {
         |WHERE p.event_type = 'purchase'
         |ORDER BY p_id""".stripMargin
 
+  /** [[asofOracle]] + the streaming contract's probe predicate
+    * (null-user/null-ts probes exist only in the batch result). */
+  private val asofStreamOracle: String = asofOracle.replace(
+    "WHERE p.event_type = 'purchase'",
+    "WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL" +
+      " AND p.ts IS NOT NULL AND p.event_id IS NOT NULL")
+
   private val oraclesHead: Map[String, String] = Map(
     "cdc_gap_audit" -> gapAuditSql,
     "cdc_failover_merge" -> failoverMergeSql,
@@ -1539,28 +1570,28 @@ object CdcQueries {
          |  CAST(event_id % 100000 AS INTEGER) AS i4,
          |  event_id AS i8,
          |  event_id + 3000000000 AS oid,
-         |  CAST(concat(cents, 'e-2') AS REAL) AS f4,
-         |  CAST(concat(cents, 'e-2') AS DOUBLE) AS f8,
-         |  CAST(CAST(concat(CASE WHEN cents < 0 THEN '-' ELSE '' END,
-         |       abs(cents) // 100, '.',
-         |       lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0'))
+         |  CAST(cents || 'e-2' AS REAL) AS f4,
+         |  CAST(cents || 'e-2' AS DOUBLE) AS f8,
+         |  CAST(CAST(CASE WHEN cents < 0 THEN '-' ELSE '' END ||
+         |       (abs(cents) // 100) || '.' ||
+         |       lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0')
          |       AS DECIMAL(38,18)) AS DOUBLE) AS num,
          |  CAST(ts AS DATE) AS d,
          |  strftime(ts, '$tsFmtDuck') AS ts_s,
          |  strftime(ts, '$tsFmtDuck') AS tstz_s,
-         |  lower(concat(lpad(hex(event_id), 8, '0'), '-0000-4000-8000-',
-         |    lpad(hex(user_id), 12, '0'))) AS uid,
+         |  lower(lpad(hex(event_id), 8, '0') || '-0000-4000-8000-' ||
+         |    lpad(hex(user_id), 12, '0')) AS uid,
          |  CAST(length(event_type) AS INTEGER) AS b_len,
          |  lower(hex(event_type)) AS b_hex,
          |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
          |  event_id % 1000 AS tid_block,
          |  CAST(event_id % 50 AS INTEGER) AS tid_off,
-         |  CAST(3 AS INTEGER) AS ia_n,
+         |  CASE WHEN user_id IS NOT NULL THEN CAST(3 AS INTEGER) END AS ia_n,
          |  user_id + (event_id % 7) AS ia_sum,
-         |  CAST(5 AS INTEGER) AS ta_n,
-         |  'a,b' AS ta_e2,
-         |  'c"d' AS ta_e4,
-         |  'e\\f' AS ta_e5
+         |  CASE WHEN event_type IS NOT NULL THEN CAST(5 AS INTEGER) END AS ta_n,
+         |  CASE WHEN event_type IS NOT NULL THEN 'a,b' END AS ta_e2,
+         |  CASE WHEN event_type IS NOT NULL THEN 'c"d' END AS ta_e4,
+         |  CASE WHEN event_type IS NOT NULL THEN 'e\\f' END AS ta_e5
          |FROM base ORDER BY event_id""".stripMargin,
     "cdc_resume_from_lsn" ->
       s"""WITH $changesSql,
@@ -1582,7 +1613,8 @@ object CdcQueries {
          |FROM delivered GROUP BY 1, 2, 3, 4 ORDER BY message_id""".stripMargin,
     "cdc_stream_sliding" ->
       """WITH m AS (SELECT ts, event_type, value,
-        |    time_bucket(INTERVAL 15 MINUTES, ts) AS tb FROM events),
+        |    time_bucket(INTERVAL 15 MINUTES, ts) AS tb FROM events
+        |  WHERE ts IS NOT NULL),
         |w AS (SELECT event_type, value,
         |    tb - k.k * INTERVAL 15 MINUTES AS win_start
         |  FROM m CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
@@ -1595,10 +1627,10 @@ object CdcQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
     "cdc_decode_quarantine" ->
-      """SELECT count(*) AS n_total,
+      s"""SELECT count(*) AS n_total,
         |  count(*) - count(*) FILTER (event_id % 97 = 0) AS n_ok,
         |  count(*) FILTER (event_id % 97 = 0) AS n_quarantined
-        |FROM events""".stripMargin,
+        |FROM events WHERE ${ChangeFeed.wellFormedSql}""".stripMargin,
     "cdc_truncate_apply" ->
       s"""WITH $changesSql,
          |t AS (SELECT coalesce(max((seq // 2500) * 2500), 0) AS trunc_seq
@@ -1609,7 +1641,7 @@ object CdcQueries {
          |SELECT key AS user_id, event_type AS last_event_type,
          |  value AS last_value, seq AS last_seq
          |FROM r WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
-    "cdc_stream_asof" -> asofOracle,
+    "cdc_stream_asof" -> asofStreamOracle,
     "cdc_asof_join" -> asofOracle)
 
   private val restOracles: Map[String, String] = Map(
@@ -1618,7 +1650,7 @@ object CdcQueries {
       s"""WITH g AS (SELECT user_id, ts, value,
          |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
          |           > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_sess
-         |  FROM events),
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
          |sess AS (SELECT user_id, ts, value,
          |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
          |      ROWS UNBOUNDED PRECEDING) AS session_id
@@ -1715,7 +1747,8 @@ object CdcQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n_events,
         |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
-        |FROM events GROUP BY hour_start, event_type
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY hour_start, event_type
         |ORDER BY hour_start, event_type""".stripMargin)
 
   val oracles: Map[String, String] = oraclesHead ++ restOracles

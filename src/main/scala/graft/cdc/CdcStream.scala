@@ -8,9 +8,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
 
 /** One change-feed record in flight (micros instead of Timestamp keeps
-  * the encoder simple and the state compact). */
+  * the encoder simple and the state compact). The framing fields the
+  * wire format makes structurally mandatory — key, seq/LSN, op, commit
+  * time — are non-null by the [[ChangeFeed]] well-formedness contract;
+  * `value` is COLUMN data and stays optional (a real change can carry
+  * NULL in any column — dropping such rows would corrupt state). */
 case class ChangeRecord(key: Long, seq: Long, op: String,
-    event_type: String, value: Double, tsMicros: Long)
+    event_type: String, value: Option[Double], tsMicros: Long)
 
 /** Structured-Streaming twins of [[ApplyChanges]] — the "consume a
   * Debezium/Kafka change stream, keep materialized state" path from the
@@ -169,7 +173,7 @@ object CdcStream {
   /** One event in the streaming as-of buffer (`ts` carries the
     * watermark; `tsUs` is the exact microsecond join key). */
   case class AsOfEvent(user_id: Long, id: Long, ts: java.sql.Timestamp,
-      tsUs: Long, etype: String, value: Double)
+      tsUs: Long, etype: String, value: Option[Double])
   /** Per-user as-of state: the user's in-horizon history. */
   case class AsOfBuf(rows: Seq[AsOfEvent])
   /** Streaming as-of output (LEFT semantics — state side optional). */
@@ -209,7 +213,7 @@ object CdcStream {
                 best = Some(st(i)); i += 1
               }
               AsOfOut(p.id, uid, best.map(_.id), best.map(_.etype),
-                best.map(_.value))
+                best.flatMap(_.value))
             }
           } else {
             state.update(AsOfBuf(
@@ -342,7 +346,9 @@ object CdcStream {
         .agg(count(lit(1)).as("n_events"),
           (floor(sum($"value") * 100 + 0.5) / 100).as("total_value"))
     }
-      .filter($"event_type" =!= "sentinel")
+      // null-SAFE sentinel drop: a NULL event_type is a real group in
+      // a dirty feed; `=!= "sentinel"` alone silently swallows it
+      .filter($"event_type".isNull || $"event_type" =!= "sentinel")
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         $"event_type", $"n_events", $"total_value")
   }

@@ -25,10 +25,24 @@ object Ann {
   /** Query vectors: vec_id < 8 (deterministic tiny query set). */
   val QueryIds = 8
 
+  /** Valid-vector contract (dirty-data posture, r10): real corpora
+    * carry NULL embeddings (failed encoder calls) and all-zero vectors
+    * (zeroed buffers) — cosine normalization and codebook training are
+    * undefined on both, and leaving them in makes every downstream
+    * result depend on each engine's null/zero-division convention
+    * (DuckDB's x/0 is NULL, ANSI Spark aborts — silent divergence or a
+    * corpus-wide crash). The embeddings surface therefore operates
+    * UNIFORMLY on the valid-vector corpus: present AND norm > 0.
+    * Every oracle in this file carries the same predicate verbatim
+    * (`embedding IS NOT NULL AND list_sum(...x*x...) > 0`); the dirty
+    * parity gate (tools/DirtyData + selfcheck) proves the equivalence
+    * on a corpus where both defect classes are present. */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"v".isNotNull &&
+        expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)") > 0)
   }
 
   // ---------------------------------------------------------------- C6
@@ -56,7 +70,7 @@ object Ann {
   val annBruteforceSql: String =
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
        |m AS (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
@@ -178,8 +192,13 @@ object Ann {
       .select($"vec_id".as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select($"query_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+    // mean floor scales by the ACTUAL query count, in-plan — the
+    // valid-vector contract can shrink the query set (dirty corpora),
+    // and a floor pinned to the nominal QueryIds would demand
+    // impossible recall from the remaining queries (r10 dirty audit)
     val total = per.agg(
-        (sum($"n_hits") >= lit((meanFloor * K * QueryIds).round)).as("recall_ok"))
+        (sum($"n_hits").cast("double") >=
+          lit(meanFloor * K) * count(lit(1))).as("recall_ok"))
       .select(lit(-1L).as("query_id"), $"recall_ok")
     per.select($"query_id", ($"n_hits" >= minHits).as("recall_ok"))
       .unionByName(total)
@@ -194,7 +213,7 @@ object Ann {
     s"""SELECT query_id, TRUE AS recall_ok FROM (
        |  SELECT CAST(-1 AS BIGINT) AS query_id
        |  UNION ALL
-       |  SELECT vec_id FROM embeddings WHERE vec_id < $QueryIds)
+       |  SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0 AND vec_id < $QueryIds)
        |ORDER BY query_id""".stripMargin
 
   // --------------------------------------------------------------- C79
@@ -271,8 +290,10 @@ object Ann {
       .select($"vec_id".as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select($"query_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+    // in-plan query count, same rationale as recallAudit's floor
     val total = per.agg(
-        (sum($"n_hits") >= lit((0.70 * K * QueryIds).round)).as("recall_ok"))
+        (sum($"n_hits").cast("double") >=
+          lit(0.70 * K) * count(lit(1))).as("recall_ok"))
       .select(lit(-1L).as("query_id"), $"recall_ok")
     per.select($"query_id", ($"n_hits" >= 5).as("recall_ok"))
       .unionByName(total)
@@ -327,9 +348,10 @@ object Ann {
       .when($"nprobe" === 4, 5).otherwise(6)
     val meanFloor = when($"nprobe" === 1, 0.50).when($"nprobe" === 2, 0.55)
       .when($"nprobe" === 4, 0.70).otherwise(0.80)
+    // in-plan query count, same rationale as recallAudit's floor
     val total = per.groupBy($"nprobe")
-      .agg((sum($"n_hits") >=
-        floor(max(meanFloor) * K * QueryIds + 0.5)).as("recall_ok"))
+      .agg((sum($"n_hits").cast("double") >=
+        max(meanFloor) * K * count(lit(1))).as("recall_ok"))
       .select($"nprobe", lit(-1L).as("query_id"), $"recall_ok")
     per.select($"nprobe", $"query_id", ($"n_hits" >= minHits).as("recall_ok"))
       .unionByName(total)
@@ -342,7 +364,7 @@ object Ann {
        |CROSS JOIN (
        |  SELECT CAST(-1 AS BIGINT) AS query_id
        |  UNION ALL
-       |  SELECT vec_id FROM embeddings WHERE vec_id < $QueryIds) q
+       |  SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0 AND vec_id < $QueryIds) q
        |ORDER BY nprobe, query_id""".stripMargin
 
   // --------------------------------------------------------------- C23
@@ -375,7 +397,7 @@ object Ann {
   val embClusterAssignSql: String =
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
        |m AS (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
        |q AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn
@@ -437,7 +459,7 @@ object Ann {
   val embIndexShardsSql: String =
     """WITH n AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
       |m AS (SELECT vec_id, v,
       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
       |q AS (SELECT vec_id AS cell, v AS cv, nrm AS cn
@@ -558,7 +580,7 @@ object Ann {
     }.mkString(",\n  ")
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings)
+       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0)
        |SELECT vec_id,
        |  $terms
        |FROM n ORDER BY vec_id""".stripMargin
@@ -634,7 +656,7 @@ object Ann {
     }.mkString(",\n")
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
        |$cosByWidth,
        |sc AS (${widths.map(d => s"SELECT * FROM sc$d").mkString(" UNION ALL ")}),
        |r AS (SELECT query_id, neighbor_id, dims,
@@ -742,7 +764,7 @@ object Ann {
          |t_$tag AS (SELECT count(*) AS nt FROM g_$tag)""".stripMargin
     s"""WITH n0 AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
        |v1t AS (SELECT vec_id, v FROM n0),
        |v2t AS (SELECT vec_id,
        |    CASE WHEN vec_id % 5 = 0 THEN list_transform(v,
@@ -812,7 +834,7 @@ object Ann {
   }
   val embDimStatsSql: String =
     """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
-      |    AS v FROM embeddings),
+      |    AS v FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
       |e AS (SELECT i.i AS dim, v[i.i + 1] AS x
       |  FROM v CROSS JOIN range(0, 64) i(i)),
       |m AS (SELECT dim, count(*) AS n,
@@ -890,7 +912,7 @@ object Ann {
   val embOutliersSql: String =
     """WITH v AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
       |e AS (SELECT i.i AS dim, v.vec_id, v.v[i.i + 1] AS x
       |  FROM v CROSS JOIN range(0, 64) i(i)),
       |m AS (SELECT dim, count(*) AS n,
@@ -1043,7 +1065,7 @@ object Ann {
   private val powerIterCtes: String =
     """v AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
       |e AS (SELECT i.i AS dim, v.vec_id, v.v[i.i + 1] AS x
       |  FROM v CROSS JOIN range(0, 64) i(i)),
       |m AS (SELECT dim, count(*) AS n,
@@ -1314,7 +1336,7 @@ object Ann {
     """SELECT vec_id, TRUE AS recall_ok FROM (
       |  SELECT CAST(-1 AS BIGINT) AS vec_id
       |  UNION ALL
-      |  SELECT vec_id FROM embeddings WHERE vec_id % 37 = 0)
+      |  SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0 AND vec_id % 37 = 0)
       |ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------- C34
@@ -1479,10 +1501,17 @@ object Ann {
     import s.implicits._
     val c = corpus(s, dir)
     // bounded driver-side constants: 64 seed vectors → coarse centroids
-    // (first 8) and PQ codebook init, 4-dp rounded on both engines
-    val seeds: IndexedSeq[IndexedSeq[Double]] = c.filter($"vec_id" < IvfPqK)
-      .orderBy($"vec_id").as[(Long, Seq[Double])].collect()
+    // (first 8) and PQ codebook init, 4-dp rounded on both engines.
+    // Seeds are the IvfPqK LOWEST-ID VALID vectors (orderBy + limit),
+    // not `vec_id < IvfPqK`: the valid-vector contract can leave holes
+    // in the low-id range, and an id-predicate seed set then comes up
+    // short (seeds(k) walked off the end on the dirty corpus — r10).
+    val seeds: IndexedSeq[IndexedSeq[Double]] = c.orderBy($"vec_id")
+      .limit(IvfPqK).as[(Long, Seq[Double])].collect()
       .map(_._2.map(r4d).toIndexedSeq).toIndexedSeq
+    require(seeds.length == IvfPqK,
+      s"ann_ivf_pq: corpus has ${seeds.length} valid vectors, " +
+        s"need >= $IvfPqK for codebook init")
     val cents = seeds.take(IvfPqCells)
     val cbs0 = (0 until IvfPqSub).map { sub =>
       (0 until IvfPqK).map(k =>
@@ -1500,7 +1529,11 @@ object Ann {
     val nrmV = sqrt(dot($"v", $"v"))
     val cells = array(cents.map { cv =>
       val cn = math.sqrt(cv.map(x => x * x).sum)
-      r4(dot($"v", array(cv.map(lit): _*)) / (nrmV * lit(cn)))
+      // nullif: Catalyst may collapse this projection into a predicate
+      // stage that runs before the corpus validity filter, so the
+      // division must be zero-safe structurally (ANSI aborts on 0) —
+      // contract-invalid rows yield NULL here and are filtered anyway
+      r4(dot($"v", array(cv.map(lit): _*)) / nullif(nrmV * lit(cn), lit(0.0)))
     }: _*)
     // first-max position = lowest-cell tie-break, matching the oracle
     val cellCol = (array_position(cells, array_max(cells)) - 1).cast("int")
@@ -1564,12 +1597,14 @@ object Ann {
   lazy val annIvfPqSql: String =
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
        |m AS (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
-       |cent AS (SELECT vec_id AS cluster,
+       |sd AS (SELECT v, row_number() OVER (ORDER BY vec_id) AS rk
+       |  FROM n ORDER BY vec_id LIMIT $IvfPqK),
+       |cent AS (SELECT rk - 1 AS cluster,
        |    list_transform(v, x -> floor(x * 10000 + 0.5) / 10000) AS cv
-       |  FROM n WHERE vec_id < $IvfPqCells),
+       |  FROM sd WHERE rk <= $IvfPqCells),
        |centn AS (SELECT cluster, cv,
        |    sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn FROM cent),
        |asg0 AS (SELECT m.vec_id, c.cluster,
@@ -1579,10 +1614,10 @@ object Ann {
        |asg AS (SELECT vec_id, cluster AS cell FROM (
        |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
        |        ORDER BY cos DESC, cluster) AS rn FROM asg0) WHERE rn = 1),
-       |cb0 AS (SELECT t.s, n.vec_id + 1 AS k,
+       |cb0 AS (SELECT t.s, sd.rk AS k,
        |    [floor(v[t.s * $IvfPqDim + i] * 10000 + 0.5) / 10000
        |     FOR i IN range(1, ${IvfPqDim + 1})] AS cen
-       |  FROM n CROSS JOIN range(0, $IvfPqSub) t(s) WHERE n.vec_id < $IvfPqK),
+       |  FROM sd CROSS JOIN range(0, $IvfPqSub) t(s)),
        |tr AS (SELECT vec_id, v FROM n),
        |${(1 to PqIters).map(lloydIterSql).mkString("\n")}
        |cb AS (SELECT s, k, cen FROM cb$PqIters),
@@ -1640,7 +1675,7 @@ object Ann {
        |    $cbRows),
        |n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
        |d AS (SELECT vec_id, s, k,
        |    list_sum([CAST(floor((v[s * 8 + i] - cen[i]) * (v[s * 8 + i] - cen[i])
        |        * 1000000 + 0.5) AS BIGINT) FOR i IN range(1, 9)]) AS dist

@@ -43,8 +43,13 @@ object Multimodal {
     * construction happens distributed, inside the partition. */
   def manifest(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
+    // asset contract (dirty-data posture, r10): a manifest row needs
+    // its payload size — a document with NULL n_chars has nothing to
+    // fetch (and the typed Long field cannot carry null). Every
+    // manifest-derived oracle filters n_chars IS NOT NULL identically.
     table(s, dir, "documents")
       .select($"doc_id", $"n_chars")
+      .filter($"n_chars".isNotNull)
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         val mt = (id % 3) match {
@@ -89,6 +94,10 @@ object Multimodal {
     graft.functions.GraftExpressions.register(s)
     val FrameLen = 64
     manifest(s, dir).toDF()
+      // empty payload -> ZERO frames: without the guard, Spark's
+      // sequence(0, -1) silently auto-reverses into [0, -1] and emits
+      // two phantom frames per empty asset (r10 dirty audit)
+      .filter(length($"payload") > 0)
       .select($"doc_id", $"media_type", $"payload",
         explode(sequence(lit(0),
           ceil(length($"payload") / FrameLen).cast("long") - 1)).as("f"))
@@ -124,7 +133,8 @@ object Multimodal {
   val mmDedupSql: String =
     """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
       |  min(n_chars) AS payload_len
-      |FROM documents GROUP BY doc_id % 256, n_chars
+      |FROM documents WHERE n_chars IS NOT NULL
+      |GROUP BY CASE WHEN n_chars = 0 THEN -1 ELSE doc_id % 256 END, n_chars
       |ORDER BY keep_doc_id""".stripMargin
 
   /** Oracle: T(d, n) = Σ_{i<n} (d+i) % 256 in closed form (full cycles
@@ -138,7 +148,7 @@ object Multimodal {
     """WITH t AS (SELECT doc_id, n_chars,
       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |      ELSE 'video' END AS media_type
-      |  FROM documents),
+      |  FROM documents WHERE n_chars IS NOT NULL),
       |fr0 AS (SELECT doc_id, media_type, n_chars,
       |    unnest(generate_series(0,
       |      CAST(ceil(n_chars / 64.0) AS BIGINT) - 1)) AS f
@@ -375,6 +385,7 @@ object Multimodal {
     import s.implicits._
     val feed = table(s, dir, "documents")
       .select($"doc_id", $"text", $"n_chars")
+      .filter($"n_chars".isNotNull) // asset contract, see manifest
       .as[(Long, String, Long)]
       .mapPartitions(_.map { case (id, text, nChars) =>
         val a = MediaAsset(id,
@@ -412,7 +423,8 @@ object Multimodal {
     * the funnel re-derives end-to-end. */
   val mmTextPairsSql: String =
     """WITH b AS (SELECT doc_id, n_chars, text, doc_id % 256 AS s,
-      |    n_chars // 256 AS f, n_chars % 256 AS r FROM documents),
+      |    n_chars // 256 AS f, n_chars % 256 AS r FROM documents
+      |  WHERE n_chars IS NOT NULL),
       |feat AS (SELECT doc_id,
       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |      ELSE 'video' END AS media_type,
@@ -452,7 +464,8 @@ object Multimodal {
     * side's real bytes differ from the spec, checksum/first_byte break. */
   val mmManifestSql: String =
     """WITH b AS (SELECT doc_id, n_chars, doc_id % 256 AS s,
-      |    n_chars // 256 AS f, n_chars % 256 AS r FROM documents)
+      |    n_chars // 256 AS f, n_chars % 256 AS r FROM documents
+      |  WHERE n_chars IS NOT NULL)
       |SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |    ELSE 'video' END AS media_type,
@@ -465,7 +478,8 @@ object Multimodal {
       |        + (r - (256 - s)) * (r - (256 - s) - 1) // 2 END) % 997
       |    AS BIGINT) AS checksum,
       |  CAST(n_chars // 4096 + 1 AS BIGINT) AS n_frames,
-      |  CAST(doc_id % 256 AS INT) AS first_byte
+      |  CAST(CASE WHEN n_chars = 0 THEN -1
+      |    ELSE doc_id % 256 END AS INT) AS first_byte
       |FROM b ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- C77
@@ -493,6 +507,9 @@ object Multimodal {
     val w = Window.partitionBy($"doc_id").orderBy($"f")
     val frames = manifest(s, dir).toDF()
       .filter($"media_type" === "video")
+      // zero-frame guard — same sequence(0, -1) auto-reverse trap as
+      // mmFrames: an empty video must produce no segments
+      .filter(length($"payload") > 0)
       .select($"doc_id", $"payload",
         explode(sequence(lit(0),
           ceil(length($"payload") / FrameLen).cast("long") - 1)).as("f"))
@@ -521,7 +538,7 @@ object Multimodal {
     * length (r9 ADVICE closed the old 10000-frame cap). */
   val mmSceneSegmentsSql: String =
     """WITH t AS (SELECT doc_id, n_chars FROM documents
-      |  WHERE doc_id % 3 = 2),
+      |  WHERE n_chars IS NOT NULL AND doc_id % 3 = 2),
       |fr0 AS (SELECT doc_id, n_chars,
       |    unnest(generate_series(0,
       |      CAST(ceil(n_chars / 64.0) AS BIGINT) - 1)) AS f

@@ -81,9 +81,14 @@ object TextOps {
       .select($"doc_id", $"n_chars_m", $"n_words",
         r4(($"n_chars_m" - ($"n_words" - 1)).cast("double") / $"n_words")
           .as("mean_word_len"),
-        r4(size(split($"text", "[a-z]")).cast("double").minus(1) / $"n_chars_m")
-          .as("alpha_ratio"),
-        r4(($"n_words" - 1).cast("double") / $"n_chars_m").as("space_ratio"),
+        // nullif guards: an EMPTY doc (n_chars_m = 0, real corpora have
+        // them) must score NULL ratios, not abort the whole corpus pass
+        // under ANSI; DuckDB's x/0 is NULL already, so the oracle needs
+        // no change (dirty-data parity, r10)
+        r4(size(split($"text", "[a-z]")).cast("double").minus(1) /
+          nullif($"n_chars_m", lit(0))).as("alpha_ratio"),
+        r4(($"n_words" - 1).cast("double") / nullif($"n_chars_m", lit(0)))
+          .as("space_ratio"),
         r4($"n_stop".cast("double") / $"n_words").as("stopword_ratio"))
       .orderBy($"doc_id")
   }
@@ -115,8 +120,10 @@ object TextOps {
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .cast("long").as("bpe_tokens"),
         length($"text").as("n_chars_m"))
+      // empty doc → 0 BPE tokens → NULL ratio (ANSI-safe; matches
+      // DuckDB's x/0 = NULL, so the oracle is unchanged)
       .withColumn("chars_per_token",
-        r4($"n_chars_m".cast("double") / $"bpe_tokens"))
+        r4($"n_chars_m".cast("double") / nullif($"bpe_tokens", lit(0L))))
       .orderBy($"doc_id")
   }
   val textTokensSql: String =

@@ -27,6 +27,19 @@ object Relational {
   private def money(c: Column): Column = floor(c * 100 + 0.5) / 100
   private def money4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** User-timeline contract (dirty-data posture, r10): sessionization,
+    * lifecycle, transition, cohort, and interval analytics partition
+    * by user and order by event time — an event missing either cannot
+    * be placed on any user's timeline, and leaving such rows in makes
+    * the result depend on each engine's null-ordering convention
+    * (Spark sorts nulls first ASC, DuckDB last — silent divergence).
+    * Excluded explicitly on BOTH sides; every oracle carries
+    * `WHERE user_id IS NOT NULL AND ts IS NOT NULL`. */
+  private def userTimeline(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+  private val userTimelineSql = "user_id IS NOT NULL AND ts IS NOT NULL"
+
   // ---------------------------------------------------------------- B1
   /** TPC-H Q1 shape: scan + filter + groupBy multi-aggregate.
     * 100 TB: single shuffle on (returnflag, linestatus) — 6 groups —
@@ -177,7 +190,7 @@ object Relational {
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val ev = graft.Tables.events(s, dir)
+    val ev = userTimeline(s, dir)
       .select($"user_id", $"ts", $"event_id", $"value",
         lag($"ts", 1).over(byUser).as("prev_ts"))
       .withColumn("new_sess",
@@ -367,7 +380,7 @@ object Relational {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    graft.Tables.events(s, dir)
+    userTimeline(s, dir)
       .select($"user_id", $"event_id", $"ts", $"event_type",
         first($"event_type").over(w).as("first_type"),
         last($"event_type").over(w).as("last_type"),
@@ -667,7 +680,7 @@ object Relational {
   def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val ev = graft.Tables.events(s, dir)
+    val ev = userTimeline(s, dir)
       .select($"user_id", $"ts", $"event_id",
         timestamp_micros(unix_micros($"ts") +
           (($"event_id" % 97) + 3) * 60000000L).as("end_ts"))
@@ -829,7 +842,7 @@ object Relational {
     import s.implicits._
     // daily grain: the events feed spans ~one month, so day is the
     // resolution at which cohorts separate (monthly would be one cell)
-    val ev = graft.Tables.events(s, dir)
+    val ev = userTimeline(s, dir)
       .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"))
     val cohort = ev.groupBy($"user_id")
       .agg(min($"day").as("cohort_day"))
@@ -1012,7 +1025,7 @@ object Relational {
   def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val pairs = graft.Tables.events(s, dir)
+    val pairs = userTimeline(s, dir)
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("to_type", lead($"event_type", 1).over(w))
       .filter($"to_type".isNotNull)
@@ -1029,7 +1042,7 @@ object Relational {
     """WITH seq AS (SELECT user_id, event_type,
       |    lead(event_type) OVER (PARTITION BY user_id
       |      ORDER BY ts, event_id) AS to_type
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |p AS (SELECT event_type AS from_type, to_type, count(*) AS n
       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
       |SELECT from_type, to_type, n,
@@ -1552,7 +1565,11 @@ object Relational {
       .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .groupBy(when(lagDays <= 730, "fast").otherwise("slow").as("lag_class"))
       .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(!crit, 1L).otherwise(0L)).as("low_line_count"))
+        // same CASE shape as `high`, NOT `when(!crit, ...)`: a NULL
+        // priority makes !crit NULL → counted in NEITHER bucket, while
+        // the oracle's ELSE branch counts it low. Unknown priority is
+        // "not high" → low, spelled identically on both engines.
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
       .orderBy($"lag_class")
   }
   val q12ShipLagPrioritySql: String =
@@ -1807,7 +1824,7 @@ object Relational {
     "q_sketch_set_ops" -> qSketchSetOpsSql,
     "q_retention_cohorts" ->
       """WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |cohort AS (SELECT user_id, min(day) AS cohort_day
         |  FROM ev GROUP BY user_id),
         |sizes AS (SELECT cohort_day, count(*) AS cohort_size
@@ -1873,7 +1890,7 @@ object Relational {
       """WITH iv AS (
         |  SELECT user_id, ts, event_id,
         |    ts + (event_id % 97 + 3) * INTERVAL 1 MINUTE AS end_ts
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |g AS (
         |  SELECT user_id, ts, event_id, end_ts,
         |    max(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2000,7 +2017,7 @@ object Relational {
         |    count(*) OVER fr AS n_events,
         |    epoch_us(last_value(ts) OVER fr)
         |      - epoch_us(first_value(ts) OVER fr) AS span_micros
-        |  FROM events
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |  WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT user_id, first_type, last_type, second_type, n_events,
@@ -2119,7 +2136,7 @@ object Relational {
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |s AS (
         |  SELECT user_id, ts, event_id, value,
         |    sum(CASE WHEN prev_ts IS NULL

@@ -14,7 +14,7 @@ class PartitionedTableSpec extends AnyFunSuite {
   private val Buckets = 16
 
   private def rec(key: Long, seq: Long, op: String): ChangeRecord =
-    ChangeRecord(key, seq, op, s"t$seq", seq * 1.0, seq * 1000L)
+    ChangeRecord(key, seq, op, s"t$seq", Some(seq * 1.0), seq * 1000L)
 
   private def runTwoBatches(tag: String,
       b1: Seq[ChangeRecord], b2: Seq[ChangeRecord]): String = {
