@@ -463,7 +463,11 @@ object Dedup {
   def simhashPairs(s: SparkSession, feed: DataFrame): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
+    // null text has no fingerprint: such rows would die at the null-cv
+    // blocking join anyway — the explicit filter states the contract
+    // (and the audit oracle's closed form carries the same predicate)
     val fp = feed
+      .filter($"text".isNotNull)
       .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", expr("simhash64(split(text, ' '))").as("sim"))
     val chunks = fp.select($"doc_id", $"sim",
@@ -502,7 +506,8 @@ object Dedup {
   }
   val dedupSimhashAuditSql: String =
     """SELECT doc_id AS d1, doc_id + 1000000 AS d2, 0 AS hamming
-      |FROM documents WHERE doc_id % 10 = 0 ORDER BY d1""".stripMargin
+      |FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+      |ORDER BY d1""".stripMargin
 
   // --------------------------------------------------------------- C22
   /** Duplicate-cluster resolution: pair mining (C1 exact groups over
@@ -527,13 +532,18 @@ object Dedup {
     import s.implicits._
     val near = dedupMinhashLsh(s, dir).select($"d1", $"d2")
     // exact-dup star edges (min-id hub per md5 group) from the engine's
-    // own hash-group pass — not from the closed form the oracle uses.
+    // own hash-group pass; the oracle derives the same group form (not
+    // a closed-form pair list — real corpora HAVE natural exact dups,
+    // e.g. empty pages, and those must cluster together; r10 dirty
+    // audit). Null-text docs can't be content-hashed and are excluded
+    // explicitly on both sides.
     // Hub-join form, not collect_list: min/count are constant-size agg
     // buffers and members rejoin on the hash, so a viral document with
     // 10^8 exact copies never materializes as one in-memory array
     // (r10 bounded-buffer hardening; wd persisted — both the hub
     // aggregate and the rejoin consume it)
-    val wd = dupFeed(s, dir).select(md5($"text").as("h"), $"doc_id").persist()
+    val wd = dupFeed(s, dir).filter($"text".isNotNull)
+      .select(md5($"text").as("h"), $"doc_id").persist()
     val hubs = wd.groupBy($"h")
       .agg(min($"doc_id").as("d1"), count(lit(1)).as("c"))
       .filter($"c" > 1)
@@ -684,8 +694,15 @@ object Dedup {
        |         JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
        |         WHERE floor(inter * 1.0 / (x.n + y.n - inter) * 10000 + 0.5)
        |               / 10000 >= 0.8),
-       |exct AS (SELECT doc_id AS d1, doc_id + 1000000 AS d2
-       |         FROM documents WHERE doc_id % 10 = 0),
+       |feedx AS (SELECT doc_id, text FROM documents
+       |          UNION ALL SELECT doc_id + 1000000, text
+       |          FROM documents WHERE doc_id % 10 = 0),
+       |exh AS (SELECT md5(text) AS h, doc_id FROM feedx
+       |        WHERE text IS NOT NULL),
+       |exhub AS (SELECT h, min(doc_id) AS d1 FROM exh
+       |          GROUP BY h HAVING count(*) > 1),
+       |exct AS (SELECT d1, e.doc_id AS d2 FROM exh e
+       |         JOIN exhub USING (h) WHERE d1 <> e.doc_id),
        |e AS (SELECT d1, d2 FROM near UNION SELECT d1, d2 FROM exct),
        |und AS (SELECT d1 AS u, d2 AS v FROM e
        |        UNION SELECT d2, d1 FROM e),
@@ -714,8 +731,12 @@ object Dedup {
     * in Spark and DuckDB; cos(v, v′) ≈ 0.997 on the unit-norm corpus. */
   def nearFeed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // valid-vector contract (see ops/Ann.scala): cosine-confirm and
+    // centroid training are undefined on NULL / zero-norm vectors
     val e = table(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"v".isNotNull &&
+        expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)") > 0)
     // perturb in its own projection: in a combined select the lambda's
     // $"vec_id" lateral-resolves to the shifted alias, not the input
     e.unionByName(
@@ -728,7 +749,8 @@ object Dedup {
   val nearFeedSql: String =
     """n AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM embeddings WHERE embedding IS NOT NULL
+      |    AND list_sum(list_transform(embedding, x -> x * x)) > 0),
       |nf AS (SELECT vec_id, v FROM n
       |  UNION ALL
       |  SELECT vec_id + 1000000,

@@ -889,7 +889,12 @@ object PipelineQueries {
     val NB = 16
     val P = 32
     val (xLo, xHi, yLo, yHi) = (32L, 47L, 64L, 79L)
+    // layout-key contract (dirty-data posture, r10): a row with a NULL
+    // layout key has no Z-address — placement would ride each engine's
+    // null-ordering convention (opposite between Spark and DuckDB), so
+    // such rows are excluded explicitly on both sides
     val ev = graft.Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
       .select($"event_id", ($"user_id" % 256).cast("long").as("x"),
         ($"event_id" % 256).cast("long").as("y"))
     val z = (0 until 8).map { i =>
@@ -946,7 +951,7 @@ object PipelineQueries {
     s"""WITH ev AS (SELECT event_id,
        |    CAST(user_id % 256 AS BIGINT) AS x,
        |    CAST(event_id % 256 AS BIGINT) AS y
-       |  FROM events),
+       |  FROM events WHERE user_id IS NOT NULL),
        |zed AS (SELECT event_id, x, y, $zTerms AS z FROM ev),
        |t AS (SELECT count(*) AS n FROM zed),
        |lin AS (SELECT 'linear' AS layout, x, y,
