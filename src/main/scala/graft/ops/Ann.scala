@@ -1529,11 +1529,15 @@ object Ann {
     val nrmV = sqrt(dot($"v", $"v"))
     val cells = array(cents.map { cv =>
       val cn = math.sqrt(cv.map(x => x * x).sum)
-      // nullif: Catalyst may collapse this projection into a predicate
-      // stage that runs before the corpus validity filter, so the
-      // division must be zero-safe structurally (ANSI aborts on 0) —
-      // contract-invalid rows yield NULL here and are filtered anyway
-      r4(dot($"v", array(cv.map(lit): _*)) / nullif(nrmV * lit(cn), lit(0.0)))
+      // zero-safe divisor: Catalyst may collapse this projection into a
+      // predicate stage that runs before the corpus validity filter, so
+      // the division must not ANSI-abort on a zero norm. greatest(x,
+      // 4.9e-324) is exact for every contract-valid row (x > 0) and —
+      // unlike nullif, which DUPLICATES the norm subtree and blew this
+      // expression past codegen limits (1.4 s → 11.7 s at sf0.1, r10) —
+      // adds one comparison, not a second aggregate
+      r4(dot($"v", array(cv.map(lit): _*)) /
+        greatest(nrmV * lit(cn), lit(java.lang.Double.MIN_VALUE)))
     }: _*)
     // first-max position = lowest-cell tie-break, matching the oracle
     val cellCol = (array_position(cells, array_max(cells)) - 1).cast("int")
