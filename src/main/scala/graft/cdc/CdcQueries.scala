@@ -1474,6 +1474,11 @@ object CdcQueries {
     "WHERE p.event_type = 'purchase'",
     "WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL" +
       " AND p.ts IS NOT NULL AND p.event_id IS NOT NULL")
+  // a reworded asofOracle would make the replace() a silent no-op and
+  // quietly revert the stream gate to the unfiltered batch oracle —
+  // fail at class-init instead (r10 review)
+  require(asofStreamOracle != asofOracle,
+    "asofStreamOracle: predicate splice found no anchor in asofOracle")
 
   private val oraclesHead: Map[String, String] = Map(
     "cdc_gap_audit" -> gapAuditSql,
@@ -1503,7 +1508,8 @@ object CdcQueries {
          |  UNION ALL ${one("wm_24h", 86400L)})
          |SELECT delay, CAST(n_changes AS BIGINT) AS n_changes,
          |  CAST(n_late AS BIGINT) AS n_late,
-         |  CAST(n_late * 1000000 // n_changes AS BIGINT) AS late_ppm
+         |  CAST(CAST(n_late AS HUGEINT) * 1000000 // n_changes
+         |    AS BIGINT) AS late_ppm
          |FROM u ORDER BY delay""".stripMargin
     },
     "cdc_lag_metrics" ->

@@ -37,12 +37,29 @@ object Ann {
     * (`embedding IS NOT NULL AND list_sum(...x*x...) > 0`); the dirty
     * parity gate (tools/DirtyData + selfcheck) proves the equivalence
     * on a corpus where both defect classes are present. */
+  /** Spark side of the contract. The NULL-ELEMENT term matters for
+    * cross-engine parity even though Spark's aggregate() alone would
+    * exclude such rows (its fold returns NULL): DuckDB's list_sum
+    * SKIPS null elements, so a [NULL, 0.3, …] vector would silently
+    * stay in every oracle while Spark dropped it (r10 review). Both
+    * sides spell the element check explicitly. */
+  def validVec(v: Column): Column =
+    v.isNotNull && !exists(v, _.isNull) &&
+      aggregate(v, lit(0.0), (a, x) => a + x * x) > 0
+
+  /** DuckDB twin of [[validVec]], interpolated VERBATIM into every
+    * embeddings oracle here, in Dedup.nearFeedSql, and in
+    * PipelineQueries.embQuantizeSql — one spelling, one edit point. */
+  val ValidVecSql: String =
+    "embedding IS NOT NULL AND" +
+      " len(list_filter(embedding, x -> x IS NULL)) = 0 AND" +
+      " list_sum(list_transform(embedding, x -> x * x)) > 0"
+
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .filter($"v".isNotNull &&
-        expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)") > 0)
+      .filter(validVec($"v"))
   }
 
   // ---------------------------------------------------------------- C6
@@ -70,7 +87,7 @@ object Ann {
   val annBruteforceSql: String =
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+       |  FROM embeddings WHERE $ValidVecSql),
        |m AS (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
@@ -196,8 +213,10 @@ object Ann {
     // valid-vector contract can shrink the query set (dirty corpora),
     // and a floor pinned to the nominal QueryIds would demand
     // impossible recall from the remaining queries (r10 dirty audit)
+    // coalesce: an EMPTY valid query set (pathological corpus) must
+    // yield TRUE (0 >= 0), matching the oracle spine, not NULL
     val total = per.agg(
-        (sum($"n_hits").cast("double") >=
+        (coalesce(sum($"n_hits"), lit(0L)).cast("double") >=
           lit(meanFloor * K) * count(lit(1))).as("recall_ok"))
       .select(lit(-1L).as("query_id"), $"recall_ok")
     per.select($"query_id", ($"n_hits" >= minHits).as("recall_ok"))
@@ -213,7 +232,7 @@ object Ann {
     s"""SELECT query_id, TRUE AS recall_ok FROM (
        |  SELECT CAST(-1 AS BIGINT) AS query_id
        |  UNION ALL
-       |  SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0 AND vec_id < $QueryIds)
+       |  SELECT vec_id FROM embeddings WHERE $ValidVecSql AND vec_id < $QueryIds)
        |ORDER BY query_id""".stripMargin
 
   // --------------------------------------------------------------- C79
@@ -290,9 +309,9 @@ object Ann {
       .select($"vec_id".as("query_id"))
       .join(hits, Seq("query_id"), "left")
       .select($"query_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
-    // in-plan query count, same rationale as recallAudit's floor
+    // in-plan query count + empty-set coalesce, as in recallAudit
     val total = per.agg(
-        (sum($"n_hits").cast("double") >=
+        (coalesce(sum($"n_hits"), lit(0L)).cast("double") >=
           lit(0.70 * K) * count(lit(1))).as("recall_ok"))
       .select(lit(-1L).as("query_id"), $"recall_ok")
     per.select($"query_id", ($"n_hits" >= 5).as("recall_ok"))
@@ -348,11 +367,16 @@ object Ann {
       .when($"nprobe" === 4, 5).otherwise(6)
     val meanFloor = when($"nprobe" === 1, 0.50).when($"nprobe" === 2, 0.55)
       .when($"nprobe" === 4, 0.70).otherwise(0.80)
-    // in-plan query count, same rationale as recallAudit's floor
-    val total = per.groupBy($"nprobe")
-      .agg((sum($"n_hits").cast("double") >=
-        max(meanFloor) * K * count(lit(1))).as("recall_ok"))
-      .select($"nprobe", lit(-1L).as("query_id"), $"recall_ok")
+    // in-plan query count, anchored on the STATIC nprobe spine: with
+    // an empty valid query set the groupBy would emit no total rows at
+    // all while the oracle still expects one TRUE per depth
+    val total = nps
+      .join(per.groupBy($"nprobe")
+          .agg(sum($"n_hits").as("sum_hits"), count(lit(1)).as("n_q")),
+        Seq("nprobe"), "left")
+      .select($"nprobe", lit(-1L).as("query_id"),
+        (coalesce($"sum_hits", lit(0L)).cast("double") >=
+          meanFloor * K * coalesce($"n_q", lit(0L))).as("recall_ok"))
     per.select($"nprobe", $"query_id", ($"n_hits" >= minHits).as("recall_ok"))
       .unionByName(total)
       .orderBy($"nprobe", $"query_id")
@@ -364,7 +388,7 @@ object Ann {
        |CROSS JOIN (
        |  SELECT CAST(-1 AS BIGINT) AS query_id
        |  UNION ALL
-       |  SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0 AND vec_id < $QueryIds) q
+       |  SELECT vec_id FROM embeddings WHERE $ValidVecSql AND vec_id < $QueryIds) q
        |ORDER BY nprobe, query_id""".stripMargin
 
   // --------------------------------------------------------------- C23
@@ -397,7 +421,7 @@ object Ann {
   val embClusterAssignSql: String =
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+       |  FROM embeddings WHERE $ValidVecSql),
        |m AS (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
        |q AS (SELECT vec_id AS cluster, v AS cv, nrm AS cn
@@ -457,9 +481,9 @@ object Ann {
       .orderBy($"shard")
   }
   val embIndexShardsSql: String =
-    """WITH n AS (SELECT vec_id,
+    s"""WITH n AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+      |  FROM embeddings WHERE $ValidVecSql),
       |m AS (SELECT vec_id, v,
       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
       |q AS (SELECT vec_id AS cell, v AS cv, nrm AS cn
@@ -580,7 +604,7 @@ object Ann {
     }.mkString(",\n  ")
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0)
+       |  FROM embeddings WHERE $ValidVecSql)
        |SELECT vec_id,
        |  $terms
        |FROM n ORDER BY vec_id""".stripMargin
@@ -656,7 +680,7 @@ object Ann {
     }.mkString(",\n")
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+       |  FROM embeddings WHERE $ValidVecSql),
        |$cosByWidth,
        |sc AS (${widths.map(d => s"SELECT * FROM sc$d").mkString(" UNION ALL ")}),
        |r AS (SELECT query_id, neighbor_id, dims,
@@ -764,7 +788,7 @@ object Ann {
          |t_$tag AS (SELECT count(*) AS nt FROM g_$tag)""".stripMargin
     s"""WITH n0 AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+       |  FROM embeddings WHERE $ValidVecSql),
        |v1t AS (SELECT vec_id, v FROM n0),
        |v2t AS (SELECT vec_id,
        |    CASE WHEN vec_id % 5 = 0 THEN list_transform(v,
@@ -833,8 +857,8 @@ object Ann {
       .orderBy($"dim")
   }
   val embDimStatsSql: String =
-    """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
-      |    AS v FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+    s"""WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |    AS v FROM embeddings WHERE $ValidVecSql),
       |e AS (SELECT i.i AS dim, v[i.i + 1] AS x
       |  FROM v CROSS JOIN range(0, 64) i(i)),
       |m AS (SELECT dim, count(*) AS n,
@@ -910,9 +934,9 @@ object Ann {
       .orderBy($"vec_id")
   }
   val embOutliersSql: String =
-    """WITH v AS (SELECT vec_id,
+    s"""WITH v AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+      |  FROM embeddings WHERE $ValidVecSql),
       |e AS (SELECT i.i AS dim, v.vec_id, v.v[i.i + 1] AS x
       |  FROM v CROSS JOIN range(0, 64) i(i)),
       |m AS (SELECT dim, count(*) AS n,
@@ -1063,9 +1087,9 @@ object Ann {
     * iterations, ending at `v3` (the PC1 list) — shared by the C60
     * and C63 oracles. */
   private val powerIterCtes: String =
-    """v AS (SELECT vec_id,
+    s"""v AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+      |  FROM embeddings WHERE $ValidVecSql),
       |e AS (SELECT i.i AS dim, v.vec_id, v.v[i.i + 1] AS x
       |  FROM v CROSS JOIN range(0, 64) i(i)),
       |m AS (SELECT dim, count(*) AS n,
@@ -1320,7 +1344,7 @@ object Ann {
       .join(hits, Seq("qid"), "left")
       .select($"qid", coalesce($"n_hits", lit(0L)).as("n_hits"))
     val nSample = sample.count()
-    val total = per.agg((sum($"n_hits") >=
+    val total = per.agg((coalesce(sum($"n_hits"), lit(0L)) >=
         lit((0.7 * KnnK * nSample).round)).as("recall_ok"))
       .select(lit(-1L).as("vec_id"), $"recall_ok")
     // floor-calibration hook (the RecallProbe convention): emit raw
@@ -1333,10 +1357,10 @@ object Ann {
       .orderBy($"vec_id")
   }
   val embKnnGraphAuditSql: String =
-    """SELECT vec_id, TRUE AS recall_ok FROM (
+    s"""SELECT vec_id, TRUE AS recall_ok FROM (
       |  SELECT CAST(-1 AS BIGINT) AS vec_id
       |  UNION ALL
-      |  SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0 AND vec_id % 37 = 0)
+      |  SELECT vec_id FROM embeddings WHERE $ValidVecSql AND vec_id % 37 = 0)
       |ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------- C34
@@ -1601,7 +1625,7 @@ object Ann {
   lazy val annIvfPqSql: String =
     s"""WITH n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+       |  FROM embeddings WHERE $ValidVecSql),
        |m AS (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM n),
        |sd AS (SELECT v, row_number() OVER (ORDER BY vec_id) AS rk
@@ -1679,7 +1703,7 @@ object Ann {
        |    $cbRows),
        |n AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+       |  FROM embeddings WHERE $ValidVecSql),
        |d AS (SELECT vec_id, s, k,
        |    list_sum([CAST(floor((v[s * 8 + i] - cen[i]) * (v[s * 8 + i] - cen[i])
        |        * 1000000 + 0.5) AS BIGINT) FOR i IN range(1, 9)]) AS dist

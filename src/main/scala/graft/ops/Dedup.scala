@@ -694,10 +694,8 @@ object Dedup {
        |         JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
        |         WHERE floor(inter * 1.0 / (x.n + y.n - inter) * 10000 + 0.5)
        |               / 10000 >= 0.8),
-       |feedx AS (SELECT doc_id, text FROM documents
-       |          UNION ALL SELECT doc_id + 1000000, text
-       |          FROM documents WHERE doc_id % 10 = 0),
-       |exh AS (SELECT md5(text) AS h, doc_id FROM feedx
+       |$dupFeedSql,
+       |exh AS (SELECT md5(text) AS h, doc_id FROM feed
        |        WHERE text IS NOT NULL),
        |exhub AS (SELECT h, min(doc_id) AS d1 FROM exh
        |          GROUP BY h HAVING count(*) > 1),
@@ -735,8 +733,7 @@ object Dedup {
     // centroid training are undefined on NULL / zero-norm vectors
     val e = table(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .filter($"v".isNotNull &&
-        expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)") > 0)
+      .filter(Ann.validVec($"v"))
     // perturb in its own projection: in a combined select the lambda's
     // $"vec_id" lateral-resolves to the shifted alias, not the input
     e.unionByName(
@@ -747,10 +744,9 @@ object Dedup {
   }
   /** DuckDB twin of [[nearFeed]] (lambda index is 1-based there). */
   val nearFeedSql: String =
-    """n AS (SELECT vec_id,
+    s"""n AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings WHERE embedding IS NOT NULL
-      |    AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+      |  FROM embeddings WHERE ${Ann.ValidVecSql}),
       |nf AS (SELECT vec_id, v FROM n
       |  UNION ALL
       |  SELECT vec_id + 1000000,

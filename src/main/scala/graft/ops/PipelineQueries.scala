@@ -105,11 +105,10 @@ object PipelineQueries {
     val r6 = (c: org.apache.spark.sql.Column) => floor(c * 1000000 + 0.5) / 1000000
     graft.Tables.table(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      // valid-vector contract (see ops/Ann.scala): int8 quantization is
+      // valid-vector contract (Ann.validVec): int8 quantization is
       // undefined at scale 0 (x·127/0 ANSI-aborts the corpus pass) and
-      // on NULL vectors; same predicate verbatim in the oracle
-      .filter($"v".isNotNull &&
-        expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)") > 0)
+      // on NULL vectors; Ann.ValidVecSql verbatim in the oracle
+      .filter(Ann.validVec($"v"))
       .withColumn("scale", array_max(transform($"v", x => abs(x))))
       .withColumn("errs", transform($"v", x =>
         abs(x - floor(x * 127 / $"scale" + 0.5) * $"scale" / 127)))
@@ -120,10 +119,9 @@ object PipelineQueries {
       .orderBy($"vec_id")
   }
   val embQuantizeSql: String =
-    """WITH n AS (SELECT vec_id,
+    s"""WITH n AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings WHERE embedding IS NOT NULL
-      |    AND list_sum(list_transform(embedding, x -> x * x)) > 0),
+      |  FROM embeddings WHERE ${Ann.ValidVecSql}),
       |q AS (SELECT vec_id, v,
       |    list_max(list_transform(v, x -> abs(x))) AS scale FROM n),
       |e AS (SELECT vec_id, scale, v,

@@ -1039,10 +1039,10 @@ object Relational {
       .orderBy($"from_type", $"to_type")
   }
   val qEventTransitionsSql: String =
-    """WITH seq AS (SELECT user_id, event_type,
+    s"""WITH seq AS (SELECT user_id, event_type,
       |    lead(event_type) OVER (PARTITION BY user_id
       |      ORDER BY ts, event_id) AS to_type
-      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |  FROM events WHERE $userTimelineSql),
       |p AS (SELECT event_type AS from_type, to_type, count(*) AS n
       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
       |SELECT from_type, to_type, n,
@@ -1823,8 +1823,8 @@ object Relational {
     "q_window_gap_fill" -> qWindowGapFillSql,
     "q_sketch_set_ops" -> qSketchSetOpsSql,
     "q_retention_cohorts" ->
-      """WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      s"""WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events WHERE $userTimelineSql),
         |cohort AS (SELECT user_id, min(day) AS cohort_day
         |  FROM ev GROUP BY user_id),
         |sizes AS (SELECT cohort_day, count(*) AS cohort_size
@@ -1887,10 +1887,10 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_interval_merge" ->
-      """WITH iv AS (
+      s"""WITH iv AS (
         |  SELECT user_id, ts, event_id,
         |    ts + (event_id % 97 + 3) * INTERVAL 1 MINUTE AS end_ts
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |  FROM events WHERE $userTimelineSql),
         |g AS (
         |  SELECT user_id, ts, event_id, end_ts,
         |    max(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2010,14 +2010,14 @@ object Relational {
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_first_last" ->
-      """WITH w AS (SELECT user_id, event_id, ts, event_type,
+      s"""WITH w AS (SELECT user_id, event_id, ts, event_type,
         |    first_value(event_type) OVER fr AS first_type,
         |    last_value(event_type) OVER fr AS last_type,
         |    nth_value(event_type, 2) OVER fr AS second_type,
         |    count(*) OVER fr AS n_events,
         |    epoch_us(last_value(ts) OVER fr)
         |      - epoch_us(first_value(ts) OVER fr) AS span_micros
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  FROM events WHERE $userTimelineSql
         |  WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT user_id, first_type, last_type, second_type, n_events,
@@ -2133,10 +2133,10 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS running_rev
         |FROM daily ORDER BY d""".stripMargin,
     "q_sessionize" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT user_id, ts, event_id, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |  FROM events WHERE $userTimelineSql),
         |s AS (
         |  SELECT user_id, ts, event_id, value,
         |    sum(CASE WHEN prev_ts IS NULL
