@@ -93,6 +93,27 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /** array<double> → boolean valid-vector predicate (no NULL element,
+    * sum of squares > 0) in one codegen pass — see
+    * [[HashOps.vecValid]] and the contract at
+    * [[graft.ops.Ann.validVec]]. NULL input → NULL (nullIntolerant),
+    * which a Filter drops exactly like the previous `isNotNull && …`
+    * conjunction; every call site is a filter. */
+  case class VecValid(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(DoubleType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_valid needs array<double>, got $t")
+    }
+    override def nullSafeEval(input: Any): Any =
+      HashOps.vecValid(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$H.vecValid($c)")
+    override protected def withNewChildInternal(c: Expression): VecValid = copy(child = c)
+  }
+
   /** array<double> → int LSH bucket code from `numPlanes` seeded
     * pseudo-random hyperplanes. numPlanes is bounded by the Int bitset:
     * past 32 the `1 << p` plane bit wraps around and silently aliases
@@ -122,6 +143,7 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("phash32", es => Phash32(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_valid", es => VecValid(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bucket",
       es => HyperplaneLsh(es.head, es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Number].longValue()), "scala_udf")

@@ -134,6 +134,27 @@ object HashOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Valid-vector predicate (the Spark half of the contract documented
+    * at [[graft.ops.Ann.validVec]]): true iff the vector has no NULL
+    * element AND a strictly positive sum of squares. One fused pass —
+    * replaces the two interpreted higher-order-function passes
+    * (`exists(_.isNull)` + an `aggregate` fold) that ran per row at
+    * every embeddings scan (r10 verdict: the embeddings family paid
+    * 1.5–3× for the interpreted guard). NaN elements sum to NaN and
+    * NaN > 0 is false, matching the HOF form's semantics exactly. */
+  def vecValid(v: ArrayData): Boolean = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return false
+      val x = v.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    ss > 0.0
+  }
+
   /** Random-hyperplane LSH bucket code: bit p of the code is the sign
     * of the dot product with the p-th deterministic pseudo-random
     * hyperplane (components from splitmix64, mapped to [-1, 1)). */

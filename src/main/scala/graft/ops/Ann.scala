@@ -37,15 +37,21 @@ object Ann {
     * (`embedding IS NOT NULL AND list_sum(...x*x...) > 0`); the dirty
     * parity gate (tools/DirtyData + selfcheck) proves the equivalence
     * on a corpus where both defect classes are present. */
-  /** Spark side of the contract. The NULL-ELEMENT term matters for
-    * cross-engine parity even though Spark's aggregate() alone would
-    * exclude such rows (its fold returns NULL): DuckDB's list_sum
+  /** Spark side of the contract: the codegen `vec_valid` kernel
+    * ([[graft.functions.HashOps.vecValid]]) — one fused pass checking
+    * element NULLs and sum-of-squares > 0. The NULL-ELEMENT term
+    * matters for cross-engine parity even though a sum-of-squares
+    * fold alone would exclude such rows in Spark: DuckDB's list_sum
     * SKIPS null elements, so a [NULL, 0.3, …] vector would silently
-    * stay in every oracle while Spark dropped it (r10 review). Both
-    * sides spell the element check explicitly. */
-  def validVec(v: Column): Column =
-    v.isNotNull && !exists(v, _.isNull) &&
-      aggregate(v, lit(0.0), (a, x) => a + x * x) > 0
+    * stay in every oracle while Spark dropped it (r10 review). The
+    * r10 form ran two interpreted higher-order-function passes per
+    * row at every embeddings scan and cost the family 1.5–3× (r10
+    * verdict finding #1); this is the codegen replacement. NULL
+    * input → NULL here vs false before — identical under every call
+    * site, which are all Filters. Requires
+    * [[graft.functions.GraftExpressions.register]] on the session
+    * (every caller registers). */
+  def validVec(v: Column): Column = call_function("vec_valid", v)
 
   /** DuckDB twin of [[validVec]], interpolated VERBATIM into every
     * embeddings oracle here, in Dedup.nearFeedSql, and in
@@ -57,6 +63,7 @@ object Ann {
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    GraftExpressions.register(s)
     table(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .filter(validVec($"v"))

@@ -729,6 +729,7 @@ object Dedup {
     * in Spark and DuckDB; cos(v, v′) ≈ 0.997 on the unit-norm corpus. */
   def nearFeed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    GraftExpressions.register(s)
     // valid-vector contract (see ops/Ann.scala): cosine-confirm and
     // centroid training are undefined on NULL / zero-norm vectors
     val e = table(s, dir, "embeddings")

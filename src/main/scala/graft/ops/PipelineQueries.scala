@@ -102,6 +102,7 @@ object PipelineQueries {
     * rounding on both engines. */
   def embQuantize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftExpressions.register(s)
     val r6 = (c: org.apache.spark.sql.Column) => floor(c * 1000000 + 0.5) / 1000000
     graft.Tables.table(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))

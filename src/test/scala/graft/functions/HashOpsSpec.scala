@@ -55,6 +55,15 @@ class HashOpsSpec extends AnyFunSuite {
     assert(math.abs(HashOps.cosine(dbls(1.0, 1.0), dbls(1.0, 1.0)) - 1.0) < 1e-12)
   }
 
+  test("vecValid: null element, zero norm, NaN all invalid; positive norm valid") {
+    assert(HashOps.vecValid(dbls(0.5, -0.25)))
+    assert(!HashOps.vecValid(dbls(0.0, 0.0)))           // zero norm
+    assert(!HashOps.vecValid(new GenericArrayData(Array[Any](0.5, null)))) // NULL element
+    assert(!HashOps.vecValid(dbls(Double.NaN, 1.0)))     // NaN sum > 0 is false (HOF parity)
+    assert(HashOps.vecValid(dbls(Double.PositiveInfinity))) // Inf*Inf > 0 (HOF parity)
+    assert(!HashOps.vecValid(dbls()))                    // empty → sum 0
+  }
+
   test("hyperplane codes are deterministic, bounded, and sign-sensitive") {
     val v = dbls(0.5, -0.25, 0.125, 1.0)
     val c = HashOps.hyperplaneCode(v, 6, 42L)
