@@ -46,7 +46,8 @@ object Bench {
       }.filter(_ >= 0)
       val best = if (secs.nonEmpty) secs.min else -1.0
       val med = if (secs.nonEmpty) secs.sorted.apply(secs.size / 2) else -1.0
-      (name, best, med)
+      val worst = if (secs.nonEmpty) secs.max else -1.0
+      (name, best, med, worst)
     }
     // Per-query noise self-diagnosis against the newest committed
     // BENCH_r*.json (r8 verdict: a 121-vs-162 best/median spread made
@@ -72,10 +73,20 @@ object Bench {
     }
     def moved(now: Double, before: Double, ratio: Double) =
       before > 0 && now > 0 && (now > before * ratio || now < before / ratio)
-    val noise = results.flatMap { case (name, best, med) =>
+    val noise = results.flatMap { case (name, best, med, _) =>
       prev.get(name).collect {
         case (pb, pm) if moved(best, pb, 1.5) && !moved(med, pm, 1.2) => name
       }
+    }.sorted
+    // Within-run spread (r10 verdict task 4): the box swings single
+    // queries 10× between same-code runs, which cost r10 its headline
+    // to three sweeps of forensics. A query whose OWN max/min across
+    // the 5 in-process runs exceeds 3× is machine-flagged noisy, and
+    // the line carries the per-query max map so any reader can compute
+    // the spread without a re-run. noisy=true ⇒ treat cross-round
+    // per-query deltas on the flagged queries as unattributable.
+    val noisyQueries = results.collect {
+      case (name, best, _, worst) if best > 0 && worst > best * 3 => name
     }.sorted
     // The driver retains only the LAST ~2000 bytes of output (r6
     // evidence: BENCH tail truncation hid 50 of 110 per-query times),
@@ -93,12 +104,13 @@ object Bench {
     // Failed queries (sentinel -1) are excluded here exactly as from
     // `queries`/`median_total`, so summing either map is consistent
     // with its total; failures are reported only via failed/n_failed.
+    val maxs = jmap(results.filter(_._4 >= 0).map(r => (r._1, r._4)).sortBy(_._2))
     val meds = jmap(results.filter(_._3 >= 0).map(r => (r._1, r._3)).sortBy(_._2))
     val qs = jmap(results.filter(_._2 >= 0).map(r => (r._1, r._2)).sortBy(_._2))
     val failed = results.filter(_._2 < 0).map(_._1).sorted
     val total = results.map(_._2).filter(_ >= 0).sum
     val medTotal = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries_max":$maxs,"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"noisy_queries":${jarr(noisyQueries)},"noisy":${noisyQueries.nonEmpty},"n_noisy":${noisyQueries.size},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

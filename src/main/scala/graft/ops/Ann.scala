@@ -372,8 +372,12 @@ object Ann {
     // only a genuine regression flips a boolean
     val minHits = when($"nprobe" === 1, 3).when($"nprobe" === 2, 4)
       .when($"nprobe" === 4, 5).otherwise(6)
-    val meanFloor = when($"nprobe" === 1, 0.50).when($"nprobe" === 2, 0.55)
-      .when($"nprobe" === 4, 0.70).otherwise(0.80)
+    // mean floor in integer HUNDREDTHS so the gate below is all-integer
+    // arithmetic: a raw double product (0.55·K·n_q = 44.000000000000006)
+    // can flip an exact-boundary recall from pass to fail on binary
+    // representation error alone (r10 ADVICE)
+    val meanFloorPct = when($"nprobe" === 1, 50L).when($"nprobe" === 2, 55L)
+      .when($"nprobe" === 4, 70L).otherwise(80L)
     // in-plan query count, anchored on the STATIC nprobe spine: with
     // an empty valid query set the groupBy would emit no total rows at
     // all while the oracle still expects one TRUE per depth
@@ -382,8 +386,8 @@ object Ann {
           .agg(sum($"n_hits").as("sum_hits"), count(lit(1)).as("n_q")),
         Seq("nprobe"), "left")
       .select($"nprobe", lit(-1L).as("query_id"),
-        (coalesce($"sum_hits", lit(0L)).cast("double") >=
-          meanFloor * K * coalesce($"n_q", lit(0L))).as("recall_ok"))
+        (coalesce($"sum_hits", lit(0L)) * 100L >=
+          meanFloorPct * K * coalesce($"n_q", lit(0L))).as("recall_ok"))
     per.select($"nprobe", $"query_id", ($"n_hits" >= minHits).as("recall_ok"))
       .unionByName(total)
       .orderBy($"nprobe", $"query_id")

@@ -459,7 +459,21 @@ object Dedup {
 
   /** Hamming ≤ 3 SimHash pair mining over an arbitrary (doc_id, text)
     * feed — the shared engine behind [[dedupSimhash]] (natural corpus,
-    * spec-measured sensitivity) and [[dedupSimhashAudit]] (driver gate). */
+    * spec-measured sensitivity) and [[dedupSimhashAudit]] (driver gate).
+    *
+    * Candidate generation runs over DISTINCT fingerprint classes, not
+    * docs (r10 ADVICE): on real corpora many docs share identical text
+    * (empty/whitespace pages — 2/23 of the dirty replica), and the
+    * previous doc-level chunk self-join emitted O(clique²) candidate
+    * rows per identical-fingerprint clique ×4 chunks before dedup —
+    * the viral-duplicate blow-up. Here each fingerprint enters the
+    * chunk join once regardless of multiplicity; member pairs
+    * materialize only at output expansion (the declared pair-set
+    * output is itself clique-quadratic — that part is the contract).
+    * Pigeonhole completeness is unchanged: hamming ≤ 3 over 4 chunks
+    * forces ≥ 1 equal chunk, so class-level blocking finds every
+    * qualifying class pair, and identical-fingerprint (hamming 0)
+    * members pair via the within-class equi-join. */
   def simhashPairs(s: SparkSession, feed: DataFrame): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
@@ -470,21 +484,36 @@ object Dedup {
       .filter($"text".isNotNull)
       .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id", expr("simhash64(split(text, ' '))").as("sim"))
-    val chunks = fp.select($"doc_id", $"sim",
+      // two consumers (class distinct + member expansion); lifetime
+      // bounded by the caller's clearCache
+      .persist()
+    val cls = fp.select($"sim").distinct()
+    val chunks = cls.select($"sim",
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),
             shiftrightunsigned($"sim", c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
           .as("e"))
-      .select($"doc_id", $"sim", $"e.chunk", $"e.cv")
-    val cand = chunks.as("a").join(chunks.as("b"),
+      .select($"sim", $"e.chunk", $"e.cv")
+    val candCls = chunks.as("a").join(chunks.as("b"),
         $"a.chunk" === $"b.chunk" && $"a.cv" === $"b.cv" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        $"a.sim".as("s1"), $"b.sim".as("s2"))
-      .dropDuplicates("d1", "d2")
-    cand.select($"d1", $"d2",
+          $"a.sim" < $"b.sim")
+      .select($"a.sim".as("s1"), $"b.sim".as("s2"))
+      .dropDuplicates("s1", "s2")
+      .filter(bit_count($"s1".bitwiseXOR($"s2")) <= 3)
+    // cross-class member pairs: every (m1, m2) across a qualifying
+    // class pair qualifies; canonicalize to d1 < d2
+    val cross = candCls
+      .join(fp.select($"sim".as("s1"), $"doc_id".as("m1")), Seq("s1"))
+      .join(fp.select($"sim".as("s2"), $"doc_id".as("m2")), Seq("s2"))
+      .select(least($"m1", $"m2").as("d1"), greatest($"m1", $"m2").as("d2"),
         bit_count($"s1".bitwiseXOR($"s2")).as("hamming"))
-      .filter($"hamming" <= 3)
+    // within-class pairs (hamming 0): equi-join on the fingerprint —
+    // partitioned by sim, output-bounded, never a chunk-amplified self-join
+    val within = fp.as("x").join(fp.as("y"),
+        $"x.sim" === $"y.sim" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
       .orderBy($"d1", $"d2")
   }
 

@@ -3,15 +3,21 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Time EVERY registered query against one sf dir (the measured@sf1
-  * sweep): warm each shape on sf0.001 first, then one timed run,
-  * printing Bench-style TIMER lines sorted by name. Per-query errors
-  * print and don't abort the sweep.
+  * sweep): warm each shape on sf0.001 first, then TWO timed runs per
+  * query, printing Bench-style TIMER lines (pairwise min, plus both
+  * raw timings) sorted by name. Two runs per query is the r10 verdict's
+  * noise-legibility order for the SCALING sweeps: the box swings
+  * single-query timings up to 10× between same-code executions, and
+  * a pairwise min with the raw pair visible lets a reader separate a
+  * real regression (both runs slow) from one noisy run. Per-query
+  * errors print and don't abort the sweep.
   *
-  *   runMain graft.tools.TimeAll <sfDir>
+  *   runMain graft.tools.TimeAll <sfDir> [runsPerQuery]
   */
 object TimeAll {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 2
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -24,19 +30,23 @@ object TimeAll {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       try {
         if (tiny.isDirectory) fn(spark, tiny.getPath).count()
-        // Bench-parity: drop the warmup's (and prior queries') persists
-        // so each timing does its own IO/shuffle work (see TimeQuery)
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val rows = fn(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
+        val timings = (1 to runs).map { _ =>
+          // Bench-parity: drop the warmup's (and prior runs') persists
+          // so each timing does its own IO/shuffle work (see TimeQuery)
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val rows = fn(spark, sfDir).count()
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val sec = timings.map(_._1).min
         total += sec
-        println(f"TIMER $n: $sec%.2f s ($rows rows)")
+        val raw = timings.map(t => f"${t._1}%.2f").mkString("/")
+        println(f"TIMER $n: $sec%.2f s (${timings.head._2} rows, runs $raw)")
       } catch {
         case e: Exception => println(s"TIMER $n: FAILED ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
       }
     }
-    println(f"TIMER __total__: $total%.2f s")
+    println(f"TIMER __total__: $total%.2f s (pairwise-min of $runs runs/query)")
     spark.stop()
   }
 }
