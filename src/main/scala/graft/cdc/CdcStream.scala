@@ -46,10 +46,29 @@ object CdcStream {
     n
   }
 
+  /** Production state-store provider, the scaffold DEFAULT since r11
+    * (r10 verdict task 6: SCALING.md measured RocksDB ~25% faster at
+    * 1M-event state, and SURVEY §3 names it the production choice —
+    * the bounded runners now exercise the provider they recommend).
+    * An EXPLICITLY-set session provider wins: the conf is only
+    * defaulted when absent, so StreamingStateStoreSpec still pins the
+    * HDFS-backed provider to identical results, and TimeQuery's
+    * `k=v` overrides keep working. */
+  val RocksProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+
   private[cdc] def withStatePartitions[T](s: SparkSession)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // conf.get(key, fallback) returns the fallback iff the key is not
+    // EXPLICITLY set in this session (registered defaults don't count)
+    val explicitProvider = s.conf.get(ProviderConf, "")
     s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    if (explicitProvider.isEmpty) s.conf.set(ProviderConf, RocksProvider)
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      if (explicitProvider.isEmpty) s.conf.unset(ProviderConf)
+    }
   }
 
   /** Shared bounded-run scaffold: start `df` into a uniquely-named

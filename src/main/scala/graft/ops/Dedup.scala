@@ -31,6 +31,36 @@ object Dedup {
   /** Deterministic 4-dp rounding — identical IEEE ops in both engines. */
   private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Injection-feed id spaces (r11, closing the r10 ADVICE id-collision
+    * class FOR REAL: it reproduced). The synthetic feeds re-add docs /
+    * vectors under shifted ids; the old +1e6/+2e6 shifts assumed
+    * natural ids < 1e6, and the sf1 ScaleUp replica (copies shifted by
+    * exactly 1e6) broke the assumption — dupFeed's injected ids ALIASED
+    * copy-1's natural ids and fragFeed's aliased copy-2's, putting TWO
+    * DIFFERENT texts under one doc_id. Downstream, dedup_containment's
+    * per-doc prefix window then ordered TIED (df, shingle) rows whose
+    * `n` differed, and tie resolution followed shuffle arrival order —
+    * the reproduced 1-in-10 AQE-dependent 106-row swing
+    * (ContainmentHunt/ContainmentBisect, r10 "unreproduced anomaly").
+    * The feeds now use disjoint trillion ranges — natural [0, 1e12),
+    * exact copies [1e12, 2e12), fragments [2e12, 3e12), planted
+    * near-vectors [1e12, 2e12) — and the shifted branches RAISE by
+    * name on any natural id outside [0, 1e12) instead of silently
+    * colliding ([[guardShift]]). */
+  val IdCap = 1000000000000L
+  val DupShift: Long = IdCap
+  val FragShift: Long = 2 * IdCap
+  val VecShift: Long = IdCap
+
+  /** Shifted-id guard: injected id, or a NAMED per-row error if the
+    * natural id sits outside [0, IdCap) (where shifting could alias a
+    * natural id — the silent-corruption class above). */
+  private[ops] def guardShift(id: Column, shift: Long, feed: String): Column =
+    when(id >= 0L && id < IdCap, id + shift)
+      .otherwise(raise_error(concat(
+        lit(s"$feed: natural id outside [0, ${IdCap}) cannot be shift-injected: "),
+        id.cast("string"))))
+
   /** Dup-injected feed: the synthetic corpus has no *exact* dups, so
     * re-add every 10th doc under a shifted id (deterministic, oracle
     * mirrors it with UNION ALL). */
@@ -38,11 +68,11 @@ object Dedup {
     val docs = table(s, dir, "documents").select("doc_id", "text")
     docs.unionByName(
       docs.filter(col("doc_id") % 10 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
+        .withColumn("doc_id", guardShift(col("doc_id"), DupShift, "dupFeed")))
   }
   val dupFeedSql: String =
-    """feed AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+    s"""feed AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + $DupShift, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   /** Distinct 3-word shingles per doc: (doc_id, shingles array, n).
     * The documents table arrives as few parquet splits (it's small
@@ -229,7 +259,7 @@ object Dedup {
     val frag = table(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
       .filter($"doc_id" % 9 === 0 && size($"w") >= 8)
-      .select(($"doc_id" + 2000000L).as("doc_id"),
+      .select(guardShift($"doc_id", FragShift, "fragFeed").as("doc_id"),
         concat_ws(" ", slice($"w", lit(1), (size($"w") / 2).cast("int")))
           .as("text"))
     docs.unionByName(frag)
@@ -276,11 +306,11 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
   val dedupContainmentSql: String =
-    """WITH fwords AS (SELECT doc_id, string_split(text, ' ') AS w
+    s"""WITH fwords AS (SELECT doc_id, string_split(text, ' ') AS w
       |  FROM documents),
       |ffeed AS (SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 2000000, array_to_string(w[1:len(w)//2], ' ')
+      |  SELECT doc_id + ${FragShift}, array_to_string(w[1:len(w)//2], ' ')
       |  FROM fwords WHERE doc_id % 9 = 0 AND len(w) >= 8),
       |words2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM ffeed),
       |fsh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
@@ -347,11 +377,11 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
   val dedupSubstringSql: String =
-    """WITH fwords AS (SELECT doc_id, string_split(text, ' ') AS w
+    s"""WITH fwords AS (SELECT doc_id, string_split(text, ' ') AS w
       |  FROM documents),
       |ffeed AS (SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 2000000, array_to_string(w[1:len(w)//2], ' ')
+      |  SELECT doc_id + ${FragShift}, array_to_string(w[1:len(w)//2], ' ')
       |  FROM fwords WHERE doc_id % 9 = 0 AND len(w) >= 8),
       |words2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM ffeed),
       |g AS (SELECT doc_id, list_distinct([md5(array_to_string(w[i:i+19], ' '))
@@ -379,19 +409,22 @@ object Dedup {
     * degenerate bucket never materializes its full membership in any
     * task — the earlier `slice(sort_array(collect_list(..)))` form
     * bounded only the output, not the aggregation buffer (r10 review
-    * finding). A capped bucket's members BEYOND the cap still
-    * star-pair against the bucket's MIN id (O(bucket) rows, fully
-    * distributed), so a >cap cluster of NEAR-IDENTICAL documents
-    * (every member ≥ 0.8-similar to the representative — the
-    * motivating skew case) cannot silently lose its tail. Disclosed
-    * bounds past the cap: within-tail pairs (x, y both past the cap,
-    * neither the min) are dropped, and a CHAINED cluster whose tail
-    * members fall below 0.8 vs the min loses those tail pairs/losers
-    * — i.e. completeness of both the pair list and the loser set is
-    * guaranteed only up to star-reachability through the bucket min.
-    * No bucket exceeds the cap at any tested SF, where C2 equality is
-    * exact (DedupSpec); at scale the cap trades that tail for a hard
-    * per-task memory bound. */
+    * finding). A capped bucket's members BEYOND the cap go through the
+    * ITERATED star pass (see the loop in [[minhashPairs]]): successive
+    * min-remaining representatives candidate against every bucket
+    * member until no member is left unexamined, so a >cap
+    * near-identical cluster keeps its whole tail AND a CHAINED cluster
+    * (tail below 0.8 vs the first min but ≥ 0.8 vs a later rep) links
+    * back through the cross-star candidates — the r10 chained-tail
+    * residual is closed (Round11OpsSpec drives a synthetic 3-chained
+    * >cap cluster through C3 → C22). Disclosed bounds past the cap:
+    * within-star member-member pairs (neither endpoint a rep) are not
+    * emitted — irrelevant to cluster membership, which flows through
+    * the rep links — and a bucket needing more than StarRounds
+    * sub-stars leaves later sub-clusters unpaired (fail-safe:
+    * survivors, never silent drops). No bucket exceeds the cap at any
+    * tested SF, where C2 equality is exact (DedupSpec); at scale the
+    * cap trades those bounds for a hard per-task memory bound. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, shingled(s, dir))
 
@@ -427,23 +460,72 @@ object Dedup {
       .select(explode($"ids").as("d1"), $"ids")
       .select($"d1", explode($"ids").as("d2"))
       .filter($"d1" < $"d2")
-    // star pairs for oversize buckets only: rejoin the bucket stats to
-    // the band stream (same hashpartitioning(band, bh) — no new
-    // exchange shape) instead of collecting the full id list
-    val star = bands
-      .join(buckets.filter($"cnt" > BucketCap).select($"band", $"bh", $"mn"),
-        Seq("band", "bh"))
-      .filter($"doc_id" =!= $"mn")
-      .select($"mn".as("d1"), $"doc_id".as("d2"))
-    val cand = capped.unionByName(star).dropDuplicates("d1", "d2")
     // exact confirm only touches candidate docs' shingles
     val full = sh.select($"doc_id", $"sh")
-    cand.join(full.as("x"), $"d1" === $"x.doc_id")
-      .join(full.as("y"), $"d2" === $"y.doc_id")
-      .select($"d1", $"d2",
-        r4(size(array_intersect($"x.sh", $"y.sh")).cast("double") /
-           size(array_union($"x.sh", $"y.sh"))).as("jac"))
-      .filter($"jac" >= 0.8)
+    def confirm(cand: DataFrame): DataFrame =
+      cand.join(full.as("x"), $"d1" === $"x.doc_id")
+        .join(full.as("y"), $"d2" === $"y.doc_id")
+        .select(cand.columns.map(col) :+
+          r4(size(array_intersect($"x.sh", $"y.sh")).cast("double") /
+             size(array_union($"x.sh", $"y.sh"))).as("jac"): _*)
+        .filter($"jac" >= 0.8)
+    var out = confirm(capped.dropDuplicates("d1", "d2"))
+    // ITERATED star pass for oversize buckets (r10 verdict task 5 —
+    // closes the chained-cluster residual): round r elects each
+    // bucket's min REMAINING member as representative, candidate-pairs
+    // it against EVERY bucket member (reached ones included, which is
+    // what links a chained sub-cluster back into an earlier star), and
+    // confirms exactly like every other candidate. Members that
+    // confirm leave `remaining`; the rep always leaves, so the loop
+    // strictly shrinks and terminates. Each round is O(oversize
+    // members) distributed rows rejoined on the existing
+    // hashpartitioning(band, bh) — never an all-pairs.
+    //
+    // Round bound: ≤ StarRounds sub-stars per bucket get elected. A
+    // bucket needing more (≥ 8 mutually-dissimilar sub-clusters inside
+    // ONE hot LSH bucket — a hash-skew artifact, not a duplicate
+    // cluster) leaves its residue UNPAIRED, which fails SAFE for
+    // dedup: an unpaired doc survives the loser ledger; nothing is
+    // silently dropped. Dead at every tested SF (no bucket exceeds the
+    // cap — the isEmpty below short-circuits before any round); the
+    // chained path is exercised by Round11OpsSpec's synthetic
+    // 3-chained >cap cluster through C3 → C22.
+    val StarRounds = 8
+    val oversize = buckets.filter($"cnt" > BucketCap).select($"band", $"bh")
+    if (!oversize.isEmpty) {
+      val members = bands.join(oversize, Seq("band", "bh"))
+        .select($"band", $"bh", $"doc_id").persist()
+      var remaining = members
+      var round = 0
+      var exhausted = false
+      while (round < StarRounds && !exhausted) {
+        val reps = remaining.groupBy($"band", $"bh")
+          .agg(min($"doc_id").as("rep"))
+        // member id rides along as `m` (not `doc_id` — the confirm join
+        // brings in the shingle frames, which carry their own doc_id)
+        val cand = members.join(reps, Seq("band", "bh"))
+          .filter($"doc_id" =!= $"rep")
+          .select($"band", $"bh", $"doc_id".as("m"),
+            least($"rep", $"doc_id").as("d1"),
+            greatest($"rep", $"doc_id").as("d2"))
+        // persisted: feeds BOTH the output union (consumed at the
+        // caller's action) and this round's remaining update; rounds
+        // are few and tiny, lifetime bounded by the caller's clearCache
+        val conf = confirm(cand).persist()
+        out = out.unionByName(conf.select($"d1", $"d2", $"jac"))
+        val next = remaining.join(reps, Seq("band", "bh"))
+          .filter($"doc_id" =!= $"rep")
+          .drop("rep")
+          .join(conf.select($"band", $"bh", $"m".as("doc_id")),
+            Seq("band", "bh", "doc_id"), "left_anti")
+          .persist()
+        exhausted = next.isEmpty
+        if (remaining ne members) remaining.unpersist()
+        remaining = next
+        round += 1
+      }
+    }
+    out.dropDuplicates("d1", "d2")
       .orderBy($"d1", $"d2")
   }
   // oracle: identical pair set to C2 (confirm step makes precision
@@ -518,7 +600,7 @@ object Dedup {
   }
 
   /** Driver-gate face of C4 (identity contract): over [[dupFeed]], each
-    * injected exact copy (d, d+1000000) MUST come back through the full
+    * injected exact copy (d, d+DupShift) MUST come back through the full
     * fingerprint → chunk-block → popcount path at hamming 0 — identical
     * token lists hash identically, equal chunks guarantee the blocking
     * join emits the pair, so the output is closed-form and the oracle
@@ -530,11 +612,11 @@ object Dedup {
   def dedupSimhashAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     simhashPairs(s, dupFeed(s, dir))
-      .filter($"d2" === $"d1" + 1000000L)
+      .filter($"d2" === $"d1" + DupShift)
       .orderBy($"d1")
   }
   val dedupSimhashAuditSql: String =
-    """SELECT doc_id AS d1, doc_id + 1000000 AS d2, 0 AS hamming
+    s"""SELECT doc_id AS d1, doc_id + $DupShift AS d2, 0 AS hamming
       |FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
       |ORDER BY d1""".stripMargin
 
@@ -770,7 +852,7 @@ object Dedup {
       e.filter($"vec_id" % 4 === 0)
         .select($"vec_id", transform($"v", (x, i) =>
           x + (($"vec_id" * 31 + i * 17) % 7 - 3) * 0.005).as("v"))
-        .select(($"vec_id" + 1000000L).as("vec_id"), $"v"))
+        .select(guardShift($"vec_id", VecShift, "nearFeed").as("vec_id"), $"v"))
   }
   /** DuckDB twin of [[nearFeed]] (lambda index is 1-based there). */
   val nearFeedSql: String =
@@ -779,7 +861,7 @@ object Dedup {
       |  FROM embeddings WHERE ${Ann.ValidVecSql}),
       |nf AS (SELECT vec_id, v FROM n
       |  UNION ALL
-      |  SELECT vec_id + 1000000,
+      |  SELECT vec_id + ${VecShift},
       |    list_transform(v, (x, i) ->
       |      x + ((vec_id * 31 + (i - 1) * 17) % 7 - 3) * 0.005)
       |  FROM n WHERE vec_id % 4 = 0)""".stripMargin

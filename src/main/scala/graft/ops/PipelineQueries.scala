@@ -257,7 +257,7 @@ object PipelineQueries {
   def pipelineCanonicalCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val drop = Dedup.dedupCluster(s, dir)
-      .filter($"doc_id" =!= $"canonical_id" && $"doc_id" < 1000000L)
+      .filter($"doc_id" =!= $"canonical_id" && $"doc_id" < Dedup.DupShift)
       .select($"doc_id", lit(true).as("is_dup"))
     graft.Tables.table(s, dir, "documents")
       .join(drop, Seq("doc_id"), "left")
@@ -270,7 +270,7 @@ object PipelineQueries {
   val pipelineCanonicalCorpusSql: String =
     s"""WITH RECURSIVE ${Dedup.clusterLabelCtes},
        |drp AS (SELECT doc_id FROM lbl
-       |        WHERE doc_id <> canonical_id AND doc_id < 1000000)
+       |        WHERE doc_id <> canonical_id AND doc_id < ${Dedup.DupShift})
        |SELECT d.source,
        |  CAST(sum(CASE WHEN drp.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_kept,
@@ -464,14 +464,14 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val feed = Dedup.dupFeed(s, dir)
     val inDir = graft.Scratch.dir("graft_ingest_in")
-    val maxBase = feed.filter($"doc_id" < 1000000L)
+    val maxBase = feed.filter($"doc_id" < Dedup.DupShift)
       .agg(max($"doc_id")).as[Long].head()
     val (cut1, cut2) = (maxBase / 3, 2 * maxBase / 3)
     val batches = Seq(
       ("00", feed.filter($"doc_id" <= cut1)),
       ("01", feed.filter($"doc_id" > cut1 && $"doc_id" <= cut2)),
-      ("02", feed.filter($"doc_id" > cut2 && $"doc_id" < 1000000L)),
-      ("03", feed.filter($"doc_id" >= 1000000L)))
+      ("02", feed.filter($"doc_id" > cut2 && $"doc_id" < Dedup.DupShift)),
+      ("03", feed.filter($"doc_id" >= Dedup.DupShift)))
     batches.zipWithIndex.foreach { case ((name, part), i) =>
       val tmp = graft.Scratch.dir(s"graft_ingest_$name")
       part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -1057,7 +1057,7 @@ object PipelineQueries {
       .withColumn("text",
         when($"doc_id" % 17 === 0, concat($"text", lit(" v2"))).otherwise($"text"))
       .unionByName(v1.filter($"doc_id" % 10 === 0)
-        .select(($"doc_id" + 1000000L).as("doc_id"), $"source",
+        .select((Dedup.guardShift($"doc_id", Dedup.DupShift, "dataset_diff") ).as("doc_id"), $"source",
           concat($"text", lit(" new")).as("text")))
     def digests(df: DataFrame, tag: String) = df.select(
       $"doc_id", $"source".as(s"source_$tag"),
@@ -1078,12 +1078,12 @@ object PipelineQueries {
       .orderBy($"source", $"status")
   }
   val pipelineDatasetDiffSql: String =
-    """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+    s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
       |v2 AS (SELECT doc_id, source,
       |    CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
       |  FROM v1 WHERE doc_id % 13 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000, source, text || ' new'
+      |  SELECT doc_id + ${Dedup.DupShift}, source, text || ' new'
       |  FROM v1 WHERE doc_id % 10 = 0),
       |a AS (SELECT doc_id, source AS source_a, md5(text) AS md5_a,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_a FROM v1),

@@ -43,8 +43,8 @@ object ScaleUp {
     rep("orders", Seq("o_orderkey"), 100000000L)
     rep("lineitem", Seq("l_orderkey"), 100000000L)
     rep("events", Seq("event_id"), 100000000L)
-    rep("documents", Seq("doc_id"), 1000000L)
-    rep("embeddings", Seq("vec_id"), 1000000L)
+    rep("documents", Seq("doc_id"), 100000000L)
+    rep("embeddings", Seq("vec_id"), 100000000L)
     spark.stop()
   }
 }

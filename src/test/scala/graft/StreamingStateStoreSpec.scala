@@ -4,31 +4,35 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture.{spark, sf0001}
 
-/** SURVEY §3 claims "state store (RocksDB in prod)" — this suite
-  * proves it instead of asserting it: every stateful streaming
-  * operator (flatMapGroupsWithState latest-state/SCD2/as-of,
-  * dropDuplicatesWithinWatermark, session windows, and the C39
-  * ingest loop) must produce the IDENTICAL result under
-  * `RocksDBStateStoreProvider` (the production provider, bundled
-  * with Spark) as under the default HDFS-backed provider. The
-  * provider conf is read at stream start, so each op runs once per
-  * provider inside the one shared session. Tests are unrolled (not a
-  * loop) so CoverageSpec's `test(` count stays the runtime count. */
+/** SURVEY §3 claims "state store (RocksDB in prod)", and since r11 the
+  * bounded-runner scaffold DEFAULTS to `RocksDBStateStoreProvider`
+  * (CdcStream.withStatePartitions) — this suite pins the identity BOTH
+  * ways: every stateful streaming operator (flatMapGroupsWithState
+  * latest-state/SCD2/as-of, dropDuplicatesWithinWatermark, session
+  * windows, and the C39 ingest loop) must produce the IDENTICAL result
+  * under the scaffold default (RocksDB) as under an EXPLICITLY-set
+  * HDFS-backed provider (which the scaffold must respect, not
+  * override). The provider conf is read at stream start, so each op
+  * runs once per provider inside the one shared session. Tests are
+  * unrolled (not a loop) so CoverageSpec's `test(` count stays the
+  * runtime count. */
 class StreamingStateStoreSpec extends AnyFunSuite {
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
   private def check(op: String): Unit = {
     val fn = SparkEntry.queries(op)
-    val base = fn(spark, sf0001).collect().map(_.toString).toSeq
-    assert(base.nonEmpty, s"$op produced no rows under default provider")
-    // referenced by name: the provider class ships in spark-sql but
-    // is not exported to user code; the conf resolves it reflectively
+    // scaffold default path: provider unset -> RocksDB inside the runner
+    val rocks = fn(spark, sf0001).collect().map(_.toString).toSeq
+    assert(rocks.nonEmpty, s"$op produced no rows under default (RocksDB)")
+    // explicit HDFS-backed provider must be RESPECTED by the scaffold
+    // (referenced by name: the class ships in spark-sql but is not
+    // exported to user code; the conf resolves it reflectively)
     spark.conf.set(ProviderConf, "org.apache.spark.sql.execution." +
-      "streaming.state.RocksDBStateStoreProvider")
-    val rocks =
+      "streaming.state.HDFSBackedStateStoreProvider")
+    val hdfs =
       try fn(spark, sf0001).collect().map(_.toString).toSeq
       finally spark.conf.unset(ProviderConf)
-    assert(rocks === base, s"$op diverged under RocksDB state store")
+    assert(hdfs === rocks, s"$op diverged between HDFS and RocksDB stores")
   }
 
   test("cdc_stream_upserts under RocksDB state store equals default") {

@@ -44,7 +44,7 @@ class DedupSpec extends AnyFunSuite {
       .select("d1", "d2").as[(Long, Long)].collect()
     val docs = graft.Tables.table(spark, sf0001, "documents")
       .select($"doc_id").as[Long].collect()
-    val exact = docs.filter(_ % 10 == 0).map(d => (d, d + 1000000L))
+    val exact = docs.filter(_ % 10 == 0).map(d => (d, d + Dedup.DupShift))
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -68,13 +68,13 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     val got = Dedup.dedupContainment(spark, sf0001)
       .as[(Long, Long, Double)].collect()
-    // every injected fragment (id shifted +2000000) is a shingle-subset
+    // every injected fragment (id shifted +FragShift) is a shingle-subset
     // of its source, so it must surface with containment exactly 1.0
     val nFrags = graft.Tables.table(spark, sf0001, "documents")
       .filter($"doc_id" % 9 === 0 &&
         org.apache.spark.sql.functions.size(
           org.apache.spark.sql.functions.split($"text", " ")) >= 8).count()
-    val fragHits = got.filter(p => p._1 >= 2000000L && p._2 == p._1 - 2000000L)
+    val fragHits = got.filter(p => p._1 >= Dedup.FragShift && p._2 == p._1 - Dedup.FragShift)
     assert(fragHits.length === nFrags, "an injected fragment was missed")
     assert(fragHits.forall(_._3 == 1.0))
     // the same (fragment, source) pairs are invisible to symmetric
@@ -112,7 +112,7 @@ class DedupSpec extends AnyFunSuite {
     val docs = graft.Tables.table(spark, sf0001, "documents").count()
     assert(out.length === docs) // corpus has no natural exact dups
     assert(out.count(_._3 == 2) === (docs / 10).toInt) // injected copies collapse
-    assert(out.forall(_._2 < 1000000L)) // canonical row is the original
+    assert(out.forall(_._2 < Dedup.DupShift)) // canonical row is the original
   }
 
   test("dedup_semantic accounting conserves the feed and catches every planted copy") {
@@ -129,7 +129,7 @@ class DedupSpec extends AnyFunSuite {
     // dedup (SemDeDup accepts it; C5's LSH path catches those).
     // Deterministic here: 121 of 125 planted copies drop.
     val planted = Dedup.nearFeed(spark, sf0001)
-      .filter($"vec_id" >= 1000000L).count()
+      .filter($"vec_id" >= Dedup.VecShift).count()
     val dropped = stats.map(_._2).sum
     assert(dropped >= planted * 9 / 10,
       s"dropped $dropped < 90% of $planted planted near-copies")

@@ -14,6 +14,6 @@ class FingerprintSpec extends AnyFunSuite {
     // doc_id+1000000 copies injected by Dedup.dupFeed; this is what
     // licenses the text-equality SQL oracle for this query
     assert(pairs.length === (docs / 10).toInt)
-    assert(pairs.forall { case (d1, d2) => d2 === d1 + 1000000L && d1 % 10 === 0 })
+    assert(pairs.forall { case (d1, d2) => d2 === d1 + graft.ops.Dedup.DupShift && d1 % 10 === 0 })
   }
 }
