@@ -1559,20 +1559,18 @@ object Ann {
     val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
     graft.functions.GraftExpressions.register(s)
 
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-    val nrmV = sqrt(dot($"v", $"v"))
+    // per-cell affinity via the FUSED codegen cosine kernel
+    // (functions/HashOps.cosine): dot + both norms in one array pass,
+    // replacing 8 interpreted aggregate(zip_with(..)) folds per corpus
+    // row (r11 attribution pass — the r10 `greatest` divisor guard and
+    // its codegen-limit history live in git; the kernel needs no
+    // divisor guard at all, it returns 0 on a zero norm, and the
+    // corpus filter already excludes such rows). Summation order
+    // inside the kernel matches the previous HOF fold and the oracle's
+    // list_sum left-to-right, so the r4-rounded values are
+    // bit-identical (driver hash-verified).
     val cells = array(cents.map { cv =>
-      val cn = math.sqrt(cv.map(x => x * x).sum)
-      // zero-safe divisor: Catalyst may collapse this projection into a
-      // predicate stage that runs before the corpus validity filter, so
-      // the division must not ANSI-abort on a zero norm. greatest(x,
-      // 4.9e-324) is exact for every contract-valid row (x > 0) and —
-      // unlike nullif, which DUPLICATES the norm subtree and blew this
-      // expression past codegen limits (1.4 s → 11.7 s at sf0.1, r10) —
-      // adds one comparison, not a second aggregate
-      r4(dot($"v", array(cv.map(lit): _*)) /
-        greatest(nrmV * lit(cn), lit(java.lang.Double.MIN_VALUE)))
+      r4(call_function("cosine_sim", $"v", array(cv.map(lit): _*)))
     }: _*)
     // first-max position = lowest-cell tie-break, matching the oracle
     val cellCol = (array_position(cells, array_max(cells)) - 1).cast("int")
