@@ -46,25 +46,36 @@ object CdcStream {
     n
   }
 
-  /** Production state-store provider, the scaffold DEFAULT since r11
-    * (r10 verdict task 6: SCALING.md measured RocksDB ~25% faster at
-    * 1M-event state, and SURVEY §3 names it the production choice —
-    * the bounded runners now exercise the provider they recommend).
-    * An EXPLICITLY-set session provider wins: the conf is only
-    * defaulted when absent, so StreamingStateStoreSpec still pins the
-    * HDFS-backed provider to identical results, and TimeQuery's
-    * `k=v` overrides keep working. */
+  /** Production state-store provider, the scaffold DEFAULT for the
+    * KEYED-STATE runners since r11 (r10 verdict task 6: SCALING.md
+    * measured RocksDB ~25% faster at 1M-event flatMapGroupsWithState
+    * state, and SURVEY §3 names it the production choice). The
+    * STREAM-STREAM JOIN runner keeps the HDFS-backed provider: the
+    * same r11 measurement pass found the join 2.8× SLOWER under
+    * RocksDB at sf1 (5.7 s vs 15.8 s warm) — a symmetric join
+    * maintains four stores per side with several gets/puts per input
+    * row, and the per-op JNI overhead dominates at this state shape
+    * where the keyed runners' one-get-one-put profile does not. Both
+    * measurements in SCALING.md round-11; per-runner choice is
+    * exactly the tuning a real deployment makes. An EXPLICITLY-set
+    * session provider always wins: the conf is only defaulted when
+    * absent, so StreamingStateStoreSpec still pins both providers to
+    * identical results, and TimeQuery's `k=v` overrides keep
+    * working. */
   val RocksProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val HdfsProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
-  private[cdc] def withStatePartitions[T](s: SparkSession)(f: => T): T = {
+  private[cdc] def withStatePartitions[T](s: SparkSession,
+      defaultProvider: String = RocksProvider)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     // conf.get(key, fallback) returns the fallback iff the key is not
     // EXPLICITLY set in this session (registered defaults don't count)
     val explicitProvider = s.conf.get(ProviderConf, "")
     s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
-    if (explicitProvider.isEmpty) s.conf.set(ProviderConf, RocksProvider)
+    if (explicitProvider.isEmpty) s.conf.set(ProviderConf, defaultProvider)
     try f finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       if (explicitProvider.isEmpty) s.conf.unset(ProviderConf)
@@ -76,9 +87,10 @@ object CdcStream {
     * the sink table — the sequence every bounded runner repeats
     * (factored in r10; a drain-behavior fix now lands in one place). */
   private def runToMemorySink(spark: SparkSession, df: DataFrame,
-      mode: OutputMode, prefix: String): DataFrame = {
+      mode: OutputMode, prefix: String,
+      provider: String = RocksProvider): DataFrame = {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark) {
+    withStatePartitions(spark, provider) {
       val q = df.writeStream
         .outputMode(mode).format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
@@ -177,7 +189,10 @@ object CdcStream {
       $"user_id" === $"p_user_id" &&
         $"purchase_ts" >= $"signup_ts" &&
         $"purchase_ts" <= $"signup_ts" + expr("INTERVAL 1 HOUR"))
-    runToMemorySink(spark, joined, OutputMode.Append, "graft_sjoin_")
+    // HDFS-backed store for the SYMMETRIC join state — measured 2.8×
+    // faster than RocksDB at sf1 for this runner (see RocksProvider doc)
+    runToMemorySink(spark, joined, OutputMode.Append, "graft_sjoin_",
+      HdfsProvider)
   }
 
   /** Streaming exact dedup on event_id with watermark-bounded state:

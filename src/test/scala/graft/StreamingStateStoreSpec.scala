@@ -50,6 +50,14 @@ class StreamingStateStoreSpec extends AnyFunSuite {
   test("cdc_stream_asof under RocksDB state store equals default") {
     check("cdc_stream_asof")
   }
+  test("cdc_stream_join state-store providers agree (HDFS default here)") {
+    // the one runner whose scaffold default is HDFS (symmetric-join
+    // state profile — see CdcStream.RocksProvider doc); the explicit
+    // conf in check() exercises it under HDFS twice, and the identity
+    // vs the unset-default path still pins scaffold respect of an
+    // explicit provider
+    check("cdc_stream_join")
+  }
   test("pipeline_stream_ingest under RocksDB state store equals default") {
     check("pipeline_stream_ingest")
   }
