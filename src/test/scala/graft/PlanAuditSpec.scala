@@ -427,6 +427,36 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("C4 simhash candidates join fingerprint CLASSES, not docs") {
+    // r10 ADVICE (closed r11): the chunk-blocked candidate self-join
+    // must run over DISTINCT fingerprints — a doc-level join emits
+    // O(clique² × 4 chunks) candidate rows per identical-text clique
+    // (empty/whitespace pages on a real corpus). Audited on the
+    // analyzed plan: every Join whose condition touches the chunk
+    // value `cv` must have Distinct/Aggregate (the class projection)
+    // on both input branches, and no such join may reference doc_id.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, Join}
+    val analyzed = ops.Dedup.dedupSimhash(spark, sf0001).queryExecution.analyzed
+    val chunkJoins = analyzed.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "cv")) => j
+    }
+    assert(chunkJoins.nonEmpty, "no chunk-blocked candidate join found")
+    chunkJoins.foreach { j =>
+      assert(!j.condition.get.references.exists(_.name == "doc_id"),
+        s"chunk join still keyed by doc_id (doc-level blow-up form):\n$j")
+      Seq(j.left, j.right).foreach { side =>
+        val classed = side.exists {
+          case _: Distinct => true
+          case _: Deduplicate => true // .distinct() analyzes to Deduplicate
+          case a: Aggregate => a.groupingExpressions.nonEmpty
+          case _ => false
+        }
+        assert(classed,
+          s"chunk-join input lacks the distinct fingerprint-class projection:\n$side")
+      }
+    }
+  }
+
   test("q_window_gap_fill: spine join and fill ride the rollup's exchanges") {
     // the B36 claim: one (user, hour) rollup shuffle + one user
     // shuffle shared by the spine agg/join/window, + the presentation
