@@ -621,16 +621,24 @@ object CdcQueries {
     val changes = ChangeFeed.fromEvents(s, dir)
     val ack = changes.agg(floor(max($"seq") * 0.6).cast("long").as("ack_lsn"))
     val tagged = changes.crossJoin(broadcast(ack))
-    def roll(bucket: org.apache.spark.sql.Column) = tagged
-      .groupBy(bucket.as("bucket"))
-      .agg(count(lit(1)).as("n_changes"),
-        sum(when($"seq" <= $"ack_lsn", 1L).otherwise(0L)).as("n_acked"),
-        sum(when($"seq" > $"ack_lsn", 1L).otherwise(0L)).as("n_backlog"),
-        (unix_micros(max($"ts")) -
-          unix_micros(max(when($"seq" <= $"ack_lsn", $"ts"))))
-          .as("lag_micros"))
-    roll(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss"))
-      .unionByName(roll(lit("TOTAL")))
+    val aggs = Seq(count(lit(1)).as("n_changes"),
+      sum(when($"seq" <= $"ack_lsn", 1L).otherwise(0L)).as("n_acked"),
+      sum(when($"seq" > $"ack_lsn", 1L).otherwise(0L)).as("n_backlog"),
+      (unix_micros(max($"ts")) -
+        unix_micros(max(when($"seq" <= $"ack_lsn", $"ts"))))
+        .as("lag_micros"))
+    val hourly = tagged
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss")
+        .as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+    // TOTAL is a GLOBAL aggregate, not groupBy(lit): identical on any
+    // populated feed, but on an EMPTY feed SQL's global agg emits its
+    // one (0, NULL…) row — which the oracle's no-GROUP-BY arm does —
+    // while a constant groupBy emits zero rows (r11 empty-input sweep)
+    val total = tagged.agg(aggs.head, aggs.tail: _*)
+      .select(lit("TOTAL").as("bucket"), $"n_changes", $"n_acked",
+        $"n_backlog", $"lag_micros")
+    hourly.unionByName(total)
       .orderBy($"bucket")
   }
 
@@ -681,8 +689,12 @@ object CdcQueries {
       .select($"delay", $"n_changes", $"n_late",
         // DECIMAL(38) widen: n_late ×1e6 has only ~9× headroom under
         // 2^63 at a 10^12-change feed — same overflow class as the
-        // revenue/token ppm sites, widened uniformly
-        expr("cast(n_late as decimal(38,0)) * 1000000 div n_changes")
+        // revenue/token ppm sites, widened uniformly. NULL on an
+        // EMPTY feed (n_changes 0): DuckDB's `// 0` is NULL while
+        // Spark's ANSI `div 0` aborts — the guard pins the shared
+        // semantics (r11 empty-input sweep)
+        expr("""if(n_changes = 0, cast(null as bigint),
+                cast(n_late as decimal(38,0)) * 1000000 div n_changes)""")
           .as("late_ppm"))
       .orderBy($"delay")
   }
@@ -960,7 +972,8 @@ object CdcQueries {
           f"seg_${org.apache.spark.TaskContext.getPartitionId()}%05d.bin"),
           bos.toByteArray)
         Iterator.single(n)
-      }.reduce(_ + _)
+      }.collect().sum // not .reduce: an EMPTY feed has zero partitions and
+      // Dataset.reduce throws "empty collection" (r11 empty-input sweep)
     val decoded = s.readStream.format("pgoutput").load(segDir)
       .select(expr("pg_decode(msg)").as("d"))
       .select(
@@ -1183,7 +1196,8 @@ object CdcQueries {
         }
         flush()
         Iterator.single(written)
-      }.reduce(_ + _)
+      }.collect().sum // not .reduce: an EMPTY feed has zero partitions and
+      // Dataset.reduce throws "empty collection" (r11 empty-input sweep)
     val vSchema = StructType(Seq(
       StructField("key", LongType), StructField("seq", LongType),
       StructField("op", StringType), StructField("event_type", StringType),
@@ -1222,7 +1236,11 @@ object CdcQueries {
     val changes = ChangeFeed.fromEvents(s, dir)
       .select($"key", $"seq", $"op", $"event_type", $"value",
         expr("unix_micros(ts)").as("tsMicros"))
-    val cut = changes.agg(floor(max($"seq") / 2).cast("long")).as[Long].head()
+    // Option decode: max() on an EMPTY feed is NULL and the bare Long
+    // decode crashed (r11 empty-input sweep); cut 0 -> two empty halves
+    // -> two empty batches -> empty table, the defined semantics
+    val cut = changes.agg(floor(max($"seq") / 2).cast("long"))
+      .as[Option[Long]].head().getOrElse(0L)
     val inDir = graft.Scratch.dir(s"graft_${tag}_in")
     Seq(("00", changes.filter($"seq" <= cut)),
         ("01", changes.filter($"seq" > cut))).foreach { case (name, half) =>
@@ -1386,7 +1404,7 @@ object CdcQueries {
       try q.processAllAvailable() finally q.stop()
     }
     val horizon = ChangeFeed.fromEvents(s, dir)
-      .agg(max($"seq")).as[Long].head()
+      .agg(max($"seq")).as[Option[Long]].head().getOrElse(0L)
     graft.sinks.PartitionedTable.compact(s, table, Buckets, horizon)
     graft.sinks.PartitionedTable.readLatest(s, table, Buckets)
       .select($"key".as("user_id"), $"event_type".as("last_event_type"),

@@ -272,7 +272,12 @@ object CdcStream {
     val minTs = batch
       .agg(min(graft.Tables.eventTs(schema("ts").dataType)).as("min_ts"))
       .head.getTimestamp(0)
-    require(minTs != null &&
+    // null min ⇒ the feed is EMPTY (or all-null ts) — a legitimate
+    // state (fresh CDC slot, filtered-to-nothing partition), not a
+    // unit mismatch: let it flow through to an empty result (r11
+    // empty-input sweep; the old guard blamed "ts unit/schema
+    // mismatch" for an empty feed)
+    require(minTs == null ||
         minTs.after(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")),
       s"event feed at $path has min event-time $minTs (pre-2000) — " +
         "ts unit/schema mismatch; see Tables.eventTsMicros")

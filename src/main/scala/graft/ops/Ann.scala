@@ -1001,6 +1001,12 @@ object Ann {
             expr("cast(floor(sfp * 1.0 / n) as bigint) * cast(floor(sfp * 1.0 / n) as bigint) div 1000000"))
             .cast("long")).as("var_fp"))
       .orderBy($"dim").collect()                  // 64 rows: bounded
+    // EMPTY valid-vector corpus ⇒ zero moment rows; the power
+    // iteration has nothing to iterate (the old code crashed on
+    // empty.max — r11 empty-input sweep). Callers treat the empty
+    // moment set as "no corpus": C63 yields its natural 0 rows, C60
+    // short-circuits to an empty frame.
+    if (mom.isEmpty) return (Array.empty[Long], 0L, Array.empty[Long])
     val meanFp = mom.map(_.getLong(1))
     val totVarFp = mom.map(_.getLong(2)).sum
     val maCol = array(meanFp.map(m => lit(m / 1e6)): _*)
@@ -1081,6 +1087,12 @@ object Ann {
   def embAnisotropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (meanFp, totVarFp, vfp) = topPc(s, dir)
+    // empty valid-vector corpus: no principal component exists — emit
+    // the empty frame (the global agg below always yields one row, so
+    // without the guard getLong(null) NPE'd; r11 empty-input sweep)
+    if (meanFp.isEmpty)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("dim", "pc1_loading", "pc1_share_ppm")
     val lam = withDot(s, dir, meanFp, vfp)
       .agg(count(lit(1)).as("n"),
         sum(expr(

@@ -219,8 +219,11 @@ object Dedup {
       .crossJoin(broadcast(nDocs))
       .select($"t_pct", $"n_pairs", $"n_dropped",
         ($"n_docs" - $"n_dropped").as("n_survivors"),
-        floor(($"n_docs" - $"n_dropped") * 1000000.0 / $"n_docs" + 0.5)
-          .cast("long").as("survival_ppm"))
+        // NULL on an EMPTY corpus (n_docs 0): DuckDB's x/0 is NULL
+        // while the Spark floor(∞).cast aborts (r11 empty-input sweep)
+        when($"n_docs" === 0, lit(null).cast("long"))
+          .otherwise(floor(($"n_docs" - $"n_dropped") * 1000000.0 / $"n_docs" + 0.5)
+            .cast("long")).as("survival_ppm"))
       .orderBy($"t_pct")
   }
   val dedupSurvivalCurveSql: String =

@@ -227,11 +227,15 @@ object PipelineQueries {
   def pipelineShardManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = graft.Scratch.dir("graft_shards").toString
-    graft.Tables.table(s, dir, "documents")
+    val sharded = graft.Tables.table(s, dir, "documents")
       .withColumn("shard",
         substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))), 1, 1))
-      .write.mode("overwrite").partitionBy("shard").parquet(out)
-    s.read.parquet(out)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    // explicit schema on the read-back: an EMPTY corpus writes zero
+    // partition dirs and schema inference fails with
+    // UNABLE_TO_INFER_SCHEMA (r11 empty-input sweep); the declared
+    // schema also makes `shard` resolve as the partition column
+    s.read.schema(sharded.schema).parquet(out)
       .groupBy($"shard".cast("string").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
@@ -464,8 +468,12 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val feed = Dedup.dupFeed(s, dir)
     val inDir = graft.Scratch.dir("graft_ingest_in")
+    // Option decode: max() on an EMPTY feed is NULL, and the bare
+    // .as[Long] decode crashed with NOT_NULL_ASSERT_VIOLATION (r11
+    // empty-input sweep). 0 cuts make every batch empty → the stream
+    // runs 4 empty batches → empty result, the defined semantics.
     val maxBase = feed.filter($"doc_id" < Dedup.DupShift)
-      .agg(max($"doc_id")).as[Long].head()
+      .agg(max($"doc_id")).as[Option[Long]].head().getOrElse(0L)
     val (cut1, cut2) = (maxBase / 3, 2 * maxBase / 3)
     val batches = Seq(
       ("00", feed.filter($"doc_id" <= cut1)),
@@ -606,7 +614,9 @@ object PipelineQueries {
     val docs = graft.Tables.table(s, dir, "documents")
       .select($"doc_id", $"text")
     val inDir = graft.Scratch.dir("graft_neardup_in")
-    val maxId = docs.agg(max($"doc_id")).as[Long].head()
+    // Option decode — empty corpus ⇒ 0 cuts ⇒ three empty batches ⇒
+    // empty result (see pipelineStreamIngest; r11 empty-input sweep)
+    val maxId = docs.agg(max($"doc_id")).as[Option[Long]].head().getOrElse(0L)
     val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
     val batchDefs = Seq(
       ("00", docs.filter($"doc_id" <= cut1)),
@@ -902,8 +912,12 @@ object PipelineQueries {
     }.reduce(_ + _)
     val zed = ev.withColumn("z", z)
     val idRow = zed.agg(min($"event_id"), max($"event_id")).head()
+    // EMPTY feed: min/max are NULL and the bare getLong crashed (r11
+    // empty-input sweep); (0, 1) keeps the pid expressions well-formed
+    // — no row ever evaluates them — and the result is the empty frame
     val (idLo, idSpan) =
-      (idRow.getLong(0), idRow.getLong(1) - idRow.getLong(0) + 1)
+      if (idRow.isNullAt(0)) (0L, 1L)
+      else (idRow.getLong(0), idRow.getLong(1) - idRow.getLong(0) + 1)
     def layout(name: String, pidOf: org.apache.spark.sql.Column,
         ord: Seq[org.apache.spark.sql.Column]) = {
       val withPid = zed.withColumn("__pid", pidOf)

@@ -388,9 +388,14 @@ object TextOps {
           i => concat_ws(" ", slice($"w", i + 1, lit(13)))))).as("g"))
       .persist()
     val bench = grams.filter($"doc_id" % 7 === 0).select($"g").distinct()
-    // m = 2^bitlen(16n-1): smallest power of two ≥ 16n, exact integers
+    // m = 2^bitlen(16n-1): smallest power of two ≥ 16n, exact integers.
+    // greatest(nb, 1): an EMPTY benchmark set would otherwise feed
+    // bin(-1) → pow(2, 64) → ANSI BIGINT overflow on both engines
+    // (r11 empty-input sweep; the m value is irrelevant then — no
+    // corpus rows consume it)
     val mrow = broadcast(bench.agg(count(lit(1)).as("nb"))
-      .select($"nb", expr("CAST(pow(2, length(bin(nb * 16 - 1))) AS BIGINT)")
+      .select($"nb",
+        expr("CAST(pow(2, length(bin(greatest(nb, 1) * 16 - 1))) AS BIGINT)")
         .as("m")))
     def positions(df: DataFrame): DataFrame = df
       .crossJoin(mrow.select($"m"))
@@ -426,7 +431,7 @@ object TextOps {
       |  FROM words WHERE len(w) >= 13),
       |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 7 = 0),
       |mrow AS (SELECT count(*) AS nb,
-      |    CAST(pow(2, length(bin(count(*) * 16 - 1))) AS BIGINT) AS m
+      |    CAST(pow(2, length(bin(greatest(count(*), 1) * 16 - 1))) AS BIGINT) AS m
       |  FROM bench),
       |bpos AS (SELECT DISTINCT
       |    CAST(('0x' || substring(md5(j || ':' || g), 1, 8)) AS BIGINT) % m

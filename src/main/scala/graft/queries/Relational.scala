@@ -2052,7 +2052,13 @@ object Relational {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |HAVING count(*) > 0
         |ORDER BY segment, priority""".stripMargin,
+    // ^ HAVING count(*) > 0 is a NO-OP on any populated input (every
+    // cube group aggregates >= 1 row) and defines the EMPTY-input
+    // semantics as Spark's: the Expand-based cube emits zero groups on
+    // zero rows, where SQL's () grouping set would emit one (0, NULL)
+    // row (r11 empty-input sweep)
     "q_skew_salted_distinct" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS exact_users,
@@ -2166,7 +2172,9 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
+        |HAVING count(*) > 0
         |ORDER BY region_name, nation_name""".stripMargin,
+    // ^ empty-input no-op guard — see q_cube_segment
     "q_distinct_users" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS exact_users,
