@@ -77,7 +77,12 @@ object PipelineQueries {
   def pipelineMixSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val coin = substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 2)
-    val srcNum = regexp_replace($"source", "[^0-9]", "").cast("int")
+    // digit-free sources (e.g. a crawl hub with no numeric suffix) have
+    // no parity — they take the conservative odd-source rate. NULLIF
+    // keeps the cast defined on both engines (DuckDB's plain CAST(''
+    // AS INT) is a hard error — surfaced by the skew-replica sweep,
+    // whose viral cohort carries source='viral-hub').
+    val srcNum = nullif(regexp_replace($"source", "[^0-9]", ""), lit("")).cast("int")
     graft.Tables.table(s, dir, "documents")
       .withColumn("keep", when(srcNum % 2 === 0, coin < "80").otherwise(coin < "40"))
       .filter($"keep")
@@ -89,7 +94,7 @@ object PipelineQueries {
     """SELECT source, count(*) AS n_sampled,
       |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
       |FROM documents
-      |WHERE CASE WHEN CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 2 = 0
+      |WHERE CASE WHEN TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 2 = 0
       |  THEN substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
       |  ELSE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40' END
       |GROUP BY source ORDER BY source""".stripMargin

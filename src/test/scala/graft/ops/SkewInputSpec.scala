@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture.spark
+
+/** Skew-input contract (r11 sweep, tools/SkewData): heavy hitters —
+  * a viral duplicate cohort, one hot user owning ~22% of the feed, hot
+  * dim keys — are the shapes a uniform generator never makes and a
+  * real 100 TB corpus always has. The full gate is the sweep (Verify +
+  * selfcheck over the skew replica: 170/171 oracle-green, C3's raw
+  * pair list star-reduced by design on oversize buckets); this spec
+  * pins the cheap representatives so a regression fails in `sbt test`
+  * without the sweep. */
+class SkewInputSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("mix sample: digit-free source takes the odd-source rate, not an engine error") {
+    // skew-sweep finding: source='viral-hub' has no numeric suffix;
+    // DuckDB's CAST('' AS INT) is a hard error while Spark's cast
+    // nulls — the contract is now explicit on both sides (NULLIF /
+    // TRY_CAST): no parity digit -> conservative 1/4 keep rate.
+    val out = graft.Scratch.dir("graft_skew_mix").toString
+    spark.read.parquet(s"${graft.SparkFixture.sf0001}/documents.parquet")
+      .withColumn("source",
+        when(pmod($"doc_id", lit(23)) < 6, lit("viral-hub"))
+          .otherwise($"source"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = graft.SparkEntry.queries("pipeline_mix_sample")(spark, out)
+      .filter($"source" === "viral-hub").select($"n_sampled").as[Long].collect()
+    val expected = spark.read.parquet(s"$out/documents.parquet")
+      .filter($"source" === "viral-hub")
+      .filter(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 2) < "40")
+      .count()
+    assert(got.toSeq === Seq(expected), "digit-free source must sample at the 1/4 rate")
+    assert(expected > 0, "fixture must actually sample some viral docs")
+    assert(graft.SparkEntry.oracleSql("pipeline_mix_sample").contains("TRY_CAST"),
+      "oracle must TRY_CAST the digit parse or DuckDB aborts on digit-free sources")
+    spark.catalog.clearCache()
+  }
+
+  test("viral cohort: C3 pair emission is star-reduced, complete, and non-quadratic") {
+    // 132 docs with IDENTICAL shingle sets — every band maps all 132
+    // into ONE bucket, 2x the 64-id cap (the sweep's viral cohort at
+    // sf0.01). Contract under an oversize bucket: the emitted pair set
+    // is the capped all-pairs plus the iterated-star links — bounded
+    // by cap^2, NOT by cohort^2 — and still covers every member in one
+    // connected component with the min id as canonical survivor. The
+    // unconstrained all-pairs form (8,646 pairs here, ~10^12 for a
+    // million-strong viral cluster at corpus scale) is exactly what
+    // must never materialize.
+    val sh = (1 to 60).map(i => s"w$i")
+    val n = 132
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sh", ArrayType(StringType))))
+    val feed = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until n).map(i => Row(i.toLong, sh)), 4),
+      schema)
+    val pairs = Dedup.minhashPairs(spark, feed)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    spark.catalog.clearCache()
+
+    val cap = 64
+    // capped all-pairs over the 64 smallest ids, plus one star round
+    // pairing the min against the 131 others (63 already in the cap)
+    val expectedCount = cap * (cap - 1) / 2 + (n - 1) - (cap - 1)
+    assert(pairs.length === expectedCount,
+      s"expected star-reduced ${expectedCount} pairs, got ${pairs.length}")
+    assert(pairs.length < n * (n - 1) / 2 / 4, "emission must stay far from quadratic")
+    // completeness: every doc participates; min-id canonical reaches all
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(inPairs.size === n, s"unpaired docs: ${((0L until n.toLong).toSet -- inPairs).take(5)}")
+    val parent = scala.collection.mutable.Map((0L until n.toLong).map(d => d -> d): _*)
+    def find(d: Long): Long =
+      if (parent(d) == d) d else { val r = find(parent(d)); parent(d) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((0L until n.toLong).map(find).toSet.size === 1,
+      "viral cohort must resolve to one connected component")
+  }
+}
