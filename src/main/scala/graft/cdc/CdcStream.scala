@@ -69,18 +69,24 @@ object CdcStream {
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
   private[cdc] def withStatePartitions[T](s: SparkSession,
-      defaultProvider: String = RocksProvider)(f: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    // conf.get(key, fallback) returns the fallback iff the key is not
-    // EXPLICITLY set in this session (registered defaults don't count)
-    val explicitProvider = s.conf.get(ProviderConf, "")
-    s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
-    if (explicitProvider.isEmpty) s.conf.set(ProviderConf, defaultProvider)
-    try f finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      if (explicitProvider.isEmpty) s.conf.unset(ProviderConf)
+      defaultProvider: String = RocksProvider)(f: => T): T =
+    // serialized under SessionConfLock: two runners racing the
+    // set/restore on one shared session would otherwise restore stale
+    // widths or run under each other's state-partition count (r11
+    // concurrency audit; ConcurrencySpec races two runners and pins
+    // both results + the restored conf)
+    graft.SessionConfLock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      // conf.get(key, fallback) returns the fallback iff the key is not
+      // EXPLICITLY set in this session (registered defaults don't count)
+      val explicitProvider = s.conf.get(ProviderConf, "")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      if (explicitProvider.isEmpty) s.conf.set(ProviderConf, defaultProvider)
+      try f finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        if (explicitProvider.isEmpty) s.conf.unset(ProviderConf)
+      }
     }
-  }
 
   /** Shared bounded-run scaffold: start `df` into a uniquely-named
     * memory sink under [[StatePartitions]], drain, stop, and return

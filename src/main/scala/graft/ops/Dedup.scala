@@ -704,11 +704,17 @@ object Dedup {
     * loop, so a component-sized hub degree is disk-bounded, not
     * heap-bounded (r10 hardening; was groupBy-collect_set).
     *
-    * `parts` sizes the loop's shuffles to edge volume by raising the
-    * session shuffle-partition count for the loop's duration (windows
-    * and groupBy take partition counts from the session, not from a
-    * preceding repartition; AQE coalesces back down when partitions
-    * run small) — restored on exit.
+    * `parts` sizes the loop's shuffles to edge volume — CONF-FREE
+    * (r11 concurrency audit): each window pass is preceded by an
+    * explicit `repartition(np, u)`, which is the exact exchange the
+    * window would insert anyway but at a width we pick per round from
+    * the LIVE canonical edge count (the count the fixpoint test
+    * already takes). The earlier form raised the session
+    * `spark.sql.shuffle.partitions` for the loop's duration — a
+    * session-scoped mutation that races against concurrent queries on
+    * a shared session — and leaned on AQE to coalesce small rounds;
+    * the live-count width does that sizing exactly, shrinking as the
+    * edge set contracts.
     *
     * localCheckpoint per round: an iterative loop's logical plan
     * otherwise grows by one join per round and Catalyst re-analyzes
@@ -732,18 +738,25 @@ object Dedup {
     // at the fixpoint the component min's degree IS the component
     // size, exactly where an agg-buffer array would OOM a task
     // (r10 bounded-buffer hardening)
-    def canon(df: DataFrame): DataFrame = {
+    def canon(df: DataFrame, np: Int): DataFrame = {
       val wv = Window.partitionBy($"u").orderBy($"v")
-      df.withColumn("pv", lag($"v", 1).over(wv))
+      df.repartition(np, $"u")
+        .withColumn("pv", lag($"v", 1).over(wv))
         .filter($"pv".isNull || $"pv" =!= $"v")
         .drop("pv")
     }
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    if (parts > prevParts.toInt)
-      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    // width ceiling honors both the caller's edge-volume sizing and
+    // the session's configured parallelism; per-round widths shrink
+    // with the live canonical count (≈1 partition per 250k edges,
+    // floor 1 — the same density the caller sizes `parts` from)
+    val maxParts =
+      math.max(parts, s.conf.get("spark.sql.shuffle.partitions").toInt)
+    def width(n: Long): Int =
+      math.max(1, math.min(maxParts, (n / 250000L).toInt + 1))
+    locally {
       var edges = canon(edges0.filter($"u" =!= $"v")
-        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v")))
+        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v")),
+        width(edges0.count()))
         .localCheckpoint()
       var rounds = 0
       var prevCount = edges.count()
@@ -754,19 +767,21 @@ object Dedup {
       // hitting it means a bug — fail loudly rather than return wrong
       // labels.
       while (!converged && rounds < 50) {
+        val np = width(prevCount)
         // large-star over the symmetrized neighborhood; min().over(w)
         // is a group-min broadcast within the partition key, no join
         val nbrs = edges.unionByName(edges.select($"v".as("u"), $"u".as("v")))
+          .repartition(np, $"u")
         val ls = nbrs
           .withColumn("m", least(min($"v").over(wl), $"u"))
           .filter($"v" > $"u")
           .select($"v".as("u"), $"m".as("v"))
         // small-star: ls edges are all big→small already, so the
         // neighborhood of u is exactly its smaller neighbors
-        val sm = ls.withColumn("m", min($"v").over(wl))
+        val sm = ls.repartition(np, $"u").withColumn("m", min($"v").over(wl))
         val next = canon(sm.select($"v".as("u"), $"m".as("v"))
           .unionByName(sm.select($"u", $"m".as("v")))
-          .filter($"u" =!= $"v"))
+          .filter($"u" =!= $"v"), np)
           .localCheckpoint()
         // count-gated fixpoint test (r8): while actively contracting,
         // the canonical edge count changes nearly every round, and the
@@ -791,7 +806,7 @@ object Dedup {
         .select($"u", coalesce($"v", $"u").as("l"))
         .localCheckpoint()
       (labels, rounds)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
   /** Shared CTE chain: edges (C2's exact pair derivation ∪ closed-form
     * injected exact dups) → recursive min-reachability → `lbl`
