@@ -152,7 +152,19 @@ object TextOps {
         .when($"doc_id" % 5 === 1,
           concat($"text", lit(" call 555-"), $"doc_id" % 10000))
         .otherwise($"text").as("text2"))
-    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    // the negative lookbehind makes Java's backtracking engine LINEAR
+    // on long alphanumeric runs: without it, every interior position
+    // of a run re-consumes the run's tail before failing ('x'*100k ⇒
+    // ~10^10 char ops — one adversarial crawl page wedged an executor
+    // core for 17+ min in the r11 long-doc sweep). Interior positions
+    // now fail the lookbehind in O(1); only run STARTS attempt the
+    // greedy consume. Match-set equivalence with the oracle's plain
+    // pattern (RE2 — linear by construction, no lookbehind support)
+    // is exact: a returned match can never be preceded by [a-z0-9],
+    // because the enclosing run's start would yield an earlier match
+    // that find() returns first (RegexScrubSpec pins this on
+    // underscore/uppercase/long-run adversaries).
+    val email = "(?<![a-z0-9])[a-z0-9]+@[a-z]+\\.[a-z]+"
     val phone = "555-[0-9]+"
     withPii.select($"doc_id",
         size(expr(s"regexp_extract_all(text2, '$email', 0)")).cast("long").as("n_emails"),
