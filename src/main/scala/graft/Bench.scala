@@ -23,7 +23,7 @@ object Bench {
       val warmDir = if (tiny.isDirectory) tiny.getPath else sfDir
       SparkEntry.queries.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
-        spark.catalog.clearCache()
+        GraftSession.release(spark)
       }
     }
     // Best + median per query over 5 runs (r7 verdict: single-shot
@@ -41,7 +41,10 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        // also drops finished memory-sink tables: every run of a
+        // streaming query creates a fresh UUID-named sink, so without
+        // the release 5 runs retain 5 copies of its rows on the heap
+        GraftSession.release(spark)
         if (ok) sec else -1.0
       }.filter(_ >= 0)
       val best = if (secs.nonEmpty) secs.min else -1.0

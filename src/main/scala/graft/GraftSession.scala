@@ -22,6 +22,22 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
 
+  /** Release per-query run artifacts: drop every `graft_*` temp view
+    * (each bounded streaming runner materializes into a uniquely-named
+    * in-memory sink table — the catalog reference is what keeps those
+    * rows on the driver heap after the query's result is consumed) and
+    * clear the block-manager cache. Harness runners call this between
+    * queries; without it a long sequential run accumulates every
+    * finished stream's sink rows, and on a memory-tight driver a later
+    * query's broadcast build inherits the shrunken heap (r11 low-memory
+    * sweep: dedup_containment's runtime broadcast OOM'd at 2 GB only
+    * AFTER the cdc streaming queries had run). */
+  def release(spark: SparkSession): Unit = {
+    spark.sessionState.catalog.listLocalTempViews("graft_*")
+      .foreach(id => spark.catalog.dropTempView(id.table))
+    spark.catalog.clearCache()
+  }
+
   /** Local session sized to the machine (tests, examples, bench).
     * `getOrCreate` returns any pre-existing session UNCHANGED —
     * builder configs are silently ignored then, and a session built

@@ -25,8 +25,9 @@ object Verify {
       }
       // queries that persist() internal branches (C2/C3) return lazy
       // frames, so they can't unpersist before the caller's action —
-      // the harness bounds cache lifetime to one query instead
-      spark.catalog.clearCache()
+      // the harness bounds cache lifetime to one query instead, and
+      // drops finished streaming memory-sink tables the same way
+      GraftSession.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   *   - ~190 KB docs of 30k pseudo-random words over a 50-word
   *     per-doc-seeded vocab (per-row shingle/token volume);
   *   - ~120 KB docs of 20k words over a 40-word vocab;
-  *   - a single 100 KB unbroken token (whitespace tokenizers see ONE
-  *     word — the no-spaces degenerate at length);
+  *   - a single 20 KB unbroken token (whitespace tokenizers see ONE
+  *     word — the no-spaces degenerate at length; sized by the BPE
+  *     oracle's quadratic char comprehension, see the case-2 note —
+  *     the engine itself swept a 100 KB token fine and RegexScrubSpec
+  *     pins regex linearity at 300 KB in-engine);
   *   - 50k words of alternating "a b" (distinct-2 run-length stress —
   *     repetition/entropy ops at maximal duplication).
   *
@@ -87,13 +90,22 @@ object LongDocData {
       // 4x per doubling — 30k-word docs put single oracles past 30
       // min), while the Spark side is linear and swept the original
       // 30k-word replica whole. 2.5–4k words is still 10–60x the
-      // generator's lengths; the 100 KB single token (len(w)=3, so
-      // the comprehension stays tiny) keeps the max-length stress —
-      // it is what exposed the quadratic email-scrub regex.
+      // generator's lengths; the giant single token (len(w)=3, so
+      // the SHINGLE comprehension stays tiny) keeps the max-length
+      // stress — its 100 KB original exposed the quadratic
+      // email-scrub regex, and its shipped size is bounded by C81's
+      // char-level oracle (case-2 note below).
       val text = (id % 23) match {
         case 0 => words(id, 4000, 50)                      // ~25 KB
         case 1 => words(id, 2500, 40)                      // ~16 KB
-        case 2 => "x" * 100000 + " tail token"             // one giant word
+        // 20 KB, not the original 100 KB: C81's oracle re-derives the
+        // full BPE trajectory with a char-slicing comprehension that is
+        // quadratic per pass AND re-evaluated across the 6-round CTE
+        // chain — measured >15 min at 100 KB vs 15 s without the token
+        // (the engine side is indifferent: it swept 100 KB fine). The
+        // 300 KB regex-linearity adversary lives in RegexScrubSpec,
+        // in-engine, where no oracle has to chew it.
+        case 2 => "x" * 20000 + " tail token"              // one giant word
         case 3 => Array.fill(2000)("a b").mkString(" ")    // distinct-2 run
         case _ => r.getString(r.fieldIndex("text"))
       }

@@ -2,13 +2,17 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 
-/** Dev probe: print a query's executed-plan exchange inventory. */
+/** Dev probe: print a query's executed-plan exchange inventory —
+  * shuffles AND broadcasts, the latter with their built sizes (the
+  * low-memory sweep's question: which broadcast scales with the
+  * corpus?). */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args(1).split(",")) {
@@ -18,9 +22,41 @@ object PlanProbe {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
-      val xs = plan.collect { case e: ShuffleExchangeExec => e }
-      println(s"PLAN $n exchanges=${xs.size}")
-      xs.foreach(e => println(s"  X ${e.outputPartitioning}"))
+      // AQE hides materialized stages inside QueryStageExec (the
+      // executed subplan is a FIELD, not a child) — walk them explicitly
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      def walk(p: SparkPlan, f: SparkPlan => Unit): Unit = {
+        f(p)
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, f)
+          case q: QueryStageExec => walk(q.plan, f)
+          case r: ReusedExchangeExec => walk(r.child, f)
+          case _ => ()
+        }
+        p.children.foreach(walk(_, f))
+        p.subqueries.foreach(walk(_, f))
+      }
+      var nx = 0
+      val out = new scala.collection.mutable.ArrayBuffer[String]
+      walk(plan, {
+        case e: ShuffleExchangeExec =>
+          nx += 1; out += s"  X ${e.outputPartitioning}"
+        case b: BroadcastExchangeExec =>
+          val sz = b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
+          val rows = b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+          out += f"  B rows=$rows size=${sz / 1024.0 / 1024.0}%.1f MiB  ${b.child.nodeName}"
+        case _ => ()
+      })
+      println(s"PLAN $n exchanges=$nx")
+      out.foreach(println)
+      if (sys.env.contains("PLAN_FULL")) {
+        // authoritative: the final adaptive plan's own string (walker-
+        // independent evidence of Broadcast* nodes)
+        println(plan.toString.take(40000))
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

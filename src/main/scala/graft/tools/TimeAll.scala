@@ -32,8 +32,9 @@ object TimeAll {
         if (tiny.isDirectory) fn(spark, tiny.getPath).count()
         val timings = (1 to runs).map { _ =>
           // Bench-parity: drop the warmup's (and prior runs') persists
-          // so each timing does its own IO/shuffle work (see TimeQuery)
-          spark.catalog.clearCache()
+          // and finished memory-sink tables so each timing does its own
+          // IO/shuffle work on an unpinned heap (see TimeQuery)
+          graft.GraftSession.release(spark)
           val t0 = System.nanoTime()
           val rows = fn(spark, sfDir).count()
           ((System.nanoTime() - t0) / 1e9, rows)

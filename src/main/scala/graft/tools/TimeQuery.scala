@@ -30,11 +30,23 @@ object TimeQuery {
       // clear BEFORE timing, exactly like Bench between runs: a prior
       // query's (or the warmup's) persisted branches would otherwise
       // serve this timing from cache and understate it (r10: a repeat
-      // run read 3.25 s where the bench-comparable cost was ~4.3 s)
-      spark.catalog.clearCache()
+      // run read 3.25 s where the bench-comparable cost was ~4.3 s);
+      // release also drops finished streaming sink tables — the r11
+      // low-memory repro needed 44 queries' retained sinks to surface
+      graft.GraftSession.release(spark)
       val t0 = System.nanoTime()
-      val rows = fn(spark, sfDir).count()
-      println(f"TIMER $n: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      val df = fn(spark, sfDir)
+      try {
+        val rows = df.count()
+        println(f"TIMER $n: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      } catch { case e: Throwable =>
+        // dump the (possibly adaptively re-planned) physical plan at
+        // failure time — a planner-chosen broadcast only shows up here,
+        // not in the isolated-success probe (low-memory sweep forensics)
+        println(s"TIMER $n: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
+        println(df.queryExecution.executedPlan.toString.take(20000))
+        throw e
+      }
     }
     spark.stop()
   }

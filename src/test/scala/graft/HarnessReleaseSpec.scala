@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pin for [[GraftSession.release]] — the between-queries cleanup every
+  * sequential harness runner (Bench/Verify/TimeQuery/TimeAll) calls.
+  *
+  * Root cause it guards (r11 low-memory sweep): every bounded streaming
+  * runner materializes into a uniquely-named `graft_*` memory-sink temp
+  * view, and the catalog reference keeps those rows on the driver heap
+  * for the rest of the JVM. A 44-query sequential replay at a 2 GB heap
+  * then OOM'd `dedup_containment`'s runtime broadcast build — the same
+  * query passed in isolation — because the cdc queries' finished sinks
+  * had pinned the headroom. release() makes finished sinks GC-able while
+  * leaving non-graft views (a user's own session state) alone.
+  */
+class HarnessReleaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("release drops graft_* temp views, keeps foreign views and persists nothing") {
+    import spark.implicits._
+    Seq(1, 2).toDF("x").createOrReplaceTempView("graft_relspec_sink")
+    Seq(3).toDF("y").createOrReplaceTempView("user_own_view")
+    assert(spark.catalog.tableExists("graft_relspec_sink"))
+
+    GraftSession.release(spark)
+
+    assert(!spark.catalog.tableExists("graft_relspec_sink"),
+      "graft_* memory-sink view survived release — finished streaming " +
+        "sink rows would stay pinned on the driver heap")
+    assert(spark.catalog.tableExists("user_own_view"),
+      "release must not touch non-graft temp views")
+    spark.catalog.dropTempView("user_own_view")
+  }
+
+  test("release after a bounded streaming runner leaves no sink behind") {
+    // run a real memory-sink query (the registered upserts runner over
+    // the tiny SF), then assert release clears every view it created
+    val out = SparkEntry.queries("cdc_stream_upserts")(spark, SparkFixture.sf0001)
+    assert(out.count() > 0)
+    val before = spark.sessionState.catalog.listLocalTempViews("graft_*")
+    assert(before.nonEmpty, "expected the runner to register a graft_* sink view")
+    GraftSession.release(spark)
+    val after = spark.sessionState.catalog.listLocalTempViews("graft_*")
+    assert(after.isEmpty, s"views survived release: ${after.mkString(", ")}")
+  }
+}
