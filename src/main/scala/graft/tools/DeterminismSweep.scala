@@ -16,11 +16,21 @@ import org.apache.spark.sql.functions._
   * a silent wrong answer; the driver's single-shape oracle can never
   * catch it.
   *
-  *   runMain graft.tools.DeterminismSweep <sfDir>
+  * A second axis (`splits`) moves the SCAN partition boundaries
+  * instead: `files.maxPartitionBytes` 128m vs 1m (with openCost
+  * dropped so tiny splits actually happen). Shuffle-partition count
+  * never moves which rows share a FIRST-stage task; split size does —
+  * it is the axis that catches split-dependent ids, first-stage
+  * partial-fold order, and per-task init effects. On a cluster the
+  * scan split layout changes with file sizes, packing, and locality
+  * on every single run.
+  *
+  *   runMain graft.tools.DeterminismSweep <sfDir> [shuffle|splits]
   */
 object DeterminismSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val axis = if (args.length > 1) args(1) else "shuffle"
     val spark = graft.GraftSession.builder("local[8]", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -42,15 +52,26 @@ object DeterminismSweep {
     def $bigint(c: String) =
       (col(c) % 1000000007L).cast("long")
 
+    def setShape(variant: Int): Unit = axis match {
+      case "splits" =>
+        // move the SCAN split boundaries, keep the shuffle shape fixed
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+          if (variant == 0) "134217728" else "1048576")
+      case _ =>
+        spark.conf.set("spark.sql.shuffle.partitions",
+          if (variant == 0) "32" else "7")
+    }
+    val tag = if (axis == "splits") Seq("128m", "1m") else Seq("32p", "7p")
     var bad = 0
     graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       try {
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        setShape(0)
         val a = contentHash(name)
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        setShape(1)
         val b = contentHash(name)
         if (a == b) println(s"DET ok   $name $a")
-        else { bad += 1; println(s"DET DIFF $name 32p=$a 7p=$b") }
+        else { bad += 1; println(s"DET DIFF $name ${tag(0)}=$a ${tag(1)}=$b") }
       } catch {
         case e: Exception =>
           bad += 1
