@@ -672,12 +672,15 @@ object PipelineQueries {
           .filter($"d1" < $"d2")
           .dropDuplicates("d1", "d2")
         val full = bsh.select($"doc_id", $"sh")
+        // |A∪B| = |A|+|B|−|∩| (distinct arrays): same division
+        // operands as the array_union form, one hash-set build per pair
         val wbDrop = wbCand
           .join(full.as("x"), $"d1" === $"x.doc_id")
           .join(full.as("y"), $"d2" === $"y.doc_id")
-          .filter(
-            size(array_intersect($"x.sh", $"y.sh")).cast("double") /
-              size(array_union($"x.sh", $"y.sh")) >= 0.8)
+          .select($"d2",
+            size(array_intersect($"x.sh", $"y.sh")).as("inter"),
+            (size($"x.sh") + size($"y.sh")).as("ntot"))
+          .filter($"inter".cast("double") / ($"ntot" - $"inter") >= 0.8)
           .select($"d2".as("doc_id"))
         // history candidates: band join pruned to this batch's bh%16
         // partitions, then shingles of ONLY the matched partners,
@@ -699,9 +702,10 @@ object PipelineQueries {
               .select($"doc_id".as("hist_id"), $"sh".as("hsh"))
             cand.join(histSh, "hist_id")
               .join(full, "doc_id")
-              .filter(
-                size(array_intersect($"hsh", $"sh")).cast("double") /
-                  size(array_union($"hsh", $"sh")) >= 0.8)
+              .select($"doc_id",
+                size(array_intersect($"hsh", $"sh")).as("inter"),
+                (size($"hsh") + size($"sh")).as("ntot"))
+              .filter($"inter".cast("double") / ($"ntot" - $"inter") >= 0.8)
               .select($"doc_id")
           }
         val kept = bsh.select($"doc_id", size($"sh").cast("long").as("n_sh"))
