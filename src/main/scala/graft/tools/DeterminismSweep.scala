@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions._
   * scan split layout changes with file sizes, packing, and locality
   * on every single run.
   *
-  *   runMain graft.tools.DeterminismSweep <sfDir> [shuffle|splits]
+  * A third axis (`codegen`) compares whole-stage-codegen'd execution
+  * against fully INTERPRETED execution (wholeStage off + expression
+  * factory forced to NO_CODEGEN). Every custom Catalyst expression in
+  * the tree (minhash_sig, vec kernels, pq codes, wire decode, min_k)
+  * carries two implementations of its semantics — eval and doGenCode —
+  * and a divergence between them is a silent wrong answer that
+  * switches on with a conf flag or a codegen bailout (64 KB method
+  * limit, nested-expression fallback) at cluster scale.
+  *
+  *   runMain graft.tools.DeterminismSweep <sfDir> [shuffle|splits|codegen]
   */
 object DeterminismSweep {
   def main(args: Array[String]): Unit = {
@@ -58,11 +67,22 @@ object DeterminismSweep {
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
         spark.conf.set("spark.sql.files.maxPartitionBytes",
           if (variant == 0) "134217728" else "1048576")
+      case "codegen" =>
+        // codegen'd vs fully interpreted: both paths of every custom
+        // expression's (eval, doGenCode) pair must agree
+        spark.conf.set("spark.sql.codegen.wholeStage",
+          (variant == 0).toString)
+        spark.conf.set("spark.sql.codegen.factoryMode",
+          if (variant == 0) "FALLBACK" else "NO_CODEGEN")
       case _ =>
         spark.conf.set("spark.sql.shuffle.partitions",
           if (variant == 0) "32" else "7")
     }
-    val tag = if (axis == "splits") Seq("128m", "1m") else Seq("32p", "7p")
+    val tag = axis match {
+      case "splits" => Seq("128m", "1m")
+      case "codegen" => Seq("gen", "interp")
+      case _ => Seq("32p", "7p")
+    }
     var bad = 0
     graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       try {
