@@ -29,6 +29,27 @@ object Scratch {
     * (bare `Files.list(...).iterator()` leaks the OS handle until GC —
     * r9 ADVICE; the bench loop lists thousands of scratch dirs per
     * run, so the leak is real, not stylistic). */
+  /** Write `df` as ONE parquet file at `out/name.parquet` and return
+    * its row count. The replica generators (dirty/skew/unicode/
+    * long-doc/empty) all need single-FILE tables — the DuckDB oracle
+    * and the engine must read identical bytes from one path — and
+    * each previously carried its own copy of this block, which had
+    * already diverged (only one created the parent dir). Handles a
+    * pre-existing dst whether file or directory. */
+  def writeSingleParquet(df: org.apache.spark.sql.DataFrame,
+                         out: String, name: String): Long = {
+    val tmp = s"$out/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dst = java.nio.file.Paths.get(s"$out/$name.parquet")
+    Option(dst.getParent).foreach(p => Files.createDirectories(p))
+    if (Files.isDirectory(dst))
+      org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+    else Files.deleteIfExists(dst)
+    Files.move(firstParquet(java.nio.file.Paths.get(tmp)), dst)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    df.sparkSession.read.parquet(dst.toString).count()
+  }
+
   def firstParquet(d: Path): Path = {
     val s = Files.list(d)
     try {

@@ -34,12 +34,13 @@ object PipelineQueries {
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .join(en, "doc_id")
       .select($"doc_id", $"n_words",
-        // lookbehind-guarded email pattern: linear on long
-        // alphanumeric runs under Java's backtracking engine,
-        // match-identical to the oracle's plain RE2 pattern — see
-        // TextOps.textScrub for the argument and RegexScrubSpec
+        // start-guarded email pattern (run start OR \G, the previous
+        // match's end): linear on long alphanumeric runs under Java's
+        // backtracking engine, match-identical to the oracle's plain
+        // RE2 pattern — see TextOps.textScrub for the argument and
+        // RegexScrubSpec for the abutting-email adversary
         md5(regexp_replace(regexp_replace($"text",
-          "(?<![a-z0-9])[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+          "(?:(?<![a-z0-9])|\\G)[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
           "555-[0-9]+", "<PHONE>")).as("text_md5"))
       .orderBy($"doc_id")
   }

@@ -152,23 +152,28 @@ object TextOps {
         .when($"doc_id" % 5 === 1,
           concat($"text", lit(" call 555-"), $"doc_id" % 10000))
         .otherwise($"text").as("text2"))
-    // the negative lookbehind makes Java's backtracking engine LINEAR
-    // on long alphanumeric runs: without it, every interior position
-    // of a run re-consumes the run's tail before failing ('x'*100k ⇒
-    // ~10^10 char ops — one adversarial crawl page wedged an executor
-    // core for 17+ min in the r11 long-doc sweep). Interior positions
-    // now fail the lookbehind in O(1); only run STARTS attempt the
-    // greedy consume. Match-set equivalence with the oracle's plain
-    // pattern (RE2 — linear by construction, no lookbehind support)
-    // is exact: a returned match can never be preceded by [a-z0-9],
-    // because the enclosing run's start would yield an earlier match
-    // that find() returns first (RegexScrubSpec pins this on
-    // underscore/uppercase/long-run adversaries).
-    val email = "(?<![a-z0-9])[a-z0-9]+@[a-z]+\\.[a-z]+"
+    // the start guard makes Java's backtracking engine LINEAR on long
+    // alphanumeric runs: without it, every interior position of a run
+    // re-consumes the run's tail before failing ('x'*100k ⇒ ~10^10
+    // char ops — one adversarial crawl page wedged an executor core
+    // for 17+ min in the r11 long-doc sweep). A match may start only
+    // at a run start (the lookbehind) OR exactly where the previous
+    // match ended (\G); every other position fails in O(1). That
+    // disjunction is EXACTLY the oracle's RE2 leftmost-scan semantics:
+    // an RE2 match start is either a run start, or mid-run only when
+    // the run's prefix was consumed by the previous match (else the
+    // pattern would already match one char earlier, contradicting
+    // leftmost) — the lookbehind alone missed the second arm and
+    // silently dropped an email abutting the previous match's TLD
+    // ('a@b.com2@d.ee'). RegexScrubSpec pins the abutting/underscore/
+    // uppercase/long-run adversaries against the closed-form oracle.
+    val email = "(?:(?<![a-z0-9])|\\G)[a-z0-9]+@[a-z]+\\.[a-z]+"
     val phone = "555-[0-9]+"
+    // function form (not expr): the pattern reaches the regex engine
+    // verbatim, never through SQL string-literal escape parsing
     withPii.select($"doc_id",
-        size(expr(s"regexp_extract_all(text2, '$email', 0)")).cast("long").as("n_emails"),
-        size(expr(s"regexp_extract_all(text2, '$phone', 0)")).cast("long").as("n_phones"),
+        size(regexp_extract_all($"text2", lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"text2", lit(phone), lit(0))).cast("long").as("n_phones"),
         md5(regexp_replace(regexp_replace($"text2", email, "<EMAIL>"),
           phone, "<PHONE>")).as("scrub_md5"))
       .orderBy($"doc_id")

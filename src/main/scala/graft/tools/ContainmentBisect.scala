@@ -55,7 +55,7 @@ object ContainmentBisect {
           println(s"BISECT missing d2s (${missD2.size}): ${missD2.take(30)}")
         }
         Await.result(load, Duration.Inf)
-        spark.catalog.clearCache()
+        graft.GraftSession.release(spark)
       }
     }
     if (!found) println(s"BISECT no divergence in $reps runs")

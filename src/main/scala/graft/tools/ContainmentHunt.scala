@@ -50,7 +50,7 @@ object ContainmentHunt {
       println(f"HUNT run=$i%2d aqe=$aqe%-5s rows=${key._1} hash=${key._2} " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       Await.result(load, Duration.Inf)
-      spark.catalog.clearCache()
+      graft.GraftSession.release(spark)
     }
     println(s"HUNT distinct(rows,hash) outcomes: ${seen.size} -> $seen")
     println(if (seen.size == 1) "HUNT VERDICT: STABLE (no reproduction)"

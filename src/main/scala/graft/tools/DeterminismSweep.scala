@@ -53,7 +53,7 @@ object DeterminismSweep {
         .agg(count(lit(1)), sum($bigint("h")))
         .collect()(0)
       val r = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-      spark.catalog.clearCache()
+      graft.GraftSession.release(spark)
       r
     }
     // sum(xxhash64) needs no overflow guard semantics — wraparound via

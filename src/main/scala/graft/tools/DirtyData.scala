@@ -29,21 +29,8 @@ object DirtyData {
 
     // single-FILE layout, exactly like /root/testdata/sf*: the DuckDB
     // side of the parity check reads '<dir>/<table>.parquet' as a file
-    def write(name: String, df: DataFrame): Unit = {
-      import java.nio.file.{Files, Paths}
-      val tmp = s"$out/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val listing = Files.list(Paths.get(tmp))
-      val part =
-        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally listing.close()
-      val dst = Paths.get(s"$out/$name.parquet")
-      Files.deleteIfExists(dst)
-      Files.move(part, dst)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      println(s"DIRTY $name -> ${spark.read.parquet(dst.toString).count()} rows")
-    }
+    def write(name: String, df: DataFrame): Unit =
+      println(s"DIRTY $name -> ${graft.Scratch.writeSingleParquet(df, out, name)} rows")
 
     // dims pass through unchanged — fact-side dirt (orphaned FKs, NULL
     // join keys) already exercises every dim join's null path

@@ -18,22 +18,8 @@ object EmptyData {
     spark.sparkContext.setLogLevel("WARN")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
-    def write(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      import java.nio.file.{Files, Paths}
-      val tmp = s"$out/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val listing = Files.list(Paths.get(tmp))
-      val part =
-        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally listing.close()
-      val dst = Paths.get(s"$out/$name.parquet")
-      Files.createDirectories(dst.getParent)
-      Files.deleteIfExists(dst)
-      Files.move(part, dst)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      println(s"EMPTY $name -> ${spark.read.parquet(dst.toString).count()} rows")
-    }
+    def write(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      println(s"EMPTY $name -> ${graft.Scratch.writeSingleParquet(df, out, name)} rows")
     tables.foreach { n =>
       write(n, spark.read.parquet(s"$src/$n.parquet").limit(0))
     }

@@ -47,7 +47,7 @@ object EmptySweep {
               String.valueOf(root.getMessage).linesIterator.toSeq.headOption
                 .getOrElse("").take(200))
           }
-      } finally spark.catalog.clearCache()
+      } finally graft.GraftSession.release(spark)
     }
     println(if (crash == 0) "EMPTYSWEEP VERDICT: no nameless crashes"
             else s"EMPTYSWEEP VERDICT: $crash nameless crashes")

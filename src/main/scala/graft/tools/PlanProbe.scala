@@ -56,7 +56,7 @@ object PlanProbe {
         // independent evidence of Broadcast* nodes)
         println(plan.toString.take(40000))
       }
-      spark.catalog.clearCache()
+      graft.GraftSession.release(spark)
     }
     spark.stop()
   }

@@ -74,21 +74,8 @@ object UnicodeData {
 
     // single-FILE layout, exactly like /root/testdata/sf* (selfcheck's
     // DuckDB side reads '<dir>/<table>.parquet' as a file)
-    def write(name: String, df: DataFrame): Unit = {
-      import java.nio.file.{Files, Paths}
-      val tmp = s"$out/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val listing = Files.list(Paths.get(tmp))
-      val part =
-        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally listing.close()
-      val dst = Paths.get(s"$out/$name.parquet")
-      Files.deleteIfExists(dst)
-      Files.move(part, dst)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      println(s"UNI $name -> ${spark.read.parquet(dst.toString).count()} rows")
-    }
+    def write(name: String, df: DataFrame): Unit =
+      println(s"UNI $name -> ${graft.Scratch.writeSingleParquet(df, out, name)} rows")
 
     Seq("region", "nation", "supplier", "part", "customer",
       "orders", "lineitem", "embeddings").foreach { n =>
