@@ -136,12 +136,28 @@ object HashOps {
 
   /** Valid-vector predicate (the Spark half of the contract documented
     * at [[graft.ops.Ann.validVec]]): true iff the vector has no NULL
-    * element AND a strictly positive sum of squares. One fused pass —
-    * replaces the two interpreted higher-order-function passes
-    * (`exists(_.isNull)` + an `aggregate` fold) that ran per row at
-    * every embeddings scan (r10 verdict: the embeddings family paid
-    * 1.5–3× for the interpreted guard). NaN elements sum to NaN and
-    * NaN > 0 is false, matching the HOF form's semantics exactly. */
+    * element, no NaN element, and a strictly positive sum of squares.
+    * One fused pass — replaces the two interpreted higher-order-function
+    * passes (`exists(_.isNull)` + an `aggregate` fold) that ran per row
+    * at every embeddings scan (r10 verdict: the embeddings family paid
+    * 1.5–3× for the interpreted guard).
+    *
+    * The NaN term is DELIBERATE and is NOT what the replaced HOF form
+    * computed (r11 ADVICE): both SQL engines order NaN greater than
+    * zero (Spark's nanSafeCompareDoubles, DuckDB's total order), so an
+    * `aggregate(...) > 0` / `list_sum(...) > 0` fold KEEPS NaN-bearing
+    * vectors — and a kept NaN vector poisons every downstream kernel on
+    * both engines (cosine → NaN scores, PQ/quantize → NaN codes the
+    * oracle can't even cast to BIGINT; measured on the r12 dirty
+    * replica: 15 queries diverge or crash). A NaN element is therefore
+    * the third defect class the corpus gate excludes, alongside NULL
+    * elements and zero norm. Java's `ss > 0.0` evaluates NaN > 0 as
+    * false, which implements exactly that (x*x is NaN iff x is NaN —
+    * squares are non-negative, so no finite cancellation can produce
+    * NaN); the DuckDB twin [[graft.ops.Ann.ValidVecSql]] carries a
+    * matching explicit `isnan` term, and the dirty replica's
+    * NaN-element slice (tools/DirtyData, vec_id % 23 == 11) proves the
+    * cross-engine agreement. */
   def vecValid(v: ArrayData): Boolean = {
     val n = v.numElements()
     var ss = 0.0

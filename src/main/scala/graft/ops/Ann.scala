@@ -25,21 +25,29 @@ object Ann {
   /** Query vectors: vec_id < 8 (deterministic tiny query set). */
   val QueryIds = 8
 
-  /** Valid-vector contract (dirty-data posture, r10): real corpora
-    * carry NULL embeddings (failed encoder calls) and all-zero vectors
-    * (zeroed buffers) — cosine normalization and codebook training are
-    * undefined on both, and leaving them in makes every downstream
-    * result depend on each engine's null/zero-division convention
-    * (DuckDB's x/0 is NULL, ANSI Spark aborts — silent divergence or a
-    * corpus-wide crash). The embeddings surface therefore operates
-    * UNIFORMLY on the valid-vector corpus: present AND norm > 0.
-    * Every oracle in this file carries the same predicate verbatim
-    * (`embedding IS NOT NULL AND list_sum(...x*x...) > 0`); the dirty
-    * parity gate (tools/DirtyData + selfcheck) proves the equivalence
-    * on a corpus where both defect classes are present. */
+  /** Valid-vector contract (dirty-data posture, r10; NaN class r12):
+    * real corpora carry NULL embeddings (failed encoder calls),
+    * all-zero vectors (zeroed buffers), and NaN-element vectors
+    * (overflowed encoders) — cosine normalization and codebook training
+    * are undefined on all three, and leaving them in makes every
+    * downstream result depend on each engine's null/zero-division/NaN
+    * convention (DuckDB's x/0 is NULL, ANSI Spark aborts, NaN poisons
+    * both — silent divergence or a corpus-wide crash). The embeddings
+    * surface therefore operates UNIFORMLY on the valid-vector corpus:
+    * present, NaN-free, norm > 0. Every oracle in this file carries the
+    * same predicate verbatim ([[ValidVecSql]]); the dirty parity gate
+    * (tools/DirtyData + selfcheck) proves the equivalence on a corpus
+    * where all three defect classes are present. */
   /** Spark side of the contract: the codegen `vec_valid` kernel
     * ([[graft.functions.HashOps.vecValid]]) — one fused pass checking
-    * element NULLs and sum-of-squares > 0. The NULL-ELEMENT term
+    * element NULLs, element NaNs, and sum-of-squares > 0. NaN elements
+    * are the THIRD defect class (r12, prompted by r11 ADVICE): a plain
+    * `list_sum(...x*x...) > 0` oracle fold would KEEP NaN vectors
+    * (both engines order NaN > 0), and a kept NaN vector poisons every
+    * downstream kernel on both engines — so [[ValidVecSql]] carries an
+    * explicit `isnan` term mirroring the kernel's Java-semantics drop,
+    * and the dirty replica's NaN slice pins the agreement.
+    * The NULL-ELEMENT term
     * matters for cross-engine parity even though a sum-of-squares
     * fold alone would exclude such rows in Spark: DuckDB's list_sum
     * SKIPS null elements, so a [NULL, 0.3, …] vector would silently
@@ -59,6 +67,7 @@ object Ann {
   val ValidVecSql: String =
     "embedding IS NOT NULL AND" +
       " len(list_filter(embedding, x -> x IS NULL)) = 0 AND" +
+      " len(list_filter(embedding, x -> isnan(x))) = 0 AND" +
       " list_sum(list_transform(embedding, x -> x * x)) > 0"
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {

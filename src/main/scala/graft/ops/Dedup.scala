@@ -514,6 +514,7 @@ object Dedup {
       var remaining = members
       var round = 0
       var exhausted = false
+      val roundConfs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       while (round < StarRounds && !exhausted) {
         val reps = remaining.groupBy($"band", $"bh")
           .agg(min($"doc_id").as("rep"))
@@ -524,11 +525,10 @@ object Dedup {
           .select($"band", $"bh", $"doc_id".as("m"),
             least($"rep", $"doc_id").as("d1"),
             greatest($"rep", $"doc_id").as("d2"))
-        // persisted: feeds BOTH the output union (consumed at the
-        // caller's action) and this round's remaining update; rounds
-        // are few and tiny, lifetime bounded by the caller's clearCache
+        // persisted: feeds BOTH the output union (pinned below via the
+        // localCheckpoint) and this round's remaining update
         val conf = confirm(cand).persist()
-        out = out.unionByName(conf.select($"d1", $"d2", $"jac"))
+        roundConfs += conf
         val next = remaining.join(reps, Seq("band", "bh"))
           .filter($"doc_id" =!= $"rep")
           .drop("rep")
@@ -540,6 +540,22 @@ object Dedup {
         remaining = next
         round += 1
       }
+      // The function owns its cache lifetime (r11 ADVICE): pin the few
+      // confirmed star pairs with an EAGER localCheckpoint (blocks are
+      // freed by the ContextCleaner when the frame is unreachable, not
+      // at some harness-wide clearCache), then release every loop-scoped
+      // frame before returning — a library caller composing C3 no
+      // longer accumulates cached round frames. Row bound: confirmed
+      // pairs among oversize-bucket members, ≤ one row per member per
+      // round — far below the corpus.
+      val starPairs = roundConfs
+        .map(_.select($"d1", $"d2", $"jac"))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+      out = out.unionByName(starPairs)
+      roundConfs.foreach(_.unpersist())
+      if (remaining ne members) remaining.unpersist()
+      members.unpersist()
     }
     out.dropDuplicates("d1", "d2")
       .orderBy($"d1", $"d2")

@@ -61,6 +61,13 @@ object DirtyData {
         when(slice("vec_id", 3), lit(null).cast("array<float>"))
           .when(slice("vec_id", 5),                      // all-zero vector
             expr("transform(embedding, x -> cast(0.0 as float))"))
+          .when(slice("vec_id", 11),                     // NaN element (r11 ADVICE):
+            // the third defect class — vec_valid drops these and the
+            // oracle's ValidVecSql carries a matching isnan term (a bare
+            // list_sum(...) > 0 fold would KEEP them, since both engines
+            // order NaN > 0, and NaN then poisons every downstream
+            // kernel); this slice makes the parity gate prove agreement
+            expr("transform(embedding, (x, i) -> case when i = 0 then cast('NaN' as float) else x end)"))
           .otherwise(col("embedding")))
       .withColumn("label",
         when(slice("vec_id", 7), lit(null: Integer)).otherwise(col("label"))))

@@ -27,7 +27,14 @@ object PlanProbe {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.QueryStageExec
       import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-      def walk(p: SparkPlan, f: SparkPlan => Unit): Unit = {
+      // identity-visited set: ReusedExchangeExec.child POINTS AT the
+      // original exchange subtree, so recursing into it without the
+      // guard inventories every reused shuffle/broadcast (and its whole
+      // subtree) twice (r11 ADVICE) — report reuse as a reference line
+      // instead and count each physical exchange once
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      def walk(p: SparkPlan, f: SparkPlan => Unit): Unit = if (seen.add(p)) {
         f(p)
         p match {
           case a: AdaptiveSparkPlanExec => walk(a.executedPlan, f)

@@ -55,11 +55,11 @@ class HashOpsSpec extends AnyFunSuite {
     assert(math.abs(HashOps.cosine(dbls(1.0, 1.0), dbls(1.0, 1.0)) - 1.0) < 1e-12)
   }
 
-  test("vecValid: null element, zero norm, NaN all invalid; positive norm valid") {
+  test("vecValid: null element, NaN element, zero norm all invalid; positive norm valid") {
     assert(HashOps.vecValid(dbls(0.5, -0.25)))
     assert(!HashOps.vecValid(dbls(0.0, 0.0)))           // zero norm
     assert(!HashOps.vecValid(new GenericArrayData(Array[Any](0.5, null)))) // NULL element
-    assert(!HashOps.vecValid(dbls(Double.NaN, 1.0)))     // NaN sum > 0 is false (HOF parity)
+    assert(!HashOps.vecValid(dbls(Double.NaN, 1.0)))     // NaN = third defect class (kernel doc; oracle carries isnan twin)
     assert(HashOps.vecValid(dbls(Double.PositiveInfinity))) // Inf*Inf > 0 (HOF parity)
     assert(!HashOps.vecValid(dbls()))                    // empty → sum 0
   }
