@@ -1565,6 +1565,17 @@ object Ann {
     val seeds: IndexedSeq[IndexedSeq[Double]] = c.orderBy($"vec_id")
       .limit(IvfPqK).as[(Long, Seq[Double])].collect()
       .map(_._2.map(r4d).toIndexedSeq).toIndexedSeq
+    if (seeds.isEmpty) {
+      // EMPTY corpus → empty result, not an error (r12, softened): a
+      // pipeline stage fed an empty upstream partition is a routine
+      // production state, and the oracle emits zero rows there too (no
+      // queries, no candidates). The named contract below stays for the
+      // genuinely-broken middle ground — a NON-empty corpus too small
+      // to train the declared K codebook entries.
+      return c.select($"vec_id".as("query_id"),
+        lit(1).as("rank"), $"vec_id".as("neighbor_id"),
+        lit(0.0).as("adc_dist")).limit(0)
+    }
     require(seeds.length == IvfPqK,
       s"ann_ivf_pq: corpus has ${seeds.length} valid vectors, " +
         s"need >= $IvfPqK for codebook init")

@@ -1297,7 +1297,11 @@ object TextOps {
           B),
         lit(B)).as("seq"))
       .persist()
-    val stepRows = (1 to BpeSteps).map { k =>
+    val stepRows = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, String, Long, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeSteps && !exhausted) {
       val sy = vocab.select($"tf", symsExpr.as("sy"))
       // BOUNDED collect: exactly one (l, r, n) winner row per round
       // (see Scaladoc: the in-plan broadcast alternative doubles the
@@ -1309,31 +1313,42 @@ object TextOps {
         .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"tf").as("n"))
         .orderBy($"n".desc, $"l", $"r").limit(1)
         .collect()
-      require(bestRows.nonEmpty,
-        s"text_bpe_apply: no adjacent symbol pairs left at round $k")
-      val (l, r, n) = (bestRows(0).getString(0), bestRows(0).getString(1),
-        bestRows(0).getLong(2))
-      val prev = vocab
-      vocab = prev
-        .select($"tf", replace($"seq",
-          lit(Sep + l + B + r + Sep), lit(Sep + l + r + Sep)).as("seq"))
-        .persist()
-      // one stats rollup per round: each exploded symbol INSTANCE
-      // contributes its word's tf, so sum(tf) over the explode IS
-      // total_tokens (= Σ tf·|symbols|) and the same frame feeds the
-      // distinct-type count — no second vocab pass. The 1-row collect
-      // materializes the NEW generation's persist, after which the
-      // superseded generation is safely dropped (nothing reads it
-      // again — earlier rounds' curve points are already local rows).
-      val st = vocab.select($"tf", explode(symsExpr).as("s"))
-        .agg(sum($"tf").as("total_tokens"),
-          countDistinct($"s").as("n_types"))
-        .collect()(0)
-      prev.unpersist()
-      (k.toLong, l, r, l + r, n, st.getLong(0), st.getLong(1))
+      if (bestRows.isEmpty) {
+        // Pairs exhausted (empty corpus, or every word down to one
+        // symbol): production BPE training STOPS — emit the rounds
+        // completed so far, possibly zero (r12, softened from a named
+        // error: an empty upstream partition is a routine state, not a
+        // caller bug). This is bit-exactly what the oracle computes:
+        // its round-k winner CTE b$k is empty, the per-round output row
+        // CROSS JOINs b$k away, and v$k = v$(k-1) CROSS JOIN b$k kills
+        // every later round too.
+        exhausted = true
+      } else {
+        val (l, r, n) = (bestRows(0).getString(0), bestRows(0).getString(1),
+          bestRows(0).getLong(2))
+        val prev = vocab
+        vocab = prev
+          .select($"tf", replace($"seq",
+            lit(Sep + l + B + r + Sep), lit(Sep + l + r + Sep)).as("seq"))
+          .persist()
+        // one stats rollup per round: each exploded symbol INSTANCE
+        // contributes its word's tf, so sum(tf) over the explode IS
+        // total_tokens (= Σ tf·|symbols|) and the same frame feeds the
+        // distinct-type count — no second vocab pass. The 1-row collect
+        // materializes the NEW generation's persist, after which the
+        // superseded generation is safely dropped (nothing reads it
+        // again — earlier rounds' curve points are already local rows).
+        val st = vocab.select($"tf", explode(symsExpr).as("s"))
+          .agg(sum($"tf").as("total_tokens"),
+            countDistinct($"s").as("n_types"))
+          .collect()(0)
+        prev.unpersist()
+        stepRows += ((k.toLong, l, r, l + r, n, st.getLong(0), st.getLong(1)))
+      }
+      k += 1
     }
     vocab.unpersist()
-    stepRows
+    stepRows.toSeq
       .toDF("step", "l", "r", "merged", "pair_n", "total_tokens", "n_types")
       .orderBy($"step")
   }

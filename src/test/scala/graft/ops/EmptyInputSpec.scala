@@ -4,14 +4,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture.spark
 
-/** Empty-input contract (r11 sweep, tools/EmptyData + EmptySweep):
-  * zero-row tables are a routine production state (fresh CDC slot, new
-  * tenant, filtered-to-nothing partition) and must yield either a
-  * clean — usually empty — result or a NAMED contract error, never a
-  * nameless crash. The full gate is the sweep (171 queries: 168 clean,
-  * 3 named contracts, oracle parity on all 168); this spec pins the
-  * cheap representative fixes so a regression fails in `sbt test`
-  * without the sweep. */
+/** Empty-input contract (r11 sweep, tools/EmptyData + EmptySweep;
+  * softened r12): zero-row tables are a routine production state
+  * (fresh CDC slot, new tenant, filtered-to-nothing partition) and
+  * must yield either a clean — usually empty — result or a NAMED
+  * contract error, never a nameless crash. r12 softened two of r11's
+  * three named contracts to empty output (ann_ivf_pq: empty corpus →
+  * zero result rows, the under-trained 1..63 middle ground still
+  * raises by name; text_bpe_apply: pair exhaustion stops training
+  * early, matching the oracle's empty-winner CROSS JOIN) — a 100 TB
+  * stage fed an empty partition should flow, not abort. The full gate
+  * is the sweep (171 queries: 170 clean, 1 named contract —
+  * cdc_compaction's "no snapshot", a genuine caller bug); this spec
+  * pins the cheap representative fixes so a regression fails in
+  * `sbt test` without the sweep. */
 class EmptyInputSpec extends AnyFunSuite {
 
   private lazy val emptyDir: String = {
@@ -51,8 +57,15 @@ class EmptyInputSpec extends AnyFunSuite {
       && lag(0).getLong(1) === 0L)
   }
 
-  test("empty feed: named contracts fire by name, not by accident") {
-    val e = intercept[IllegalArgumentException](rows("ann_ivf_pq"))
-    assert(e.getMessage.contains("corpus has 0 valid vectors"))
+  test("empty corpus: trainer ops emit zero rows instead of raising (r12)") {
+    assert(rows("ann_ivf_pq").isEmpty)      // was: named 0-valid-vectors error
+    assert(rows("text_bpe_apply").isEmpty)  // was: named no-pairs error
+  }
+
+  test("empty feed: the one remaining named contract fires by name") {
+    // compaction over a sink that never produced a snapshot IS a caller
+    // bug (there is nothing to compact INTO) — stays a named error
+    val e = intercept[IllegalStateException](rows("cdc_compaction"))
+    assert(e.getMessage.contains("no snapshot"))
   }
 }
