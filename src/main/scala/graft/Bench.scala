@@ -34,19 +34,38 @@ object Bench {
     // query's real cost. Cache is cleared between runs so each timing
     // does its own IO + shuffle work, and persisted branches from one
     // query never pin executor memory into the next.
+    //
+    // r12 (r11 verdict task 3): the runs are split into TWO full
+    // registry sweeps — each query times 3 runs in sweep A, then,
+    // after every other query's sweep-A block (~the whole suite
+    // later), 2 more in sweep B. Same total run count, but the box's
+    // documented between-run drift (same-code totals swung ±25–75%
+    // across a morning) now has to hit BOTH of a query's
+    // time-separated blocks to inflate its best — the driver headline
+    // inherits the sf1 TimeAll pairwise-min protocol's robustness
+    // instead of hoping one 5-run block lands in a quiet window.
+    // pairwise_min_total below makes the basis machine-readable.
     val Runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val timed = (1 to Runs).map { i =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // also drops finished memory-sink tables: every run of a
-        // streaming query creates a fresh UUID-named sink, so without
-        // the release 5 runs retain 5 copies of its rows on the heap
-        GraftSession.release(spark)
-        (i, if (ok) sec else -1.0)
-      }.filter(_._2 >= 0)
+    val RunsA = (Runs + 1) / 2
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def sweep(runIdx: Range): Map[String, Seq[(Int, Double)]] =
+      ordered.map { case (name, fn) =>
+        name -> runIdx.map { i =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          // also drops finished memory-sink tables: every run of a
+          // streaming query creates a fresh UUID-named sink, so without
+          // the release 5 runs retain 5 copies of its rows on the heap
+          GraftSession.release(spark)
+          (i, if (ok) sec else -1.0)
+        }.filter(_._2 >= 0)
+      }.toMap
+    val sweepA = sweep(1 to RunsA)
+    val sweepB = sweep(RunsA + 1 to Runs)
+    val results = ordered.map { case (name, _) =>
+      val timed = sweepA(name) ++ sweepB(name)
       val secs = timed.map(_._2)
       val best = if (secs.nonEmpty) secs.min else -1.0
       val med = if (secs.nonEmpty) secs.sorted.apply(secs.size / 2) else -1.0
@@ -60,6 +79,26 @@ object Bench {
       val spreadNoisy = warm.nonEmpty && warm.max > warm.min * 3
       (name, best, med, worst, spreadNoisy)
     }
+    // Pairwise-min bookkeeping: per-query best within each sweep, and
+    // the per-sweep best-totals (their spread is the drift gauge — a
+    // large A-vs-B gap on identical code means the box moved, not the
+    // tree). pairwise_min_total = Σ min(bestA, bestB) — by construction
+    // equal to `value` when both sweeps ran a query, and the honest
+    // one-sided best when a query failed in one sweep.
+    def sweepBest(sw: Map[String, Seq[(Int, Double)]], n: String): Double = {
+      val s = sw(n).map(_._2)
+      if (s.nonEmpty) s.min else -1.0
+    }
+    val pairwiseMinTotal = ordered.map { case (n, _) =>
+      Seq(sweepBest(sweepA, n), sweepBest(sweepB, n)).filter(_ >= 0) match {
+        case Nil => 0.0
+        case bs => bs.min
+      }
+    }.sum
+    val sweepATotal = ordered.map { case (n, _) => sweepBest(sweepA, n) }
+      .filter(_ >= 0).sum
+    val sweepBTotal = ordered.map { case (n, _) => sweepBest(sweepB, n) }
+      .filter(_ >= 0).sum
     // Per-query noise self-diagnosis against the newest committed
     // BENCH_r*.json (r8 verdict: a 121-vs-162 best/median spread made
     // regressions unreadable): best moved ≥1.5× while the median held
@@ -122,7 +161,7 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1).sorted
     val total = results.map(_._2).filter(_ >= 0).sum
     val medTotal = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"queries_max":$maxs,"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"noisy_queries":${jarr(noisyQueries)},"noisy":${noisyQueries.nonEmpty},"n_noisy":${noisyQueries.size},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries_max":$maxs,"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"noisy_queries":${jarr(noisyQueries)},"noisy":${noisyQueries.nonEmpty},"n_noisy":${noisyQueries.size},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"sweep_a_total":${f3(sweepATotal)},"sweep_b_total":${f3(sweepBTotal)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
