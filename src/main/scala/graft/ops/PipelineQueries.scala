@@ -648,8 +648,15 @@ object PipelineQueries {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
+    // files-per-trigger is overridable for floor decomposition (r12,
+    // SCALING.md round-12 stream-neardup section): the result is
+    // batch-cut-invariant BY DESIGN (SEEN policy above), so running
+    // the same feed at 1 vs 3 files/trigger isolates per-micro-batch
+    // fixed cost from data work without touching semantics
     val q = s.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .option("maxFilesPerTrigger",
+        sys.env.getOrElse("GRAFT_NEARDUP_FPT", "1"))
+      .parquet(inDir.toString)
       .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
         val bsh = Dedup.shingleDocs(sp, batch)
@@ -1832,7 +1839,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_survival_curve" -> Dedup.dedupSurvivalCurveSql,
     "pipeline_stream_neardup" -> pipelineStreamNeardupSql,
-    "dedup_minhash_lsh" -> Dedup.dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
     "dedup_simhash" -> Dedup.dedupSimhashAuditSql,
     "dedup_cluster" -> Dedup.dedupClusterSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,

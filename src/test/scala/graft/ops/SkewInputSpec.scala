@@ -7,14 +7,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture.spark
 
-/** Skew-input contract (r11 sweep, tools/SkewData): heavy hitters —
-  * a viral duplicate cohort, one hot user owning ~22% of the feed, hot
-  * dim keys — are the shapes a uniform generator never makes and a
-  * real 100 TB corpus always has. The full gate is the sweep (Verify +
-  * selfcheck over the skew replica: 170/171 oracle-green, C3's raw
-  * pair list star-reduced by design on oversize buckets); this spec
-  * pins the cheap representatives so a regression fails in `sbt test`
-  * without the sweep. */
+/** Skew-input contract (r11 sweep, tools/SkewData; self-describing
+  * r12): heavy hitters — a viral duplicate cohort, one hot user owning
+  * ~22% of the feed, hot dim keys — are the shapes a uniform generator
+  * never makes and a real 100 TB corpus always has. The full gate is
+  * the sweep (Verify + selfcheck over the skew replica), and since r12
+  * it reads 171/171 oracle-green with NO out-of-band narrative: C3's
+  * oracle (Dedup.dedupMinhashLshSql) encodes the star-reduction
+  * contract itself — oversize identical-shingle-set cohorts emit
+  * capped all-pairs + (min, m) star links, exactly the engine's
+  * reduction. This spec pins the cheap representatives so a
+  * regression fails in `sbt test` without the sweep. */
 class SkewInputSpec extends AnyFunSuite {
   import spark.implicits._
 
@@ -79,5 +82,20 @@ class SkewInputSpec extends AnyFunSuite {
     pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
     assert((0L until n.toLong).map(find).toSet.size === 1,
       "viral cohort must resolve to one connected component")
+  }
+
+  test("C3's registered oracle self-describes the star reduction (r12)") {
+    // r11 verdict task 4: the skew sweep used to carry an out-of-band
+    // "1 disclosed FAIL" narrative because C3's oracle was the
+    // unconstrained C2 all-pairs form. The registered oracle now
+    // encodes the reduction for oversize identical-shingle-set
+    // cohorts, so the sweep reads 171/171 and the contract lives in
+    // the compared artifact itself.
+    val sql = graft.SparkEntry.oracleSql("dedup_minhash_lsh")
+    assert(sql.contains("csz > 64") && sql.contains("rk <= 64")
+      && sql.contains("over_star"),
+      "C3 oracle must carry the capped + star special case for >cap cohorts")
+    assert(sql.contains("list_sort(sh)"),
+      "cohort identity must key on the canonical shingle SET, not raw text")
   }
 }
