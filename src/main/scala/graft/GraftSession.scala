@@ -36,6 +36,17 @@ object GraftSession {
     spark.sessionState.catalog.listLocalTempViews("graft_*")
       .foreach(id => spark.catalog.dropTempView(id.table))
     spark.catalog.clearCache()
+    // Broadcast cleanup is GC-driven (ContextCleaner reclaims a
+    // broadcast's blocks only after its weak reference is collected):
+    // a long sequential run accumulates hundreds of dead broadcasts'
+    // torrent pieces between natural GCs, and on a memory-tight
+    // driver a later query's broadcast BUILD then fails with "not
+    // enough memory to build and broadcast" even though every owner
+    // is unreachable (r12 low-memory sweep: dedup_cluster died at
+    // broadcast #563 under a 2 GB heap, while the same query passed
+    // standalone). An explicit GC here makes the cleaner's queue
+    // drain deterministic — between queries, where a pause is free.
+    System.gc()
   }
 
   /** Local session sized to the machine (tests, examples, bench).

@@ -504,7 +504,12 @@ object Dedup {
     // was the smallest member confirming against none of reps 1..k−1,
     // which is precisely the streaming rule — without materializing a
     // bucket's membership anywhere: the group ITERATOR streams, task
-    // memory holds ≤ StarReps shingle sets. The in-group jac uses the
+    // memory holds ≤ StarReps shingle sets. Election time per bucket
+    // is one core × O(members × StarReps × |sh|) set lookups (~10 s
+    // for a million-member viral bucket — and ONLY the ≤8-rep
+    // election serializes; the bulk members × reps confirms below
+    // stay fully distributed, and distinct buckets elect in
+    // parallel). The in-group jac uses the
     // same integer operands and IEEE ops as confirm() below, so
     // election is bit-consistent with the distributed confirm.
     //
