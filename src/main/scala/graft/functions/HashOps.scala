@@ -142,21 +142,26 @@ object HashOps {
     * at every embeddings scan (r10 verdict: the embeddings family paid
     * 1.5–3× for the interpreted guard).
     *
-    * The NaN term is DELIBERATE and is NOT what the replaced HOF form
-    * computed (r11 ADVICE): both SQL engines order NaN greater than
-    * zero (Spark's nanSafeCompareDoubles, DuckDB's total order), so an
+    * The non-finite term is DELIBERATE and is NOT what the replaced
+    * HOF form computed (r11 ADVICE, widened to ±Inf by the r12 review):
+    * both SQL engines order NaN greater than zero (Spark's
+    * nanSafeCompareDoubles, DuckDB's total order), so an
     * `aggregate(...) > 0` / `list_sum(...) > 0` fold KEEPS NaN-bearing
     * vectors — and a kept NaN vector poisons every downstream kernel on
     * both engines (cosine → NaN scores, PQ/quantize → NaN codes the
     * oracle can't even cast to BIGINT; measured on the r12 dirty
-    * replica: 15 queries diverge or crash). A NaN element is therefore
-    * the third defect class the corpus gate excludes, alongside NULL
-    * elements and zero norm. Java's `ss > 0.0` evaluates NaN > 0 as
-    * false, which implements exactly that (x*x is NaN iff x is NaN —
-    * squares are non-negative, so no finite cancellation can produce
-    * NaN); the DuckDB twin [[graft.ops.Ann.ValidVecSql]] carries a
-    * matching explicit `isnan` term, and the dirty replica's
-    * NaN-element slice (tools/DirtyData, vec_id % 23 == 11) proves the
+    * replica: 15 queries diverge or crash). ±Inf elements — the OTHER
+    * thing an overflowed encoder emits — and finite elements whose
+    * squares overflow pass a NaN-only gate yet poison identically
+    * (Inf−Inf dots → NaN; Spark's floor(NaN)→0 vs DuckDB's NaN →
+    * silent divergence). A NON-FINITE SUM OF SQUARES is therefore the
+    * third defect class the corpus gate excludes, alongside NULL
+    * elements and zero norm: `isFinite(ss) && ss > 0.0` drops NaN
+    * (NaN sum), ±Inf elements, and norm overflow in one test (squares
+    * are non-negative, so no finite cancellation can hide an Inf).
+    * The DuckDB twin [[graft.ops.Ann.ValidVecSql]] carries a matching
+    * `isfinite(list_sum(...))` term, and the dirty replica's NaN and
+    * Inf slices (tools/DirtyData, vec_id % 23 ∈ {11, 13}) prove the
     * cross-engine agreement. */
   def vecValid(v: ArrayData): Boolean = {
     val n = v.numElements()
@@ -168,7 +173,7 @@ object HashOps {
       ss += x * x
       i += 1
     }
-    ss > 0.0
+    java.lang.Double.isFinite(ss) && ss > 0.0
   }
 
   /** Random-hyperplane LSH bucket code: bit p of the code is the sign

@@ -25,28 +25,31 @@ object Ann {
   /** Query vectors: vec_id < 8 (deterministic tiny query set). */
   val QueryIds = 8
 
-  /** Valid-vector contract (dirty-data posture, r10; NaN class r12):
-    * real corpora carry NULL embeddings (failed encoder calls),
-    * all-zero vectors (zeroed buffers), and NaN-element vectors
+  /** Valid-vector contract (dirty-data posture, r10; non-finite class
+    * r12): real corpora carry NULL embeddings (failed encoder calls),
+    * all-zero vectors (zeroed buffers), and NaN/±Inf-element vectors
     * (overflowed encoders) — cosine normalization and codebook training
     * are undefined on all three, and leaving them in makes every
     * downstream result depend on each engine's null/zero-division/NaN
     * convention (DuckDB's x/0 is NULL, ANSI Spark aborts, NaN poisons
     * both — silent divergence or a corpus-wide crash). The embeddings
     * surface therefore operates UNIFORMLY on the valid-vector corpus:
-    * present, NaN-free, norm > 0. Every oracle in this file carries the
-    * same predicate verbatim ([[ValidVecSql]]); the dirty parity gate
-    * (tools/DirtyData + selfcheck) proves the equivalence on a corpus
-    * where all three defect classes are present. */
+    * present, finite-norm, norm > 0. Every oracle in this file carries
+    * the same predicate verbatim ([[ValidVecSql]]); the dirty parity
+    * gate (tools/DirtyData + selfcheck) proves the equivalence on a
+    * corpus where all three defect classes are present. */
   /** Spark side of the contract: the codegen `vec_valid` kernel
     * ([[graft.functions.HashOps.vecValid]]) — one fused pass checking
-    * element NULLs, element NaNs, and sum-of-squares > 0. NaN elements
-    * are the THIRD defect class (r12, prompted by r11 ADVICE): a plain
+    * element NULLs and a FINITE, positive sum of squares. Non-finite
+    * norms are the THIRD defect class (r12, prompted by r11 ADVICE and
+    * widened from NaN-only by the r12 review): a plain
     * `list_sum(...x*x...) > 0` oracle fold would KEEP NaN vectors
-    * (both engines order NaN > 0), and a kept NaN vector poisons every
-    * downstream kernel on both engines — so [[ValidVecSql]] carries an
-    * explicit `isnan` term mirroring the kernel's Java-semantics drop,
-    * and the dirty replica's NaN slice pins the agreement.
+    * (both engines order NaN > 0), a NaN-only gate would still keep
+    * ±Inf/overflow vectors, and both poison every downstream kernel on
+    * both engines — so [[ValidVecSql]] carries an explicit
+    * `isfinite(list_sum(...))` term mirroring the kernel's
+    * `isFinite(ss)`, and the dirty replica's NaN and Inf slices pin
+    * the agreement.
     * The NULL-ELEMENT term
     * matters for cross-engine parity even though a sum-of-squares
     * fold alone would exclude such rows in Spark: DuckDB's list_sum
@@ -67,7 +70,7 @@ object Ann {
   val ValidVecSql: String =
     "embedding IS NOT NULL AND" +
       " len(list_filter(embedding, x -> x IS NULL)) = 0 AND" +
-      " len(list_filter(embedding, x -> isnan(x))) = 0 AND" +
+      " isfinite(list_sum(list_transform(embedding, x -> x * x))) AND" +
       " list_sum(list_transform(embedding, x -> x * x)) > 0"
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {

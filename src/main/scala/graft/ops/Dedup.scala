@@ -422,19 +422,23 @@ object Dedup {
     * task — the earlier `slice(sort_array(collect_list(..)))` form
     * bounded only the output, not the aggregation buffer (r10 review
     * finding). A capped bucket's members BEYOND the cap go through the
-    * ITERATED star pass (see the loop in [[minhashPairs]]): successive
-    * min-remaining representatives candidate against every bucket
-    * member until no member is left unexamined, so a >cap
-    * near-identical cluster keeps its whole tail AND a CHAINED cluster
-    * (tail below 0.8 vs the first min but ≥ 0.8 vs a later rep) links
-    * back through the cross-star candidates — the r10 chained-tail
-    * residual is closed (Round11OpsSpec drives a synthetic 3-chained
-    * >cap cluster through C3 → C22). Disclosed bounds past the cap:
-    * within-star member-member pairs (neither endpoint a rep) are not
-    * emitted — irrelevant to cluster membership, which flows through
-    * the rep links — and a bucket needing more than StarRounds
-    * sub-stars leaves later sub-clusters unpaired (fail-safe:
-    * survivors, never silent drops). No bucket exceeds the cap at any
+    * LAZY IN-PLAN star pass (see the streaming election in
+    * [[minhashPairs]], r12): one `flatMapSortedGroups` pass per
+    * oversize bucket elects ≤ StarReps representatives (a member that
+    * confirms against no already-elected rep becomes the next rep),
+    * then every bucket member candidate-pairs against every rep
+    * through the shared exact confirm — so a >cap near-identical
+    * cluster keeps its whole tail AND a CHAINED cluster (tail below
+    * 0.8 vs the first min but ≥ 0.8 vs a later rep) links back
+    * through the cross-star candidates — the r10 chained-tail
+    * residual stays closed (Round11OpsSpec drives a synthetic
+    * 3-chained >cap cluster through C3 → C22). Disclosed bounds past
+    * the cap: within-star member-member pairs (neither endpoint a
+    * rep) are not emitted — irrelevant to cluster membership, which
+    * flows through the rep links — and a bucket needing more than
+    * StarReps sub-stars leaves later sub-clusters unpaired
+    * (fail-safe: survivors, never silent drops; Round12OpsSpec
+    * exercises the bound). No bucket exceeds the cap at any
     * tested SF, where C2 equality is exact (DedupSpec); at scale the
     * cap trades those bounds for a hard per-task memory bound. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -444,11 +448,17 @@ object Dedup {
     * the oversize-bucket star path (dead at test SFs, where no bucket
     * exceeds the cap) can be exercised directly by DedupSpec on a
     * synthetic >cap duplicate cluster. */
+  /** LSH bucket cap: the k in C3's min_k partial buffers, the
+    * capped/star split point, and — interpolated, never re-spelled —
+    * the oversize-cohort bound in [[dedupMinhashLshSql]] (r12 review:
+    * a hardcoded 64 in the oracle would silently diverge if the cap
+    * were tuned). */
+  val BucketCap = 64
+
   private[ops] def minhashPairs(s: SparkSession, shingledDf: DataFrame): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
     graft.functions.MinKAgg.register(s)
-    val BucketCap = 64
     val sh = shingledDf.withColumn("sig", expr("minhash_sig(sh, 128)")).persist()
     // band shuffle carries (doc_id, band, hash) only — never the
     // shingle arrays (16× duplication of the corpus otherwise)
@@ -605,10 +615,10 @@ object Dedup {
        |over_capped AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(1.0 AS DOUBLE) AS jac
        |  FROM c a JOIN c b ON a.k = b.k AND a.doc_id < b.doc_id
-       |  WHERE a.csz > 64 AND a.rk <= 64 AND b.rk <= 64),
+       |  WHERE a.csz > $BucketCap AND a.rk <= $BucketCap AND b.rk <= $BucketCap),
        |over_star AS (
        |  SELECT cmin AS d1, doc_id AS d2, CAST(1.0 AS DOUBLE) AS jac
-       |  FROM c WHERE csz > 64 AND rk > 64),
+       |  FROM c WHERE csz > $BucketCap AND rk > $BucketCap),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -619,7 +629,7 @@ object Dedup {
        |      FROM co JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2),
        |gen AS (SELECT j.d1, j.d2, j.jac FROM j
        |        JOIN c x ON x.doc_id = j.d1 JOIN c y ON y.doc_id = j.d2
-       |        WHERE j.jac >= 0.8 AND NOT (x.k = y.k AND x.csz > 64))
+       |        WHERE j.jac >= 0.8 AND NOT (x.k = y.k AND x.csz > $BucketCap))
        |SELECT d1, d2, jac FROM (
        |  SELECT * FROM gen
        |  UNION ALL SELECT * FROM over_capped

@@ -62,12 +62,19 @@ object DirtyData {
           .when(slice("vec_id", 5),                      // all-zero vector
             expr("transform(embedding, x -> cast(0.0 as float))"))
           .when(slice("vec_id", 11),                     // NaN element (r11 ADVICE):
-            // the third defect class — vec_valid drops these and the
-            // oracle's ValidVecSql carries a matching isnan term (a bare
-            // list_sum(...) > 0 fold would KEEP them, since both engines
-            // order NaN > 0, and NaN then poisons every downstream
-            // kernel); this slice makes the parity gate prove agreement
+            // the non-finite defect class — vec_valid drops these and
+            // the oracle's ValidVecSql carries a matching
+            // isfinite(list_sum(...)) term (a bare list_sum(...) > 0
+            // fold would KEEP them, since both engines order NaN > 0,
+            // and NaN then poisons every downstream kernel); this slice
+            // makes the parity gate prove agreement
             expr("transform(embedding, (x, i) -> case when i = 0 then cast('NaN' as float) else x end)"))
+          .when(slice("vec_id", 13),                     // ±Inf element (r12 review:
+            // the OTHER overflowed-encoder shape — an Inf passes a
+            // NaN-only gate, then Inf−Inf dots go NaN downstream where
+            // Spark's floor(NaN)→0 silently diverges from DuckDB's NaN)
+            expr("transform(embedding, (x, i) -> case when i = 0 then cast('Infinity' as float)" +
+              " when i = 1 then cast('-Infinity' as float) else x end)"))
           .otherwise(col("embedding")))
       .withColumn("label",
         when(slice("vec_id", 7), lit(null: Integer)).otherwise(col("label"))))

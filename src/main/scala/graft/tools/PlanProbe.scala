@@ -54,6 +54,8 @@ object PlanProbe {
           val sz = b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
           val rows = b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
           out += f"  B rows=$rows size=${sz / 1024.0 / 1024.0}%.1f MiB  ${b.child.nodeName}"
+        case r: ReusedExchangeExec =>
+          out += s"  R reuse -> ${r.child.nodeName}(${r.child.id})"
         case _ => ()
       })
       println(s"PLAN $n exchanges=$nx")

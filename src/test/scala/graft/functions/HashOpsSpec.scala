@@ -59,8 +59,9 @@ class HashOpsSpec extends AnyFunSuite {
     assert(HashOps.vecValid(dbls(0.5, -0.25)))
     assert(!HashOps.vecValid(dbls(0.0, 0.0)))           // zero norm
     assert(!HashOps.vecValid(new GenericArrayData(Array[Any](0.5, null)))) // NULL element
-    assert(!HashOps.vecValid(dbls(Double.NaN, 1.0)))     // NaN = third defect class (kernel doc; oracle carries isnan twin)
-    assert(HashOps.vecValid(dbls(Double.PositiveInfinity))) // Inf*Inf > 0 (HOF parity)
+    assert(!HashOps.vecValid(dbls(Double.NaN, 1.0)))     // NaN: non-finite norm (oracle carries isfinite twin)
+    assert(!HashOps.vecValid(dbls(Double.PositiveInfinity))) // Inf: non-finite norm (r12 review)
+    assert(!HashOps.vecValid(dbls(1e200, 1.0)))          // finite element, overflowing norm
     assert(!HashOps.vecValid(dbls()))                    // empty → sum 0
   }
 

@@ -48,7 +48,7 @@ class Round12OpsSpec extends AnyFunSuite {
     }
     val coreSig = sig(core)
     // pool of candidate extras with cached singleton sigs, consumed once
-    val pool = Iterator.from(1).map(i => s"x$i" -> null).map(_._1)
+    val pool = Iterator.from(1).map(i => s"x$i")
       .map(x => (x, sig(Seq(x))))
     val cleanOfBand0 = pool.filter { case (_, sx) =>
       (0 until 8).forall(q => sx(q) > coreSig(q)) }

@@ -66,7 +66,7 @@ class SkewInputSpec extends AnyFunSuite {
       .select($"d1", $"d2").as[(Long, Long)].collect()
     spark.catalog.clearCache()
 
-    val cap = 64
+    val cap = Dedup.BucketCap
     // capped all-pairs over the 64 smallest ids, plus one star round
     // pairing the min against the 131 others (63 already in the cap)
     val expectedCount = cap * (cap - 1) / 2 + (n - 1) - (cap - 1)
@@ -92,7 +92,8 @@ class SkewInputSpec extends AnyFunSuite {
     // cohorts, so the sweep reads 171/171 and the contract lives in
     // the compared artifact itself.
     val sql = graft.SparkEntry.oracleSql("dedup_minhash_lsh")
-    assert(sql.contains("csz > 64") && sql.contains("rk <= 64")
+    val cap = Dedup.BucketCap
+    assert(sql.contains(s"csz > $cap") && sql.contains(s"rk <= $cap")
       && sql.contains("over_star"),
       "C3 oracle must carry the capped + star special case for >cap cohorts")
     assert(sql.contains("list_sort(sh)"),
