@@ -62,8 +62,16 @@ object Bench {
           (i, if (ok) sec else -1.0)
         }.filter(_._2 >= 0)
       }.toMap
+    // Drift canary (r12 verdict task 1): a fixed synthetic CPU+shuffle
+    // probe timed before, between, and after the two sweeps. Identical
+    // plan and row count every invocation, zero file IO — so any
+    // movement in canary_pre/mid/post is the BOX, not the tree, and a
+    // cross-round total comparison starts by normalizing against it.
+    val canaryPre = graft.tools.DriftCanary.warmThenTime(spark)
     val sweepA = sweep(1 to RunsA)
+    val canaryMid = graft.tools.DriftCanary.run(spark)
     val sweepB = sweep(RunsA + 1 to Runs)
+    val canaryPost = graft.tools.DriftCanary.run(spark)
     val results = ordered.map { case (name, _) =>
       val timed = sweepA(name) ++ sweepB(name)
       val secs = timed.map(_._2)
@@ -165,7 +173,7 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1).sorted
     val total = results.map(_._2).filter(_ >= 0).sum
     val medTotal = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"queries_max":$maxs,"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"noisy_queries":${jarr(noisyQueries)},"noisy":${noisyQueries.nonEmpty},"n_noisy":${noisyQueries.size},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"sweep_a_total":${f3(sweepATotal)},"sweep_b_total":${f3(sweepBTotal)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries_max":$maxs,"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"noisy_queries":${jarr(noisyQueries)},"noisy":${noisyQueries.nonEmpty},"n_noisy":${noisyQueries.size},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"sweep_a_total":${f3(sweepATotal)},"sweep_b_total":${f3(sweepBTotal)},"canary_pre":${f3(canaryPre)},"canary_mid":${f3(canaryMid)},"canary_post":${f3(canaryPost)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -942,6 +942,18 @@ object CdcQueries {
     * are exercised end-to-end. */
   def replicationSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val segDir = writeWireSegments(s, dir)
+    val decoded = s.readStream.format("pgoutput").load(segDir)
+      .select(org.apache.spark.sql.functions.col("msg"))
+    latestStateFromWire(s, decoded)
+  }
+
+  /** A22 stage 1, factored (r13) so the loopback-TCP transport spec can
+    * replay the SAME segment bytes over a socket: encodes the change
+    * feed as length-prefix-framed binary pgoutput segment files from
+    * the executors and returns the segment dir. */
+  private[graft] def writeWireSegments(s: SparkSession, dir: String): String = {
+    import s.implicits._
     PgOutputExpressions.register(s)
     val changes = ChangeFeed.fromEvents(s, dir)
     val wire = changes.select($"seq", struct(
@@ -974,7 +986,18 @@ object CdcQueries {
         Iterator.single(n)
       }.collect().sum // not .reduce: an EMPTY feed has zero partitions and
       // Dataset.reduce throws "empty collection" (r11 empty-input sweep)
-    val decoded = s.readStream.format("pgoutput").load(segDir)
+    segDir
+  }
+
+  /** A22 stage 2, factored (r13): decode a stream of binary pgoutput
+    * messages (column `msg`) and materialize latest-state — shared
+    * verbatim by the file transport (A22's registered query) and the
+    * loopback-TCP transport (PgWireTcpSpec), which is the point: the
+    * decode path and state machine cannot diverge between transports. */
+  private[graft] def latestStateFromWire(s: SparkSession, msgs: DataFrame): DataFrame = {
+    import s.implicits._
+    PgOutputExpressions.register(s)
+    val decoded = msgs
       .select(expr("pg_decode(msg)").as("d"))
       .select(
         // inserts carry no key tuple on the wire (pgoutput semantics)

@@ -156,9 +156,11 @@ object HashOps {
     * (Inf−Inf dots → NaN; Spark's floor(NaN)→0 vs DuckDB's NaN →
     * silent divergence). A NON-FINITE SUM OF SQUARES is therefore the
     * third defect class the corpus gate excludes, alongside NULL
-    * elements and zero norm: `isFinite(ss) && ss > 0.0` drops NaN
-    * (NaN sum), ±Inf elements, and norm overflow in one test (squares
-    * are non-negative, so no finite cancellation can hide an Inf).
+    * elements and zero norm: `isFinite(ss) && ss > 0.0 && ss <= VecNormCap` drops
+    * NaN (NaN sum), ±Inf elements, double-norm overflow, AND
+    * finite-but-beyond-float norms (see [[VecNormCap]]) in one test
+    * (squares are non-negative, so no finite cancellation can hide an
+    * Inf or shrink a huge sum).
     * The DuckDB twin [[graft.ops.Ann.ValidVecSql]] carries a matching
     * `isfinite(list_sum(...))` term, and the dirty replica's NaN and
     * Inf slices (tools/DirtyData, vec_id % 23 ∈ {11, 13}) prove the
@@ -173,8 +175,24 @@ object HashOps {
       ss += x * x
       i += 1
     }
-    java.lang.Double.isFinite(ss) && ss > 0.0
+    java.lang.Double.isFinite(ss) && ss > 0.0 && ss <= VecNormCap
   }
+
+  /** Upper bound on a valid vector's sum of squares: float max. The
+    * embeddings column is FLOAT[] on disk, so any HONEST encoder's
+    * norm fits the storage domain; a finite-but-huge element (the r12
+    * ADVICE class, |x| in (~1.84e19, floatmax] — float-square
+    * overflow) is an overflowed encoder artifact exactly like NaN/Inf.
+    * r13 measurement settled which side of the gate it belongs on: a
+    * KEPT 1e20-element vector poisons 11 downstream queries on the
+    * dirty replica (int64 fixed-point scales overflow, DuckDB can't
+    * even cast the oracle's doubles back) — so BOTH engines now DROP
+    * the class, and the bound is an explicit double-domain constant
+    * (not a float-domain fold) so the two engines compare the SAME
+    * IEEE sum against the same literal: exact agreement, no
+    * rounding-boundary ambiguity. Pinned by the dirty replica's
+    * vec_id%23==17 slice (1e20f element: double ss ~1e40 > cap). */
+  val VecNormCap: Double = 3.4028234663852886e38
 
   /** Random-hyperplane LSH bucket code: bit p of the code is the sign
     * of the dot product with the p-th deterministic pseudo-random

@@ -66,12 +66,30 @@ object Ann {
 
   /** DuckDB twin of [[validVec]], interpolated VERBATIM into every
     * embeddings oracle here, in Dedup.nearFeedSql, and in
-    * PipelineQueries.embQuantizeSql — one spelling, one edit point. */
+    * PipelineQueries.embQuantizeSql — one spelling, one edit point.
+    * The fold squares in DOUBLE, not the column's FLOAT domain (r13,
+    * from r12 ADVICE): `embedding` is FLOAT[] in the parquet, so a
+    * bare `x * x` squares in float and an element with |x| in
+    * (~1.84e19, floatmax] overflows to +Inf mid-fold — the overflow
+    * BOUNDARY then depends on float rounding order, not on the
+    * contract. Both engines instead compute the same IEEE double sum
+    * and compare it to the same explicit bound,
+    * [[graft.functions.HashOps.VecNormCap]] (float max): the
+    * finite-but-huge class is DROPPED by both — r13 measured that
+    * keeping it poisons 11 downstream queries' int64 fixed-point
+    * envelopes on the dirty replica, so it is an overflowed-encoder
+    * defect exactly like NaN/±Inf. The dirty replica's vec_id%23==17
+    * slice (a finite 1e20f element, double ss ~1e40) pins the
+    * cross-engine agreement. */
   val ValidVecSql: String =
     "embedding IS NOT NULL AND" +
       " len(list_filter(embedding, x -> x IS NULL)) = 0 AND" +
-      " isfinite(list_sum(list_transform(embedding, x -> x * x))) AND" +
-      " list_sum(list_transform(embedding, x -> x * x)) > 0"
+      " isfinite(list_sum(list_transform(embedding," +
+      "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AND" +
+      " list_sum(list_transform(embedding," +
+      "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 AND" +
+      " list_sum(list_transform(embedding," +
+      "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) <= 3.4028234663852886e38"
 
   private def corpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

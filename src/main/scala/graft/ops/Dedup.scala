@@ -423,9 +423,11 @@ object Dedup {
     * bounded only the output, not the aggregation buffer (r10 review
     * finding). A capped bucket's members BEYOND the cap go through the
     * LAZY IN-PLAN star pass (see the streaming election in
-    * [[minhashPairs]], r12): one `flatMapSortedGroups` pass per
-    * oversize bucket elects ≤ StarReps representatives (a member that
-    * confirms against no already-elected rep becomes the next rep),
+    * [[minhashPairs]], r12; parallelized r13): one `flatMapSortedGroups`
+    * pass per (oversize bucket, doc_id % [[SubBuckets]] residue class)
+    * elects ≤ StarReps representatives (a member that
+    * confirms against no already-elected rep of its class becomes the
+    * next rep),
     * then every bucket member candidate-pairs against every rep
     * through the shared exact confirm — so a >cap near-identical
     * cluster keeps its whole tail AND a CHAINED cluster (tail below
@@ -455,11 +457,36 @@ object Dedup {
     * were tuned). */
   val BucketCap = 64
 
+  /** Fan-out of the oversize-bucket rep election (r13): members of an
+    * oversize LSH bucket elect representatives per `doc_id %
+    * SubBuckets` residue class IN PARALLEL — interpolated into
+    * [[dedupMinhashLshSql]]'s star reduction, never re-spelled. The
+    * class key is plain id arithmetic (not a Spark-private hash) so
+    * the DuckDB oracle can name the same classes. */
+  val SubBuckets = 16
+
   private[ops] def minhashPairs(s: SparkSession, shingledDf: DataFrame): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
+    minhashPairsSigned(s,
+      shingledDf.withColumn("sig", expr("minhash_sig(sh, 128)")).persist())
+      .orderBy($"d1", $"d2")
+  }
+
+  /** C3's candidate/confirm engine over a pre-SIGNED (doc_id, sh, sig)
+    * frame — split out (r13) so C67's streaming ingest can run the
+    * SAME hardened within-batch mining (min_k caps + canonical-bucket
+    * star pass) without recomputing signatures it already has: the
+    * skew sweep caught the old hand-rolled within-batch block keeping
+    * 68 past-cap members of the viral cohort once the whole cohort
+    * landed in one trigger (the capped buckets alone never
+    * candidate-pair past-cap members; C3's star pass exists for
+    * exactly this). CALLER persists the signed frame (multiple plan
+    * branches consume it); output pairs are unsorted. */
+  private[ops] def minhashPairsSigned(s: SparkSession, sh: DataFrame): DataFrame = {
+    import s.implicits._
+    GraftExpressions.register(s)
     graft.functions.MinKAgg.register(s)
-    val sh = shingledDf.withColumn("sig", expr("minhash_sig(sh, 128)")).persist()
     // band shuffle carries (doc_id, band, hash) only — never the
     // shingle arrays (16× duplication of the corpus otherwise)
     val bands = sh.select($"doc_id",
@@ -473,7 +500,13 @@ object Dedup {
     // would still run the aggregation twice.
     val buckets = bands.groupBy($"band", $"bh")
       .agg(expr(s"min_k(doc_id, $BucketCap)").as("ids"),
-        count(lit(1)).as("cnt"))
+        count(lit(1)).as("cnt"),
+        // order-insensitive membership digest (xor of per-id hashes):
+        // lets the oversize path below elect ONCE per distinct
+        // membership instead of once per band (an identical-set viral
+        // cohort shares all 16 band buckets — r12 ADVICE measured the
+        // old form as 16 elections plus a 16× shingle shuffle)
+        expr("bit_xor(xxhash64(doc_id))").as("digest"))
       .filter($"cnt" > 1)
       .persist()
     val capped = buckets
@@ -506,53 +539,88 @@ object Dedup {
     // joins) — and (b) left loop-scoped persists for the harness to
     // release (r11 ADVICE). Construction is now side-effect-free.
     //
-    // Mechanics: representatives are elected per oversize bucket by a
-    // single STREAMING pass (flatMapSortedGroups, members ascending by
-    // doc_id): a member that exact-Jaccard-confirms against NO
-    // already-elected rep becomes the next rep, up to StarReps. This
-    // elects EXACTLY the reps the r11 feedback loop elected — rep_k
-    // was the smallest member confirming against none of reps 1..k−1,
-    // which is precisely the streaming rule — without materializing a
-    // bucket's membership anywhere: the group ITERATOR streams, task
-    // memory holds ≤ StarReps shingle sets. Election time per bucket
-    // is one core × O(members × StarReps × |sh|) set lookups (~10 s
-    // for a million-member viral bucket — and ONLY the ≤8-rep
-    // election serializes; the bulk members × reps confirms below
-    // stay fully distributed, and distinct buckets elect in
-    // parallel). The in-group jac uses the
-    // same integer operands and IEEE ops as confirm() below, so
-    // election is bit-consistent with the distributed confirm.
+    // Mechanics (r13 revision — r12 verdict task 4 + ADVICE): the
+    // election is PARALLELIZED per residue class and DEDUPLICATED
+    // across bands.
     //
-    // The elected reps (≤ StarReps rows per bucket) then candidate-pair
-    // against EVERY bucket member in-plan — reached ones included,
-    // which is what links a chained sub-cluster back into an earlier
-    // star — and flow through the ONE shared confirm() with the capped
-    // pairs: the emitted star set is { (rep_i, m) : jac ≥ 0.8 }, the
-    // same closure the iterated rounds produced (round r emitted
-    // members × rep_r; union over r = members × all reps).
+    //  (1) Canonical bucket per membership. An identical-signature
+    //      cohort occupies the SAME membership in all 16 band buckets;
+    //      the r12 form joined shingles onto every band row and ran 16
+    //      identical elections over a 16× shingle shuffle. Oversize
+    //      buckets are now keyed by an order-insensitive membership
+    //      digest (xor of xxhash64(doc_id), + cnt) and only the
+    //      FIRST (band, bh) per digest elects — the star pair set is
+    //      unchanged (equal membership ⇒ equal reps ⇒ equal star
+    //      links; the r12 duplicates only fed dropDuplicates). A
+    //      digest collision across genuinely-different memberships
+    //      drops one bucket's handling — fail-safe (survivors), and
+    //      astronomically unlikely (64-bit xor-sum + exact count).
     //
-    // Rep bound: ≤ StarReps sub-stars per bucket. A bucket needing
-    // more (≥ 8 mutually-dissimilar sub-clusters inside ONE hot LSH
-    // bucket — a hash-skew artifact, not a duplicate cluster) leaves
-    // its residue UNPAIRED, which fails SAFE for dedup: an unpaired
-    // doc survives the loser ledger; nothing is silently dropped.
-    // Dead at every tested SF (no bucket exceeds the cap), and when
-    // dead it costs one empty-input mapGroups stage, not an eager job.
+    //  (2) Per-residue parallel election. Members split into
+    //      SubBuckets residue classes by doc_id % SubBuckets (a key
+    //      both engines can compute — the oracle's star reduction
+    //      self-describes it), and each class runs the SAME streaming
+    //      election (flatMapSortedGroups ascending by doc_id: a member
+    //      that exact-Jaccard-confirms against NO already-elected rep
+    //      of its class becomes the next rep, up to StarReps). ALL
+    //      class reps are final — there is deliberately NO second-level
+    //      election: eliminating a sub-rep that blocked other members
+    //      would orphan them (confirm is not transitive), while keeping
+    //      every sub-rep preserves the r11/r12 coverage invariant —
+    //      every member either IS a rep or confirms against a
+    //      PERMANENT rep elected earlier in its own class — so chained
+    //      sub-clusters still link back through cross-star candidates
+    //      (Round11OpsSpec drives the 3-chained >cap cluster through
+    //      this path). Task memory per election stays ≤ StarReps
+    //      shingle sets; a million-member viral bucket streams as
+    //      SubBuckets parallel ~1/SubBuckets-size elections instead of
+    //      r12's ONE serial pass (×16 bands). Worst case — all ids in
+    //      one residue class — degenerates to exactly the r12 serial
+    //      election, never worse. The in-class jac uses the same
+    //      integer operands and IEEE ops as confirm() below, so
+    //      election is bit-consistent with the distributed confirm.
+    //
+    // The elected reps (≤ StarReps × SubBuckets rows per bucket) then
+    // candidate-pair against EVERY bucket member in-plan — reached
+    // ones included, which is what links a chained sub-cluster back
+    // into an earlier star — and flow through the ONE shared confirm()
+    // with the capped pairs: the emitted star set is
+    // { (rep_i, m) : jac ≥ 0.8 }. For an identical-set cohort each
+    // residue class elects exactly its minimum, so the star links are
+    // (per-residue min, m) pairs — the shape [[dedupMinhashLshSql]]
+    // self-describes.
+    //
+    // Rep bound: ≤ StarReps sub-stars per (bucket, residue class). A
+    // class needing more (≥ 8 mutually-dissimilar sub-clusters among
+    // ids sharing a residue inside ONE hot LSH bucket — a hash-skew
+    // artifact, not a duplicate cluster) leaves its residue UNPAIRED,
+    // which fails SAFE for dedup: an unpaired doc survives the loser
+    // ledger; nothing is silently dropped (Round12OpsSpec exercises
+    // both the bound and the parallel-class widening). Dead at every
+    // tested SF (no bucket exceeds the cap), and when dead it costs
+    // one empty-input mapGroups stage, not an eager job.
     val StarReps = 8
+    val over = buckets.filter($"cnt" > BucketCap)
+    val canonKeys = over
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"digest", $"cnt").orderBy($"band", $"bh")))
+      .filter($"rk" === 1)
+      .select($"band", $"bh")
     val oversizeMembers = bands
-      .join(buckets.filter($"cnt" > BucketCap).select($"band", $"bh"),
-        Seq("band", "bh"))
+      .join(canonKeys, Seq("band", "bh"))
       .join(full, Seq("doc_id"))
-      .select($"band", $"bh", $"doc_id", $"sh")
+      .select($"band", $"bh",
+        pmod($"doc_id", lit(SubBuckets.toLong)).as("sub"),
+        $"doc_id", $"sh")
     val reps = oversizeMembers
-      .as[(Int, Long, Long, Seq[String])]
-      .groupByKey(r => (r._1, r._2))
+      .as[(Int, Long, Long, Long, Seq[String])]
+      .groupByKey(r => (r._1, r._2, r._3))
       .flatMapSortedGroups($"doc_id") { (key, it) =>
         val elected =
           scala.collection.mutable.ArrayBuffer.empty[java.util.HashSet[String]]
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
         while (it.hasNext && elected.size < StarReps) {
-          val (_, _, id, shs) = it.next()
+          val (_, _, _, id, shs) = it.next()
           // jac twin of confirm(): inter over distinct shingles,
           // |A∪B| = na + nb − inter, 4-dp half-up rounding
           val matchesARep = elected.exists { repSet =>
@@ -578,7 +646,6 @@ object Dedup {
       .select(least($"rep", $"doc_id").as("d1"),
         greatest($"rep", $"doc_id").as("d2"))
     confirm(capped.unionByName(starCand).dropDuplicates("d1", "d2"))
-      .orderBy($"d1", $"d2")
   }
   // oracle: identical pair set to C2 (confirm step makes precision
   // exact; planted near-dups at jac ≈ 0.98 make recall deterministic)
@@ -590,12 +657,23 @@ object Dedup {
     * docs with IDENTICAL shingle sets (the skew replica's viral
     * cohort; identical sets ⇒ identical signatures ⇒ the whole cohort
     * shares every band bucket). For such a cohort the engine emits
-    * all-pairs among the 64 smallest ids (the min_k cap) plus
-    * (min, m) star links for the tail — so the oracle emits exactly
-    * that, and the skew sweep reads 171/171 with no out-of-band
-    * "disclosed FAIL" narrative. Everywhere else (no oversize cohort —
-    * every tested clean/dirty/unicode/long-doc SF) the special case is
-    * empty and this reduces verbatim to [[dedupNgramJaccardSql]].
+    * all-pairs among the 64 smallest ids (the min_k cap) plus star
+    * links incident to the per-residue-class minima (r13: the election
+    * parallelized over `doc_id % SubBuckets` classes, each electing
+    * its minimum for an identical cohort) — so the oracle emits
+    * exactly that, and the skew sweep reads 171/171 with no
+    * out-of-band "disclosed FAIL" narrative. Everywhere else (no
+    * oversize cohort — every tested clean/dirty/unicode/long-doc SF)
+    * the special case is empty and this reduces verbatim to
+    * [[dedupNgramJaccardSql]].
+    *
+    * The cohort key hashes ELEMENTS before joining (r13, from r12
+    * ADVICE): `array_to_string(list_sort(sh), chr(30))` was
+    * separator-injectable — a shingle containing a literal 0x1E could
+    * make two different sets serialize identically and falsely merge
+    * two cohorts in the oracle only (the engine keys on the minhash of
+    * the actual set). md5-ing each element first makes the join
+    * separator-proof (32-char hex never contains ',').
     *
     * Disclosed bound (unchanged from r11, now encoded in the oracle):
     * the reduction is exact when oversize cohorts are bucket-isolated
@@ -606,19 +684,23 @@ object Dedup {
   val dedupMinhashLshSql: String =
     s"""WITH $shingledSql,
        |ck AS (SELECT doc_id, sh,
-       |         md5(array_to_string(list_sort(sh), chr(30))) AS k FROM sh),
+       |         md5(array_to_string(list_sort(list_transform(sh, s -> md5(s))), ',')) AS k
+       |       FROM sh),
        |c AS (SELECT doc_id, k,
        |        row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rk,
        |        count(*) OVER (PARTITION BY k) AS csz,
-       |        min(doc_id) OVER (PARTITION BY k) AS cmin
+       |        min(doc_id) OVER (PARTITION BY k, doc_id % $SubBuckets) AS rmin
        |      FROM ck),
        |over_capped AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(1.0 AS DOUBLE) AS jac
        |  FROM c a JOIN c b ON a.k = b.k AND a.doc_id < b.doc_id
        |  WHERE a.csz > $BucketCap AND a.rk <= $BucketCap AND b.rk <= $BucketCap),
        |over_star AS (
-       |  SELECT cmin AS d1, doc_id AS d2, CAST(1.0 AS DOUBLE) AS jac
-       |  FROM c WHERE csz > $BucketCap AND rk > $BucketCap),
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(1.0 AS DOUBLE) AS jac
+       |  FROM c a JOIN c b ON a.k = b.k AND a.doc_id < b.doc_id
+       |  WHERE a.csz > $BucketCap
+       |    AND (a.doc_id = a.rmin OR b.doc_id = b.rmin)
+       |    AND NOT (a.rk <= $BucketCap AND b.rk <= $BucketCap)),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -557,21 +557,24 @@ object PipelineQueries {
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("n_sh",
       org.apache.spark.sql.types.LongType)))
-  private val neardupBandSchema = org.apache.spark.sql.types.StructType(Seq(
+  /** C67's ONE history table (r13, folding the r12 band + shingle
+    * tables): band rows carry null `sh`, shingle rows null `band`/`bh`
+    * — parquet stores the null columns for free, the rows land in
+    * DISJOINT partitions (`p` = "b"+bh%16 for bands, "s"+doc_id%8 for
+    * shingles) so either read path scans only its own files, and the
+    * per-trigger history append is ONE write job instead of two (the
+    * r12 verdict measured the per-batch fixed cost as this query's
+    * whole story at harness scale). */
+  private val neardupHistSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("band",
       org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("bh",
       org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("pfx",
-      org.apache.spark.sql.types.StringType)))
-  private val neardupShSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("doc_id",
-      org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types
       .ArrayType(org.apache.spark.sql.types.StringType)),
-    org.apache.spark.sql.types.StructField("dpfx",
+    org.apache.spark.sql.types.StructField("p",
       org.apache.spark.sql.types.StringType)))
 
   private def hasParts(tableDir: String, prefix: String): Boolean = {
@@ -587,16 +590,18 @@ object PipelineQueries {
     * inferred as integers (the r7 advisor's C39 finding). */
   private[graft] def prunedBands(sp: SparkSession, tableDir: String,
       pfxs: Seq[String]): DataFrame =
-    sp.read.schema(neardupBandSchema).parquet(tableDir)
-      .filter(col("pfx").isin(pfxs: _*))
+    sp.read.schema(neardupHistSchema).parquet(tableDir)
+      .filter(col("p").isin(pfxs.map("b" + _): _*))
+      .select(col("doc_id"), col("band"), col("bh"))
 
   /** C67's shingle-history read pruned to the id buckets of the
     * batch's candidate partners — only confirmed-candidate shingle
     * rows are ever fetched. */
   private[graft] def prunedShingles(sp: SparkSession, tableDir: String,
       dpfxs: Seq[String]): DataFrame =
-    sp.read.schema(neardupShSchema).parquet(tableDir)
-      .filter(col("dpfx").isin(dpfxs: _*))
+    sp.read.schema(neardupHistSchema).parquet(tableDir)
+      .filter(col("p").isin(dpfxs.map("s" + _): _*))
+      .select(col("doc_id"), col("sh"))
 
   /** Streaming NEAR-dup ingest — C39's exact-digest gate upgraded to
     * MinHash/LSH: each micro-batch shingles its docs, bands their
@@ -618,7 +623,21 @@ object PipelineQueries {
     * as in C3. Recall at t=0.8 with 16×8 banding is complete on this
     * corpus — proven by C3 hash-matching C2's exact pair set at every
     * SF — so the oracle can re-derive drops from the exact pair set. */
-  def pipelineStreamNeardup(s: SparkSession, dir: String): DataFrame = {
+  def pipelineStreamNeardup(s: SparkSession, dir: String): DataFrame =
+    // The REGISTERED query ingests the whole feed in ONE trigger (r12
+    // verdict task 2): the SEEN policy makes the result batch-cut-
+    // invariant by construction and StreamNeardupSpec pins fpt=1 ==
+    // fpt=3 == the batch answer, so the harness is licensed to stop
+    // paying 3x the per-micro-batch fixed cost (r12 measured 9.7 s vs
+    // 24.8 s at sf1). Production deployments pick their own trigger
+    // size; the decomposition harness calls the fpt variant EXPLICITLY
+    // -- the r12 GRAFT_NEARDUP_FPT env override is gone (r12 ADVICE:
+    // ambient environment silently changed what a registered query
+    // measured, with no trace in the emitted JSON).
+    pipelineStreamNeardupFpt(s, dir, 3)
+
+  private[graft] def pipelineStreamNeardupFpt(
+      s: SparkSession, dir: String, fpt: Int): DataFrame = {
     import s.implicits._
     graft.functions.GraftExpressions.register(s)
     val docs = graft.Tables.table(s, dir, "documents")
@@ -640,22 +659,20 @@ object PipelineQueries {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
     }
-    val bandsDir = graft.Scratch.dir("graft_neardup_bands").toString
-    val shDir = graft.Scratch.dir("graft_neardup_sh").toString
+    val histDir = graft.Scratch.dir("graft_neardup_hist").toString
     val keptDir = graft.Scratch.dir("graft_neardup_kept").toString
     val inSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    // files-per-trigger is overridable for floor decomposition (r12,
-    // SCALING.md round-12 stream-neardup section): the result is
+    // files-per-trigger is an explicit parameter (r13): the result is
     // batch-cut-invariant BY DESIGN (SEEN policy above), so running
     // the same feed at 1 vs 3 files/trigger isolates per-micro-batch
-    // fixed cost from data work without touching semantics
+    // fixed cost from data work without touching semantics --
+    // StreamNeardupSpec asserts both land on the batch answer
     val q = s.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger",
-        sys.env.getOrElse("GRAFT_NEARDUP_FPT", "1"))
+      .option("maxFilesPerTrigger", fpt.toString)
       .parquet(inDir.toString)
       .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
@@ -668,45 +685,39 @@ object PipelineQueries {
           .select($"doc_id", $"e.band".as("band"), $"e.bh".as("bh"))
           .withColumn("pfx", pmod($"bh", lit(16)).cast("string"))
           .persist()
-        // within-batch candidates: the C3 bucket shape, 64-id cap
-        // bounded INSIDE the aggregate (MinKAgg — r10 hardening,
-        // same as C3: the sliced collect_list only bounded output)
-        graft.functions.MinKAgg.register(sp)
-        val wbCand = bands.groupBy($"band", $"bh")
-          .agg(expr("min_k(doc_id, 64)").as("ids"))
-          .filter(size($"ids") > 1)
-          .select(explode($"ids").as("d1"), $"ids")
-          .select($"d1", explode($"ids").as("d2"))
-          .filter($"d1" < $"d2")
-          .dropDuplicates("d1", "d2")
-        val full = bsh.select($"doc_id", $"sh")
-        // |A∪B| = |A|+|B|−|∩| (distinct arrays): same division
-        // operands as the array_union form, one hash-set build per pair
-        val wbDrop = wbCand
-          .join(full.as("x"), $"d1" === $"x.doc_id")
-          .join(full.as("y"), $"d2" === $"y.doc_id")
-          .select($"d2",
-            size(array_intersect($"x.sh", $"y.sh")).as("inter"),
-            (size($"x.sh") + size($"y.sh")).as("ntot"))
-          .filter($"inter".cast("double") / ($"ntot" - $"inter") >= 0.8)
+        // within-batch candidates: C3's WHOLE hardened engine over the
+        // already-signed batch (r13 — was a hand-rolled min_k capped
+        // block, which silently kept every PAST-CAP member of a >64-doc
+        // within-batch cohort: capped buckets alone never candidate-pair
+        // past the cap; C3's canonical-bucket star pass exists for
+        // exactly that, and the skew sweep caught the hole the moment
+        // the whole viral cohort landed in one trigger). The drop rule
+        // is reduction-invariant: every non-minimum member of an
+        // identical cohort still pairs with a lower id through the
+        // capped set or its residue-class star rep, so the kept set —
+        // which is what this op emits — equals the exact pair-set
+        // answer (StreamNeardupSpec pins it at every batch cut).
+        val wbDrop = Dedup.minhashPairsSigned(sp,
+            bsh.select($"doc_id", $"sh", $"sig"))
           .select($"d2".as("doc_id"))
+        val full = bsh.select($"doc_id", $"sh")
         // history candidates: band join pruned to this batch's bh%16
         // partitions, then shingles of ONLY the matched partners,
         // pruned to their id buckets
         var cand: DataFrame = null
         val histDrop =
-          if (!hasParts(bandsDir, "pfx=")) wbDrop.limit(0)
+          if (!hasParts(histDir, "p=")) wbDrop.limit(0)
           else {
             val pfxs = bands.select($"pfx").distinct()
               .collect().map(_.getString(0)).toSeq
-            val hist = prunedBands(sp, bandsDir, pfxs)
+            val hist = prunedBands(sp, histDir, pfxs)
             cand = bands.join(hist
                 .select($"band", $"bh", $"doc_id".as("hist_id")),
                 Seq("band", "bh"))
               .select($"hist_id", $"doc_id").dropDuplicates().persist()
             val dpfxs = cand.select(pmod($"hist_id", lit(8)).cast("string"))
               .distinct().collect().map(_.getString(0)).toSeq
-            val histSh = prunedShingles(sp, shDir, dpfxs)
+            val histSh = prunedShingles(sp, histDir, dpfxs)
               .select($"doc_id".as("hist_id"), $"sh".as("hsh"))
             cand.join(histSh, "hist_id")
               .join(full, "doc_id")
@@ -720,17 +731,23 @@ object PipelineQueries {
           .join(wbDrop.union(histDrop).distinct(), Seq("doc_id"), "left_anti")
         kept.write.mode("append").parquet(keptDir)
         // SEEN policy: every batch doc enters history, kept or not.
-        // Task-per-partition writes (the B31 convention): shingling runs
-        // at full parallelism, so an unrepartitioned partitionBy would
-        // fan every writer task across every pfx dir — tasks × dirs tiny
-        // files per batch, and the NEXT batch's history read pays the
+        // ONE append job for both row kinds (r13 — was two): band rows
+        // and shingle rows union into the single history table under
+        // disjoint "b*"/"s*" partitions. Task-per-partition writes (the
+        // B31 convention): shingling runs at full parallelism, so an
+        // unrepartitioned partitionBy would fan every writer task
+        // across every partition dir — tasks × dirs tiny files per
+        // batch, and the NEXT batch's history read pays the
         // file-listing bill.
-        bands.repartition($"pfx")
-          .write.mode("append").partitionBy("pfx").parquet(bandsDir)
-        bsh.select($"doc_id", $"sh",
-            pmod($"doc_id", lit(8)).cast("string").as("dpfx"))
-          .repartition($"dpfx")
-          .write.mode("append").partitionBy("dpfx").parquet(shDir)
+        bands.select($"doc_id", $"band", $"bh",
+            lit(null).cast("array<string>").as("sh"),
+            concat(lit("b"), $"pfx").as("p"))
+          .unionByName(bsh.select($"doc_id",
+            lit(null).cast("int").as("band"),
+            lit(null).cast("long").as("bh"), $"sh",
+            concat(lit("s"), pmod($"doc_id", lit(8)).cast("string")).as("p")))
+          .repartition($"p")
+          .write.mode("append").partitionBy("p").parquet(histDir)
         bsh.unpersist(); bands.unpersist()
         if (cand != null) cand.unpersist()
         ()

@@ -75,6 +75,15 @@ object DirtyData {
             // Spark's floor(NaN)→0 silently diverges from DuckDB's NaN)
             expr("transform(embedding, (x, i) -> case when i = 0 then cast('Infinity' as float)" +
               " when i = 1 then cast('-Infinity' as float) else x end)"))
+          .when(slice("vec_id", 17),                     // finite-but-huge element
+            // (r13, from r12 ADVICE): 1e20 is a FINITE float whose
+            // float-domain square overflows — the class where the r12
+            // float-fold oracle silently diverged from the engine's
+            // double-domain kernel. Both sides now DROP it against the
+            // explicit VecNormCap bound (keeping it poisons 11 queries'
+            // int64 fixed-point envelopes — measured r13); this slice
+            // pins that both engines agree on the drop.
+            expr("transform(embedding, (x, i) -> case when i = 0 then cast(1.0e20 as float) else x end)"))
           .otherwise(col("embedding")))
       .withColumn("label",
         when(slice("vec_id", 7), lit(null: Integer)).otherwise(col("label"))))

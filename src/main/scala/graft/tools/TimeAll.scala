@@ -26,6 +26,9 @@ object TimeAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    // drift canary brackets the sweep (see DriftCanary): cross-window
+    // totals are only comparable after checking these two lines
+    println(f"TIMER __canary_pre__: ${DriftCanary.warmThenTime(spark)}%.2f s")
     var total = 0.0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       try {
@@ -47,6 +50,7 @@ object TimeAll {
         case e: Exception => println(s"TIMER $n: FAILED ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
       }
     }
+    println(f"TIMER __canary_post__: ${DriftCanary.run(spark)}%.2f s")
     println(f"TIMER __total__: $total%.2f s (pairwise-min of $runs runs/query)")
     spark.stop()
   }

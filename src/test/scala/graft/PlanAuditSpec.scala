@@ -213,19 +213,22 @@ class PlanAuditSpec extends AnyFunSuite {
     // both isin predicates must land in the scans' PartitionFilters
     // and the file counts must match exactly the named partitions
     import org.apache.spark.sql.functions._
-    val bandsDir = Scratch.dir("graft_neardup_audit_bands").toString
+    // r13 layout: ONE history table, band rows under p=b*, shingle
+    // rows under p=s* (disjoint partitions — either reader scans only
+    // its own files; see neardupHistSchema)
+    val histDir = Scratch.dir("graft_neardup_audit_hist").toString
     spark.range(256).toDF("doc_id")
       .withColumn("band", (col("doc_id") % 16).cast("int"))
       .withColumn("bh", xxhash64(col("doc_id")))
-      .withColumn("pfx", pmod(col("bh"), lit(16)).cast("string"))
-      .repartition(col("pfx"))
-      .write.mode("overwrite").partitionBy("pfx").parquet(bandsDir)
-    val shDir = Scratch.dir("graft_neardup_audit_sh").toString
-    spark.range(256).toDF("doc_id")
-      .withColumn("sh", array(md5(col("doc_id").cast("string"))))
-      .withColumn("dpfx", pmod(col("doc_id"), lit(8)).cast("string"))
-      .repartition(col("dpfx"))
-      .write.mode("overwrite").partitionBy("dpfx").parquet(shDir)
+      .withColumn("sh", lit(null).cast("array<string>"))
+      .withColumn("p", concat(lit("b"), pmod(col("bh"), lit(16)).cast("string")))
+      .unionByName(spark.range(256).toDF("doc_id")
+        .withColumn("band", lit(null).cast("int"))
+        .withColumn("bh", lit(null).cast("long"))
+        .withColumn("sh", array(md5(col("doc_id").cast("string"))))
+        .withColumn("p", concat(lit("s"), pmod(col("doc_id"), lit(8)).cast("string"))))
+      .repartition(col("p"))
+      .write.mode("overwrite").partitionBy("p").parquet(histDir)
     def auditScan(df: org.apache.spark.sql.DataFrame, dir: String,
         keyCol: String, keep: Seq[String]): Unit = {
       df.collect()
@@ -242,10 +245,10 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(scan.metrics("numFiles").value === expect,
         s"scan read ${scan.metrics("numFiles").value} files, expected $expect")
     }
-    auditScan(ops.PipelineQueries.prunedBands(spark, bandsDir, Seq("3", "7")),
-      bandsDir, "pfx", Seq("3", "7"))
-    auditScan(ops.PipelineQueries.prunedShingles(spark, shDir, Seq("0", "5")),
-      shDir, "dpfx", Seq("0", "5"))
+    auditScan(ops.PipelineQueries.prunedBands(spark, histDir, Seq("3", "7")),
+      histDir, "p", Seq("b3", "b7"))
+    auditScan(ops.PipelineQueries.prunedShingles(spark, histDir, Seq("0", "5")),
+      histDir, "p", Seq("s0", "s5"))
   }
 
   test("q19: CNF extraction pushes bracket implications to BOTH scans") {

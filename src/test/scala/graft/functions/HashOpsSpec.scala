@@ -62,6 +62,9 @@ class HashOpsSpec extends AnyFunSuite {
     assert(!HashOps.vecValid(dbls(Double.NaN, 1.0)))     // NaN: non-finite norm (oracle carries isfinite twin)
     assert(!HashOps.vecValid(dbls(Double.PositiveInfinity))) // Inf: non-finite norm (r12 review)
     assert(!HashOps.vecValid(dbls(1e200, 1.0)))          // finite element, overflowing norm
+    assert(!HashOps.vecValid(dbls(1e20, 1.0)))           // finite norm BEYOND VecNormCap (r13:
+    // the float-square-overflow class — kept, it blows int64 fixed-point envelopes downstream)
+    assert(HashOps.vecValid(dbls(1e19)))                 // huge but inside the float envelope: valid
     assert(!HashOps.vecValid(dbls()))                    // empty → sum 0
   }
 

@@ -67,12 +67,19 @@ class SkewInputSpec extends AnyFunSuite {
     spark.catalog.clearCache()
 
     val cap = Dedup.BucketCap
-    // capped all-pairs over the 64 smallest ids, plus one star round
-    // pairing the min against the 131 others (63 already in the cap)
-    val expectedCount = cap * (cap - 1) / 2 + (n - 1) - (cap - 1)
+    val subs = Dedup.SubBuckets
+    // capped all-pairs over the 64 smallest ids, plus the r13
+    // per-residue-class star links: ids 0..131 put one class minimum
+    // at each residue 0..15 (all inside the cap), and every rmin
+    // star-links to every past-cap member — pairs among in-cap members
+    // are already the capped set. Emission is cap^2-bounded plus a
+    // LINEAR tail (<= SubBuckets links per past-cap member), never
+    // cohort-quadratic.
+    val expectedCount = cap * (cap - 1) / 2 + subs * (n - cap)
     assert(pairs.length === expectedCount,
       s"expected star-reduced ${expectedCount} pairs, got ${pairs.length}")
-    assert(pairs.length < n * (n - 1) / 2 / 4, "emission must stay far from quadratic")
+    assert(pairs.length <= cap * (cap - 1) / 2 + subs * (n - cap),
+      "emission must stay capped-quadratic + linear-tail")
     // completeness: every doc participates; min-id canonical reaches all
     val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(inPairs.size === n, s"unpaired docs: ${((0L until n.toLong).toSet -- inPairs).take(5)}")
@@ -96,7 +103,10 @@ class SkewInputSpec extends AnyFunSuite {
     assert(sql.contains(s"csz > $cap") && sql.contains(s"rk <= $cap")
       && sql.contains("over_star"),
       "C3 oracle must carry the capped + star special case for >cap cohorts")
-    assert(sql.contains("list_sort(sh)"),
-      "cohort identity must key on the canonical shingle SET, not raw text")
+    assert(sql.contains("list_transform(sh, s -> md5(s))"),
+      "cohort identity must key on the canonical shingle SET through " +
+        "per-element hashes (separator-injection-proof, r12 ADVICE)")
+    assert(sql.contains(s"doc_id % ${Dedup.SubBuckets}"),
+      "oracle must name the engine's residue classes (r13 parallel election)")
   }
 }
