@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * Same plan, same row count, every invocation; the only variable is
   * the box. Callers time [[run]] AFTER one discarded warm call
   * ([[warmThenTime]]) so whole-stage-codegen javac doesn't pollute the
-  * first reading. ~1–2 s on an idle local[32] — big enough that a
-  * 1.5× box slowdown moves it well past jitter, small enough to add
-  * ~4 s per sweep. */
+  * first reading. ~2-3 s on an idle local[32] (sized down from
+  * 24M rows after the first smoke read 8-12 s: the per-row md5 costs
+  * more than estimated) - big enough that a 1.5x box slowdown moves
+  * it well past jitter, small enough to add ~6-9 s per sweep. */
 object DriftCanary {
-  val Rows = 24L * 1000 * 1000
+  val Rows = 6L * 1000 * 1000
 
   def run(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
