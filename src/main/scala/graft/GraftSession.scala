@@ -46,7 +46,27 @@ object GraftSession {
     // broadcast #563 under a 2 GB heap, while the same query passed
     // standalone). An explicit GC here makes the cleaner's queue
     // drain deterministic — between queries, where a pause is free.
-    System.gc()
+    // A library caller embedding graft in a SHARED JVM can opt out
+    // (r12 verdict: a global pause is the harness's trade, not
+    // necessarily the host application's) — set
+    // spark.graft.release.gc=false and own your broadcast hygiene.
+    //
+    // The drain is gc → yield → gc (r13): one System.gc() only
+    // ENQUEUES the dead broadcasts' weak references — ContextCleaner
+    // processes the queue on its own daemon thread, so a query that
+    // starts broadcasting immediately after a single gc can still race
+    // hundreds of undrained pieces (the r12 "deterministic" claim was
+    // too strong: the 2 GB gate flipped back to the broadcast-#563
+    // store failure this round, on BOTH the r12 and r13 trees,
+    // ordering-dependent). The sleep cedes the core to the cleaner's
+    // blocking unbroadcast pass; the second gc collects whatever that
+    // pass freed. Bounded: two pauses between queries, zero inside
+    // any timed region (all harnesses release outside timing windows).
+    if (spark.conf.get("spark.graft.release.gc", "true").toBoolean) {
+      System.gc()
+      Thread.sleep(150)
+      System.gc()
+    }
   }
 
   /** Local session sized to the machine (tests, examples, bench).

@@ -606,8 +606,12 @@ object Dedup {
         Window.partitionBy($"digest", $"cnt").orderBy($"band", $"bh")))
       .filter($"rk" === 1)
       .select($"band", $"bh")
+    // canonKeys/reps are the TRULY-small sides (≤ #oversize buckets
+    // rows; ≤ StarReps × SubBuckets reps per bucket) — explicit
+    // broadcast, so the garbage-estimated 8M-row `bands` frame can
+    // never be elected as a build side (the dedup_cluster 2 GB OOM)
     val oversizeMembers = bands
-      .join(canonKeys, Seq("band", "bh"))
+      .join(broadcast(canonKeys), Seq("band", "bh"))
       .join(full, Seq("doc_id"))
       .select($"band", $"bh",
         pmod($"doc_id", lit(SubBuckets.toLong)).as("sub"),
@@ -641,7 +645,7 @@ object Dedup {
         out.iterator
       }
       .toDF("band", "bh", "rep")
-    val starCand = bands.join(reps, Seq("band", "bh"))
+    val starCand = bands.join(broadcast(reps), Seq("band", "bh"))
       .filter($"doc_id" =!= $"rep")
       .select(least($"rep", $"doc_id").as("d1"),
         greatest($"rep", $"doc_id").as("d2"))
