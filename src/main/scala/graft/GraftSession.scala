@@ -51,21 +51,51 @@ object GraftSession {
     // necessarily the host application's) — set
     // spark.graft.release.gc=false and own your broadcast hygiene.
     //
-    // The drain is gc → yield → gc (r13): one System.gc() only
-    // ENQUEUES the dead broadcasts' weak references — ContextCleaner
-    // processes the queue on its own daemon thread, so a query that
-    // starts broadcasting immediately after a single gc can still race
-    // hundreds of undrained pieces (the r12 "deterministic" claim was
-    // too strong: the 2 GB gate flipped back to the broadcast-#563
-    // store failure this round, on BOTH the r12 and r13 trees,
-    // ordering-dependent). The sleep cedes the core to the cleaner's
-    // blocking unbroadcast pass; the second gc collects whatever that
-    // pass freed. Bounded: two pauses between queries, zero inside
-    // any timed region (all harnesses release outside timing windows).
+    // The drain polls the cleaner's FIXPOINT (r13, second revision):
+    // one System.gc() only ENQUEUES the dead broadcasts' weak
+    // references — ContextCleaner processes the queue on its own
+    // daemon thread, so a query that starts broadcasting immediately
+    // after a single gc can still race hundreds of undrained pieces
+    // (the r12 "deterministic" claim was too strong, and so was this
+    // round's first fix, gc → fixed 150 ms yield → gc: the 2 GB gate
+    // failed AGAIN through it — the unbroadcast pass can simply take
+    // longer than any fixed sleep when the backlog is large, while the
+    // exact-prefix repro passes whenever the cleaner happens to win).
+    // The observable that ends the race is the block manager's LIVE
+    // broadcast-block count (org.apache.spark.graft.BlockProbe):
+    // between harness queries every broadcast is dead, so the drain's
+    // fixpoint is zero. Structure — OUTER gc retry × INNER cleaner
+    // poll — because the two lags are different phenomena, measured
+    // separately (DrainProbe, now HarnessReleaseSpec): the inner poll
+    // waits for the CLEANER to unbroadcast what the last gc enqueued
+    // (exit on zero or two 120 ms stalls), and the outer retry
+    // re-gcs because one collection routinely leaves the most recent
+    // Broadcast as floating garbage — its weak ref enqueues only on
+    // the NEXT cycle, so a stalled nonzero count with an idle cleaner
+    // needs another gc, not more waiting. Stall exits keep release()
+    // non-blocking for embedders holding legitimately-live broadcasts;
+    // everything is bounded by one 5 s deadline, and the pauses land
+    // strictly between queries, zero inside any timed region (all
+    // harnesses release outside timing windows).
     if (spark.conf.get("spark.graft.release.gc", "true").toBoolean) {
-      System.gc()
-      Thread.sleep(150)
-      System.gc()
+      val sc = spark.sparkContext
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var cur = 0
+      var gcs = 0
+      while ({
+        System.gc()
+        gcs += 1
+        cur = org.apache.spark.graft.BlockProbe.broadcastBlockCount(sc)
+        var stale = 0
+        while (cur > 0 && stale < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(120)
+          val next = org.apache.spark.graft.BlockProbe.broadcastBlockCount(sc)
+          stale = if (next < cur) 0 else stale + 1
+          cur = next
+        }
+        cur > 0 && gcs < 3 && System.nanoTime() < deadline
+      }) ()
+      System.gc() // collect the byte arrays the unbroadcast pass freed
     }
   }
 

@@ -44,4 +44,27 @@ class HarnessReleaseSpec extends AnyFunSuite {
     val after = spark.sessionState.catalog.listLocalTempViews("graft_*")
     assert(after.isEmpty, s"views survived release: ${after.mkString(", ")}")
   }
+
+  test("release drains dead broadcasts to the block manager's fixpoint") {
+    // Root cause (r12/r13 low-memory gate): dead broadcasts' torrent
+    // pieces survive until ContextCleaner processes the GC queue on
+    // its own thread — a fixed post-gc sleep lost that race twice, so
+    // release() now polls the LIVE broadcast-block count to zero/stall
+    // (org.apache.spark.graft.BlockProbe). Drive a real broadcast
+    // join, drop every strong reference, and assert the poll lands at
+    // zero — the observable the 2 GB gate's headroom depends on.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    var df = broadcast((1 to 10000).toDF("k"))
+      .join((1 to 1000).toDF("k"), "k")
+    assert(df.count() == 1000)
+    df = null // the Broadcast must be weakly reachable for the cleaner
+    GraftSession.release(spark)
+    val left = org.apache.spark.graft.BlockProbe
+      .broadcastBlockIds(spark.sparkContext)
+    assert(left.isEmpty,
+      s"broadcast blocks survived release (${left.mkString(", ")}) — " +
+        "the drain exited before the cleaner finished, the exact " +
+        "2 GB-gate race")
+  }
 }
