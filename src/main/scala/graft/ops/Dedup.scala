@@ -164,6 +164,17 @@ object Dedup {
     // which is one short whenever t·|A| is an integer): the suffix
     // then holds ⌈t·|A|⌉ − 1 < minimum-overlap elements, so any
     // qualifying pair must meet inside the prefix
+    // The candidate self-join below takes the planner's
+    // estimate-driven broadcast of this frame (80 MiB actual build at
+    // sf1). A shuffle_hash pin was built and MEASURED in the r13 dig:
+    // +27% at sf1 (9.7 → 12.3 s warm) for a broadcast window that is
+    // self-limiting (linear estimate crosses the 10 MB threshold
+    // within a few SF doublings and the plan degrades to the shuffled
+    // form on its own) — and C2 is the ORACLE TWIN, not the scale
+    // path: no composite ever plans this self-join (the C14/C80 pin
+    // in PlanAuditSpec), C3 carries the 100 TB story. The `full`
+    // verify frame below IS pinned — that one is shared shape with
+    // C3's confirm, doc_id-unique, and its pin measured free.
     val prefix = ex.join(freq, "s")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil(lit(t) * $"n") + 1)
@@ -174,7 +185,7 @@ object Dedup {
           $"b.n" >= ceil(lit(t) * $"a.n") && $"a.n" >= ceil(lit(t) * $"b.n"))
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .dropDuplicates("d1", "d2")
-    val full = sh.select($"doc_id", $"sh")
+    val full = sh.select($"doc_id", $"sh").hint("shuffle_hash")
     // |A∪B| = |A|+|B|−|∩| exactly (shingle arrays are distinct), so
     // the union hash-set build — half the per-pair verify cost, the
     // measured bottleneck of this query at sf1 — never runs. The
@@ -308,7 +319,18 @@ object Dedup {
       .join(ex.select($"doc_id".as("d2"), $"s"), "s")
       .filter($"d1" =!= $"d2")
       .select($"d1", $"d2").dropDuplicates("d1", "d2")
-    val full = sh.select($"doc_id", $"sh")
+    // shuffle_hash on the VERIFY joins only (r13, 2 GB-gate dig
+    // part 3): the static planner elected this corpus-proportional
+    // shingle frame as a broadcast build for both verify sides
+    // (2 × 130 MiB actual at sf1, PlanProbe executed inventory) —
+    // doc_id is unique per row, so the shuffled form has uniform
+    // per-partition builds. The prefix ⋈ inverted-index join above
+    // deliberately KEEPS its estimate-driven broadcast: its key is
+    // Zipf-skewed shingle text, where the r13 dig measured SHJ's
+    // single-task build cliff and merge's 6.8× sort cost, and the
+    // linear estimate degrades it to a shuffle naturally as SF grows
+    // (SCALING round-13).
+    val full = sh.select($"doc_id", $"sh").hint("shuffle_hash")
     cand.join(full.as("x"), $"d1" === $"x.doc_id")
       .join(full.as("y"), $"d2" === $"y.doc_id")
       .select($"d1", $"d2",
@@ -377,7 +399,19 @@ object Dedup {
     val ex = grams.select($"doc_id", explode($"g").as("gh"))
     val keep = ex.groupBy($"gh").agg(count(lit(1)).as("df"))
       .filter($"df" <= DfCap)
-    val exF = ex.join(keep.select($"gh"), "gh")
+    // shuffle_hash on BOTH the keep join and the self-join (r13,
+    // 2 GB-gate dig part 3): the static planner elected the 1.8M-row
+    // EXPLODED gram frame as a broadcast build (288 MiB actual at sf1,
+    // PlanProbe executed inventory — the estimate is linear but ~30×
+    // under actual, so the flip survives SF doublings while the build
+    // grows toward GB), and `keep` is NOT a broadcastable fallback:
+    // distinct kept grams grow linearly with the corpus too (40 MiB
+    // at sf1 — an explicit broadcast(keep) was tried and rejected
+    // here). Everything keys on gh, so the keep join's exchanges are
+    // the self-join's exchanges (AQE reuse); per-partition builds are
+    // uniform (keep's gh is unique; exF's gh is df-capped at 100).
+    val exF = ex.join(keep.select($"gh").hint("shuffle_hash"), "gh")
+      .hint("shuffle_hash")
     val shared = exF.as("a")
       .join(exF.as("b"), $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
@@ -513,8 +547,24 @@ object Dedup {
       .select(explode($"ids").as("d1"), $"ids")
       .select($"d1", explode($"ids").as("d2"))
       .filter($"d1" < $"d2")
-    // exact confirm only touches candidate docs' shingles
-    val full = sh.select($"doc_id", $"sh")
+    // exact confirm only touches candidate docs' shingles.
+    //
+    // shuffle_hash pin (r13, 2 GB-gate dig part 3): without it the
+    // planner elects THIS corpus-proportional frame as a broadcast
+    // BUILD side for both confirm joins — its static sizeInBytes is
+    // ~30-60× under the real row bytes (shingle arrays behind a
+    // column-pruned scan estimate), so the 10 MB threshold admits a
+    // 130 MiB ACTUAL driver build at sf1 (measured, PlanProbe executed
+    // inventory; ×2, one per join side) and the mis-election survives
+    // to sf3-sf10 before the linear estimate crosses the threshold —
+    // by then the build is 0.4-1.3 GB, a real-cluster driver kill, not
+    // a mid-scale artifact. doc_id is UNIQUE per row, so the shuffled
+    // hash join has none of the Zipf single-task-build pathology that
+    // rejected SHJ for the containment prefix probe (SCALING round-13
+    // 2 GB dig): per-task builds are corpus/partitions, uniform, and
+    // the candidate side shuffles as bare (d1, d2) pairs. Both engines'
+    // results are strategy-invariant; DeterminismSweep re-proven.
+    val full = sh.select($"doc_id", $"sh").hint("shuffle_hash")
     // |A∪B| = |A|+|B|−|∩| (distinct arrays): one hash-set build per
     // pair instead of two, bit-identical jac (same integer operands)
     def confirm(cand: DataFrame): DataFrame =

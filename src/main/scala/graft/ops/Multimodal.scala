@@ -244,6 +244,19 @@ object Multimodal {
       (0 until 4).map(k => struct(lit(k).as("k"),
         expr(s"shiftright(phash, ${8 * k}) & 255").as("bv"))): _*)).as("bd"))
       .select($"doc_id", $"phash", $"bd.k", $"bd.bv")
+    // The self-join below takes the planner's estimate-driven
+    // broadcast (40 MiB actual build at sf1 behind an under-scaled
+    // static estimate). A shuffle_hash pin was built and MEASURED in
+    // the r13 dig: 2.4× slower at sf1 (4.5 → 11 s warm — the (k, bv)
+    // key is only 1024-ary, so the shuffled form clusters 366k
+    // candidate rows into few partitions while the broadcast form
+    // joins map-side with zero exchanges). The broadcast window is
+    // also SELF-LIMITING: the estimate grows linearly with the asset
+    // count, crosses the 10 MB threshold within a few SF doublings,
+    // and the plan degrades to the shuffled form on its own with a
+    // build that never exceeded a few hundred MB — the same
+    // measured-and-accepted trade as the containment prefix probe
+    // (SCALING round-13).
     bands.as("a").join(bands.as("b"),
         $"a.k" === $"b.k" && $"a.bv" === $"b.bv" &&
           $"a.doc_id" < $"b.doc_id")

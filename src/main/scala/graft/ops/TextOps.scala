@@ -344,7 +344,14 @@ object TextOps {
     val fps = winnowFps(s, Dedup.dupFeed(s, dir))
     val common = fps.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" > 100).select($"h")
+    // shuffle_hash (r13, 2 GB-gate dig part 3): the static planner
+    // elected this 1.07M-row fingerprint frame as a broadcast build
+    // (96 MiB actual at sf1, PlanProbe executed inventory; linear
+    // estimate ~20× under actual, so the flip survives SF doublings).
+    // The df>100 anti-filter above bounds per-key rows, so the
+    // shuffled self-join's per-partition builds are uniform.
     val ok = fps.join(broadcast(common), Seq("h"), "left_anti")
+      .hint("shuffle_hash")
     ok.as("a").join(ok.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))

@@ -17,7 +17,23 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args(1).split(",")) {
       val df = graft.SparkEntry.queries(n)(spark, args(0))
-      df.count()
+      // collect(), NOT count(): count() spawns a SEPARATE QueryExecution
+      // (column-pruned, differently planned), leaving df's own adaptive
+      // plan unexecuted — the walk then reports the INITIAL static plan
+      // and misses every runtime join election (this hid the 130 MiB
+      // confirm() broadcast builds the 2 GB gate kept dying on)
+      df.collect()
+      inventory(n, df)
+      graft.GraftSession.release(spark)
+    }
+    spark.stop()
+  }
+
+  /** Print the exchange inventory of an ALREADY-EXECUTED df's adaptive
+    * plan (callable from scratch probes whose interesting job is an
+    * eager subtree PlanProbe's registered-query walk never sees). */
+  def inventory(n: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    locally {
       val plan = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
@@ -65,8 +81,6 @@ object PlanProbe {
         // independent evidence of Broadcast* nodes)
         println(plan.toString.take(40000))
       }
-      graft.GraftSession.release(spark)
     }
-    spark.stop()
   }
 }

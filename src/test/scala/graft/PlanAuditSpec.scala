@@ -643,4 +643,53 @@ class PlanAuditSpec extends AnyFunSuite {
         s"no LeftSemi broadcast prune under the cost rollup:\n$plan")
     }
   }
+
+  test("dedup family: no shingle-array frame is ever a broadcast build") {
+    // r13 2 GB-gate dig part 3: the static planner elected the
+    // corpus-proportional shingle frames (array<string> columns behind
+    // ~30-60×-understated scan estimates) as broadcast BUILD sides —
+    // 130-320 MiB actual driver builds at sf1 that grow toward GB
+    // before the linear estimate crosses the threshold. The verify
+    // joins are now shuffle_hash-pinned; this test locks the class:
+    // across the pinned queries' EXECUTED adaptive plans (collect,
+    // not count — count's separate QueryExecution leaves this plan's
+    // runtime elections invisible), no BroadcastExchange may output
+    // an array-typed column. Allowed broadcasts (C2's prefix, the
+    // containment inverted-index probe, phash bands) are all
+    // scalar-schema and carry measured/self-limiting justifications
+    // in their Scaladoc.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.types.ArrayType
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = if (seen.add(p)) {
+      f(p)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
+        case q: QueryStageExec => walk(q.plan)(f)
+        case r: ReusedExchangeExec => walk(r.child)(f)
+        case _ => ()
+      }
+      p.children.foreach(walk(_)(f))
+      p.subqueries.foreach(walk(_)(f))
+    }
+    for (q <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_containment", "dedup_substring", "text_winnowing",
+        "pipeline_clean_corpus")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      walk(df.queryExecution.executedPlan) {
+        case b: BroadcastExchangeExec =>
+          val arr = b.output.filter(_.dataType.isInstanceOf[ArrayType])
+          assert(arr.isEmpty,
+            s"$q broadcasts an array-carrying frame (${arr.map(_.name)
+              .mkString(", ")}) — the corpus-proportional build the " +
+              s"r13 shuffle_hash pins forbid:\n${b.treeString}")
+        case _ => ()
+      }
+      GraftSession.release(spark)
+    }
+  }
 }
