@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -96,19 +96,42 @@ object PgWire {
   }
 }
 
-/** Harness-side replayer: serves ONE connection, streaming every frame
-  * of an A22 segment dir (length-prefix-framed binary pgoutput files,
-  * name-sorted — the producer's LSN order) as XLogData messages with
-  * running byte-offset LSNs, a reply-requested keepalive every
+/** Harness-side replayer: serves connections SERIALLY, streaming the
+  * frames of an A22 segment dir (length-prefix-framed binary pgoutput
+  * files, name-sorted — the producer's LSN order) as XLogData messages
+  * with running byte-offset LSNs, a reply-requested keepalive every
   * `keepaliveEvery` messages, and a final keepalive at end-of-WAL; then
   * half-closes and drains StandbyStatusUpdate acks (maxAckedLsn is the
-  * spec's observable for the ack contract). Daemon thread, ephemeral
-  * loopback port. */
+  * spec's observable for the ack contract). Each NEW connection resumes
+  * from maxAckedLsn — the replication-slot contract (a restarting
+  * standby receives only WAL past its confirmed flush position,
+  * reference main.go:64–100) — so a kill/restart of the consuming
+  * query exercises the real resume path. The accept loop exits once the
+  * whole stream is acked (or on close()). Daemon thread, ephemeral
+  * loopback port.
+  *
+  * The replayer streams as fast as TCP lets it — like PostgreSQL's
+  * wal_sender, it does NOT ack-gate its sends; bounding standby memory
+  * is the STANDBY'S job (the consumer's maxBufferedMsgs backpressure
+  * pushes back through the socket). */
 class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64) {
   private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
   @volatile var maxAckedLsn: Long = -1L
   @volatile var finalLsn: Long = -1L
+  @volatile private var closed = false
+  /** end-of-WAL byte position / message count of the full replay —
+    * known up front so specs can assert "killed mid-stream" without
+    * racing the replay */
+  val (totalMsgs: Int, totalLsn: Long) = {
+    var n = 0; var l = 0L
+    frames().foreach { f => n += 1; l += f.length }
+    (n, l)
+  }
+  def close(): Unit = {
+    closed = true
+    try server.close() catch { case _: Throwable => () }
+  }
 
   private def frames(): Iterator[Array[Byte]] = {
     val files = Option(new java.io.File(segDir).listFiles()).getOrElse(Array.empty)
@@ -138,32 +161,44 @@ class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64) {
     }
   }
 
-  private val thread = new Thread(() => {
-    try {
-      val sock = server.accept()
-      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 65536))
-      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 65536))
-      // ack drain on its own thread — the reference's standby loop is
-      // full-duplex too (main.go:64–100 acks while :101–135 reads)
-      val acks = new Thread(() => {
-        try {
-          var m = PgWire.readCopyData(in)
-          while (m.isDefined) {
-            val buf = java.nio.ByteBuffer.wrap(m.get)
-            if (buf.get() == 'r') {
-              buf.getLong() // written
-              val flushed = buf.getLong()
-              if (flushed > maxAckedLsn) maxAckedLsn = flushed
-            }
-            m = PgWire.readCopyData(in)
+  /** One connection's replay: send (resume, end] then half-close and
+    * wait for the end-of-WAL ack. Throws if the peer dies mid-replay —
+    * the accept loop treats that as a standby crash and waits for the
+    * next connection. */
+  private def serveOne(sock: Socket): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 65536))
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 65536))
+    @volatile var connAlive = true
+    // ack drain on its own thread — the reference's standby loop is
+    // full-duplex too (main.go:64–100 acks while :101–135 reads)
+    val acks = new Thread(() => {
+      try {
+        var m = PgWire.readCopyData(in)
+        while (m.isDefined) {
+          val buf = java.nio.ByteBuffer.wrap(m.get)
+          if (buf.get() == 'r') {
+            buf.getLong() // written
+            val flushed = buf.getLong()
+            if (flushed > maxAckedLsn) maxAckedLsn = flushed
           }
-        } catch { case _: Throwable => () }
-      }, "pgwire-replay-acks")
-      acks.setDaemon(true); acks.start()
-      var lsn = 0L
-      var n = 0
-      frames().foreach { frame =>
-        val start = lsn; lsn += frame.length
+          m = PgWire.readCopyData(in)
+        }
+      } catch { case _: Throwable => () }
+      finally connAlive = false
+    }, "pgwire-replay-acks")
+    acks.setDaemon(true); acks.start()
+    // the slot's confirmed-flush position at connect time: everything
+    // at or below it is already applied by the standby and is NOT
+    // resent (reference main.go:64–100 — START_REPLICATION from the
+    // last acked LSN). A crash between the standby's apply and its ack
+    // resends a suffix the standby already planned — safe, because the
+    // consumer slices batches by (start, end] LSN range, not arrival.
+    val resume = maxAckedLsn
+    var lsn = 0L
+    var n = 0
+    frames().foreach { frame =>
+      val start = lsn; lsn += frame.length
+      if (lsn > resume) {
         PgWire.writeCopyData(out, PgWire.xlogData(start, lsn, frame))
         n += 1
         if (n % keepaliveEvery == 0) {
@@ -171,22 +206,39 @@ class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64) {
           out.flush()
         }
       }
-      PgWire.writeCopyData(out, PgWire.keepalive(lsn, replyRequested = true))
-      out.flush()
-      finalLsn = lsn
-      sock.shutdownOutput() // end-of-WAL: EOF for the reader, acks still drain
-      // hold the input open long enough for the final commit's ack
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (maxAckedLsn < lsn && System.nanoTime() < deadline) Thread.sleep(20)
-      sock.close()
-    } catch { case _: Throwable => () }
+    }
+    PgWire.writeCopyData(out, PgWire.keepalive(lsn, replyRequested = true))
+    out.flush()
+    finalLsn = lsn
+    sock.shutdownOutput() // end-of-WAL: EOF for the reader, acks still drain
+    // hold the input open long enough for the final commit's ack
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (maxAckedLsn < lsn && connAlive && System.nanoTime() < deadline)
+      Thread.sleep(20)
+  }
+
+  private val thread = new Thread(() => {
+    try {
+      while (!closed && maxAckedLsn < totalLsn) {
+        val sock = server.accept()
+        try serveOne(sock)
+        catch { case _: Throwable => () } // standby crash: await reconnect
+        finally { try sock.close() catch { case _: Throwable => () } }
+      }
+    } catch { case _: Throwable => () } // server closed
     finally { try server.close() catch { case _: Throwable => () } }
   }, "pgwire-replay-server")
   thread.setDaemon(true)
   thread.start()
 }
 
-/** `format("pgoutput-tcp")` — options host (default loopback) + port.
+/** `format("pgoutput-tcp")` — options host (default loopback) + port;
+  * `maxMsgsPerTrigger` (admission control: cap rows per micro-batch,
+  * 0 = all available) and `maxBufferedMsgs` (reader backpressure: stop
+  * draining the socket — TCP pushes back on the primary — while this
+  * many rows sit uncommitted on the driver, 0 = unbounded). A
+  * long-running tail reader should set BOTH: together with the
+  * commit-time prefix trim they hard-bound driver retention.
   * Schema (lsn, msg): msg is the same binary pgoutput message the file
   * source yields, so `pg_decode` composes identically downstream. */
 class PgOutputTcpSource extends TableProvider with DataSourceRegister {
@@ -200,12 +252,15 @@ class PgOutputTcpSource extends TableProvider with DataSourceRegister {
     val host = Option(properties.get("host")).getOrElse("127.0.0.1")
     val port = Option(properties.get("port")).getOrElse(
       throw new IllegalArgumentException("pgoutput-tcp requires .option(\"port\", ...)")).toInt
-    new PgWireTcpTable(host, port, tcpSchema)
+    val maxPerTrigger = Option(properties.get("maxMsgsPerTrigger")).map(_.toInt).getOrElse(0)
+    val maxBuffered = Option(properties.get("maxBufferedMsgs")).map(_.toInt).getOrElse(0)
+    new PgWireTcpTable(host, port, maxPerTrigger, maxBuffered, tcpSchema)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
 
-class PgWireTcpTable(host: String, port: Int, tblSchema: StructType)
+class PgWireTcpTable(host: String, port: Int, maxPerTrigger: Int,
+    maxBuffered: Int, tblSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"pgoutput-tcp:$host:$port"
   override def schema(): StructType = tblSchema
@@ -217,7 +272,7 @@ class PgWireTcpTable(host: String, port: Int, tblSchema: StructType)
         override def readSchema(): StructType = tblSchema
         override def description(): String = s"PgWireTcpScan($host:$port)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PgWireTcpStream(host, port)
+          new PgWireTcpStream(host, port, maxPerTrigger, maxBuffered)
       }
     }
 }
@@ -228,15 +283,53 @@ class PgWireTcpTable(host: String, port: Int, tblSchema: StructType)
   * are answered immediately with the last COMMITTED lsn — and
   * latestOffset blocks until end-of-WAL or new data, so
   * processAllAvailable() sees every replayed message exactly once.
-  * commit(n) sends the StandbyStatusUpdate ack for the last message of
-  * the batch — the reference's resume contract (a restarting standby
-  * resumes from its last acked flush position). */
-class PgWireTcpStream(host: String, port: Int) extends MicroBatchStream {
+  *
+  * Offsets ARE LSNs (byte positions, [[LsnOffset]]) — the reference's
+  * resume currency (main.go:64–100 resumes START_REPLICATION from the
+  * last acked flush LSN), not synthetic message counts. That makes the
+  * two durability contracts line up by construction:
+  *
+  *  - '''Bounded retention''' (r13 verdict: the old ArrayBuffer grew
+  *    forever). commit(lsn) sends the StandbyStatusUpdate ack AND drops
+  *    the committed prefix `buf[_ ≤ lsn]` — the driver retains only
+  *    messages not yet in a committed batch, exactly what Spark's own
+  *    TextSocketMicroBatchStream does with its committed prefix.
+  *    `maxRetained` records the high-water row count for the spec.
+  *  - '''Checkpoint restart''' (r13 verdict: unproven over TCP). A
+  *    restarted query re-plans its pending batch by the CHECKPOINTED
+  *    (startLsn, endLsn] range; the primary resends everything past the
+  *    acked LSN (at-least-once into the buffer), and the range slice —
+  *    not arrival order — makes delivery into batches exactly-once.
+  *    planInputPartitions therefore waits until the reconnected feed
+  *    has caught up to `end` before slicing.
+  *
+  * Flow control mirrors the real standby topology: the primary streams
+  * freely (wal_sender does not ack-gate its sends) and the STANDBY
+  * bounds its own memory — `maxBufferedMsgs` blocks the reader thread
+  * when too many rows sit uncommitted, letting TCP push back on the
+  * server, and `maxMsgsPerTrigger` ([[SupportsAdmissionControl]]) caps
+  * each micro-batch so commits (and their trims + acks) keep pace.
+  * Note Spark commits batch N only when constructing batch N+1, so
+  * size the buffer > one trigger's rows or the pipeline deadlocks —
+  * enforced at construction. */
+class PgWireTcpStream(host: String, port: Int, maxPerTrigger: Int = 0,
+    maxBuffered: Int = 0) extends MicroBatchStream with SupportsAdmissionControl {
+  require(maxBuffered == 0 || (maxPerTrigger > 0 && maxBuffered > maxPerTrigger),
+    s"maxBufferedMsgs ($maxBuffered) must exceed maxMsgsPerTrigger ($maxPerTrigger): " +
+      "Spark commits batch N at batch N+1's construction, so the buffer must " +
+      "admit a full next trigger while the previous one is still uncommitted")
   private val lock = new Object
   private val buf = ArrayBuffer.empty[(Long, Array[Byte])]
+  private var maxLsn = 0L     // highest endLsn received (monotone; guarded by lock)
+  private var plannedLsn = 0L // high-water of offsets handed to the engine (lock)
   @volatile private var ended = false
+  @volatile private var stopped = false
   @volatile private var lastCommittedLsn = 0L
-  private var lastPlanned = 0
+  /** peak uncommitted-row retention — the bounded-retention observable */
+  @volatile private[graft] var maxRetained = 0
+  /** non-empty micro-batches planned — the many-batches observable */
+  @volatile private[graft] var batchesPlanned = 0
+  PgWireTcpStream.latest = this
 
   private lazy val socket: Socket = new Socket(InetAddress.getByName(host), port)
   private lazy val out = new DataOutputStream(
@@ -260,7 +353,17 @@ class PgWireTcpStream(host: String, port: Int) extends MicroBatchStream {
               b.getLong() // sendTime
               val payload = new Array[Byte](b.remaining())
               b.get(payload)
-              lock.synchronized { buf += ((endLsn, payload)); lock.notifyAll() }
+              lock.synchronized {
+                // standby-side backpressure: while the uncommitted
+                // window is full, stop draining — the socket's receive
+                // buffer fills and TCP pushes back on the primary
+                while (!stopped && maxBuffered > 0 && buf.size >= maxBuffered)
+                  lock.wait(100)
+                buf += ((endLsn, payload))
+                maxLsn = math.max(maxLsn, endLsn)
+                if (buf.size > maxRetained) maxRetained = buf.size
+                lock.notifyAll()
+              }
             case 'k' =>
               b.getLong(); b.getLong()
               if (b.get() == 1) sendStatus(lastCommittedLsn)
@@ -277,25 +380,62 @@ class PgWireTcpStream(host: String, port: Int) extends MicroBatchStream {
     t
   }
 
-  override def initialOffset(): Offset = FileCountOffset(0)
-  override def latestOffset(): Offset = {
+  override def initialOffset(): Offset = LsnOffset(0L)
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger > 0) ReadLimit.maxRows(maxPerTrigger.toLong)
+    else ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) drives this source (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     reader // connect + start draining on first poll
+    val s = start.asInstanceOf[LsnOffset].lsn
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     lock.synchronized {
-      while (!ended && buf.size == lastPlanned && System.nanoTime() < deadline)
+      while (!ended && maxLsn <= s && System.nanoTime() < deadline)
         lock.wait(100)
-      FileCountOffset(buf.size)
+      val cap = limit match {
+        case r: ReadMaxRows => r.maxRows()
+        case _ => Long.MaxValue
+      }
+      // admit at most `cap` rows past `start` — buf is LSN-ordered and
+      // holds everything > lastCommittedLsn, so the first `cap` entries
+      // above `s` are exactly the next trigger's window
+      var e = s
+      var k = 0L
+      val it = buf.iterator
+      while (it.hasNext && k < cap) {
+        val r = it.next()
+        if (r._1 > e) { e = r._1; k += 1 }
+      }
+      // never regress below the recovered commit floor: on restart the
+      // engine re-commits the last completed batch to the source before
+      // polling, so lastCommittedLsn carries the checkpointed position
+      // even when the primary has nothing left to send
+      val o = math.max(e, lastCommittedLsn)
+      plannedLsn = math.max(plannedLsn, o)
+      LsnOffset(o)
     }
   }
   override def deserializeOffset(json: String): Offset =
-    FileCountOffset(json.trim.toInt)
+    LsnOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[FileCountOffset].n,
-      end.asInstanceOf[FileCountOffset].n)
-    val rows = lock.synchronized { buf.slice(s, e).toArray }
-    lastPlanned = math.max(lastPlanned, e)
+    val (s, e) = (start.asInstanceOf[LsnOffset].lsn, end.asInstanceOf[LsnOffset].lsn)
+    reader // restart path: this may be the first call on a fresh stream
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    val rows = lock.synchronized {
+      // a recovered pending batch can be planned before the reconnected
+      // replay has caught up to its checkpointed end LSN — wait for it
+      while (!ended && maxLsn < e && System.nanoTime() < deadline)
+        lock.wait(100)
+      plannedLsn = math.max(plannedLsn, e)
+      buf.iterator.filter(r => r._1 > s && r._1 <= e).toArray
+    }
     if (rows.isEmpty) Array.empty
-    else Array(PgWireSlicePartition(rows))
+    else {
+      batchesPlanned += 1
+      Array(PgWireSlicePartition(rows))
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -311,10 +451,18 @@ class PgWireTcpStream(host: String, port: Int) extends MicroBatchStream {
       }
     }
   override def commit(end: Offset): Unit = {
-    val e = end.asInstanceOf[FileCountOffset].n
-    val lsn = lock.synchronized { if (e > 0 && e <= buf.size) buf(e - 1)._1 else -1L }
-    if (lsn >= 0) {
+    val lsn = end.asInstanceOf[LsnOffset].lsn
+    if (lsn > 0) {
       lastCommittedLsn = lsn
+      lock.synchronized {
+        // arrival order is LSN order (single replication stream), so
+        // the committed rows are a prefix — drop them and retain only
+        // the uncommitted tail (bounded by one batch + in-flight)
+        var k = 0
+        while (k < buf.size && buf(k)._1 <= lsn) k += 1
+        if (k > 0) buf.remove(0, k)
+        lock.notifyAll() // freed buffer space: wake a backpressured reader
+      }
       try sendStatus(lsn) catch { case _: Throwable => () } // server may be gone
     }
   }
@@ -322,15 +470,28 @@ class PgWireTcpStream(host: String, port: Int) extends MicroBatchStream {
     // Shutdown ack: the engine runs source.commit(batch N) lazily at
     // batch N+1's start, so a bounded run's LAST batch never gets its
     // commit before stop. A real standby flushes a final status update
-    // on shutdown for exactly this reason; send it iff every buffered
+    // on shutdown for exactly this reason; send it iff every received
     // message was planned into a completed batch (processAllAvailable
     // precedes stop in the bounded harnesses, so planned == processed).
     val tail = lock.synchronized {
-      if (ended && lastPlanned == buf.size && buf.nonEmpty) buf.last._1 else -1L
+      stopped = true
+      lock.notifyAll() // release a backpressure-blocked reader
+      if (ended && plannedLsn >= maxLsn && maxLsn > 0) maxLsn else -1L
     }
     if (tail >= 0) try sendStatus(tail) catch { case _: Throwable => () }
     try socket.close() catch { case _: Throwable => () }
   }
+}
+
+object PgWireTcpStream {
+  /** most recently constructed stream — test-only retention probe */
+  @volatile private[graft] var latest: PgWireTcpStream = _
+}
+
+/** Replication offset = WAL byte position, serialized as the bare
+  * long. The same currency the reference acks and resumes from. */
+case class LsnOffset(lsn: Long) extends Offset {
+  override def json(): String = lsn.toString
 }
 
 case class PgWireSlicePartition(rows: Array[(Long, Array[Byte])])
