@@ -52,6 +52,12 @@ object Dedup {
   val FragShift: Long = 2 * IdCap
   val VecShift: Long = IdCap
 
+  /** C28's boilerplate cap: containment candidates must share at least
+    * one shingle with document frequency ≤ this (C33's df-cap
+    * precedent, mirrored in the oracle as inter_rare > 0) — bounds a
+    * viral cohort's pair emission at prefix-len × cap instead of m². */
+  val ContainDfCap = 100L
+
   /** Shifted-id guard: injected id, or a NAMED per-row error if the
     * natural id sits outside [0, IdCap) (where shifting could alias a
     * natural id — the silent-corruption class above). */
@@ -302,7 +308,21 @@ object Dedup {
     * shingles out of every prefix), exactly the asymmetric variant of
     * C2's PPJoin argument. ⌈t·n⌉ as the overlap bound is exact for
     * n ≤ ~2000 shingles under the r4-rounded compare (a rounded-up
-    * pass below the exact threshold needs n ≥ 1/(4-dp half-ulp)). */
+    * pass below the exact threshold needs n ≥ 1/(4-dp half-ulp)).
+    *
+    * Viral-cohort cap (r13 verdict): candidate generation only rides
+    * shingles with df ≤ [[ContainDfCap]] — C33's boilerplate-cap
+    * precedent, mirrored in the oracle. A cohort of m near-identical
+    * containers (viral boilerplate) otherwise pays m² pair emission:
+    * every shingle of every member has df ≈ m, so capping the inverted
+    * index bounds any one shingle's fan-out at DfCap and drops
+    * hot-only-evidence pairs from the CONTRACT itself. The prefix
+    * theorem keeps the rest exact: an emitted pair has C(A→B) ≥ t, so
+    * B hits A's prefix (its globally rarest shingles); if A shares ANY
+    * rare shingle with anything, its prefix IS rare (rarest-first), so
+    * "∃ shared rare shingle" (the oracle's inter_rare > 0) and "rare
+    * prefix probe hits the capped index" (the engine's join) select
+    * the same pairs. */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = 0.9
@@ -314,9 +334,14 @@ object Dedup {
     val prefix = ex.join(freq, "s")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil(lit(t) * $"n") + 1)
+      .filter($"df" <= ContainDfCap) // hot prefix entries match nothing capped
       .select($"doc_id".as("d1"), $"s")
+    // the capped inverted index: any one shingle fans out ≤ DfCap docs,
+    // so candidates per contained doc are ≤ prefix-len × DfCap — never
+    // cohort-quadratic
+    val exRare = ex.join(freq.filter($"df" <= ContainDfCap).select($"s"), "s")
     val cand = prefix
-      .join(ex.select($"doc_id".as("d2"), $"s"), "s")
+      .join(exRare.select($"doc_id".as("d2"), $"s"), "s")
       .filter($"d1" =!= $"d2")
       .select($"d1", $"d2").dropDuplicates("d1", "d2")
     // shuffle_hash on the VERIFY joins only (r13, 2 GB-gate dig
@@ -351,14 +376,18 @@ object Dedup {
       |          FOR i IN range(1, len(w) - 1)]) AS sh
       |        FROM words2 WHERE len(w) >= 3),
       |ex AS (SELECT doc_id, unnest(sh) AS s FROM fsh),
-      |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |df AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+      |co AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+      |         count(*) FILTER (WHERE f.df <= ${ContainDfCap}) AS inter_rare
       |       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |       JOIN df f ON f.s = a.s
       |       GROUP BY 1, 2),
       |sz AS (SELECT doc_id, len(sh) AS n FROM fsh)
       |SELECT d1, d2,
       |  floor(inter * 1.0 / x.n * 10000 + 0.5) / 10000 AS cont
       |FROM co JOIN sz x ON x.doc_id = d1
       |WHERE floor(inter * 1.0 / x.n * 10000 + 0.5) / 10000 >= 0.9
+      |  AND inter_rare > 0
       |ORDER BY d1, d2""".stripMargin
 
   // --------------------------------------------------------------- C33

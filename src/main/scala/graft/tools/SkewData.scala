@@ -50,6 +50,21 @@ object SkewData {
     "part hash agg filter query data spark line customer small fast " +
     "slow the a table scan join merge batch window order value row"
 
+  /** Viral boilerplate FRAGMENT (r14): a shared intro prepended to
+    * 5/23 of docs whose tails stay distinct — the quote-inclusion /
+    * license-header shape. The containers are not near-dups of each
+    * other, but every injected fragment of one is ≥0.9-contained in
+    * ALL of them; at sf0.01 the cohort (~108 docs) exceeds C28's
+    * ContainDfCap=100, so the df-capped candidate generation (capped
+    * emission, hot-only-evidence pairs dropped, oracle-mirrored) is
+    * exercised by the sweep rather than argued. In-distribution words,
+    * like [[ViralText]]. */
+  val ViralIntro: String =
+    "notice header intro the a data spark query table row value part " +
+    "scan join merge batch window order column hash agg filter line " +
+    "customer small fast slow notice header intro the a data spark " +
+    "query table row value part scan join"
+
   def main(args: Array[String]): Unit = {
     val Array(src, out) = args.take(2)
     val spark = graft.GraftSession.local()
@@ -73,10 +88,10 @@ object SkewData {
     write("documents", docs
       .withColumn("text",
         when(slice("doc_id", 0, 1, 2, 3, 4, 5), lit(ViralText))
+          .when(slice("doc_id", 6, 7, 8, 9, 10),
+            concat(lit(ViralIntro), lit(" "), col("text")))
           .otherwise(col("text")))
-      .withColumn("n_chars",
-        when(slice("doc_id", 0, 1, 2, 3, 4, 5), lit(ViralText.length.toLong))
-          .otherwise(col("n_chars")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("lang",
         when(slice("doc_id", 0, 1, 2, 3, 4, 5), lit("en"))
           .otherwise(col("lang")))

@@ -91,6 +91,37 @@ class SkewInputSpec extends AnyFunSuite {
       "viral cohort must resolve to one connected component")
   }
 
+  test("viral boilerplate cohort: C28 emission is df-capped; rare evidence stays exact") {
+    // 120 containers (> ContainDfCap = 100) share ONE identical
+    // boilerplate text — every shingle of every member (and of the
+    // ~14 injected fragments) has df ≈ 134, so under the r14 df-cap
+    // contract NO candidate survives: emission drops from ~cohort²
+    // (≈15k ordered pairs) to zero. A 3-copy cluster with df=3
+    // shingles rides the rare path and must still emit its exact
+    // all-pairs — the cap removes hot-only evidence, nothing else.
+    val out = graft.Scratch.dir("graft_skew_c28").toString
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val rareText = (1 to 20).map(i => s"r$i").mkString(" ")
+    val m = 120
+    val viral = (0 until m).map(i => (i.toLong, boiler))
+    // ids chosen so no rare-cluster doc is %9==0 (no fragment noise)
+    val rareIds = Seq(1001L, 1002L, 1003L)
+    (viral ++ rareIds.map(id => (id, rareText))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = Dedup.dedupContainment(spark, out)
+      .as[(Long, Long, Double)].collect()
+    spark.catalog.clearCache()
+    assert(got.forall(p => p._1 >= 1000L && p._2 >= 1000L),
+      s"hot-only-evidence pairs must be dropped by ContainDfCap, got " +
+        s"${got.filter(p => p._1 < 1000L || p._2 < 1000L).take(5).toSeq}")
+    val want = (for { a <- rareIds; b <- rareIds if a != b } yield (a, b, 1.0)).toSet
+    assert(got.toSet === want,
+      "rare-evidence cluster must emit its exact ordered all-pairs at cont=1.0")
+    // and the contract is in the compared artifact, not out-of-band
+    assert(graft.SparkEntry.oracleSql("dedup_containment").contains("inter_rare"),
+      "C28 oracle must self-describe the df-cap (inter_rare > 0)")
+  }
+
   test("C3's registered oracle self-describes the star reduction (r12)") {
     // r11 verdict task 4: the skew sweep used to carry an out-of-band
     // "1 disclosed FAIL" narrative because C3's oracle was the
