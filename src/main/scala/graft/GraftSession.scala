@@ -72,30 +72,51 @@ object GraftSession {
     // re-gcs because one collection routinely leaves the most recent
     // Broadcast as floating garbage — its weak ref enqueues only on
     // the NEXT cycle, so a stalled nonzero count with an idle cleaner
-    // needs another gc, not more waiting. Stall exits keep release()
-    // non-blocking for embedders holding legitimately-live broadcasts;
-    // everything is bounded by one 5 s deadline, and the pauses land
-    // strictly between queries, zero inside any timed region (all
-    // harnesses release outside timing windows).
+    // needs another gc, not more waiting. Stall exits keep the worst
+    // case BOUNDED for embedders holding legitimately-live broadcasts
+    // — but not free: a live block makes the zero fixpoint unreachable,
+    // so release() then costs ~0.7 s of gc + stall sleeps (r13 ADVICE;
+    // the live-block early-exit below caps it at two static rounds).
+    // An embedder that releases between ITS OWN timed regions while
+    // holding broadcasts should set spark.graft.release.gc=false and
+    // manage its own drain. Everything is bounded by one 5 s deadline,
+    // and the pauses land strictly between queries, zero inside any
+    // timed region (all harnesses release outside timing windows).
     if (spark.conf.get("spark.graft.release.gc", "true").toBoolean) {
       val sc = spark.sparkContext
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
       var cur = 0
       var gcs = 0
+      // seed with the pre-gc count so round 1 can observe "gc freed
+      // nothing" — the live-block signature — rather than a vacuous
+      // decrease from a sentinel
+      var lastRoundEnd = org.apache.spark.graft.BlockProbe.broadcastBlockCount(sc)
+      var staticRounds = 0
       while ({
         System.gc()
         gcs += 1
         cur = org.apache.spark.graft.BlockProbe.broadcastBlockCount(sc)
+        var decreased = cur < lastRoundEnd
         var stale = 0
         while (cur > 0 && stale < 2 && System.nanoTime() < deadline) {
           Thread.sleep(120)
           val next = org.apache.spark.graft.BlockProbe.broadcastBlockCount(sc)
+          if (next < cur) decreased = true
           stale = if (next < cur) 0 else stale + 1
           cur = next
         }
-        cur > 0 && gcs < 3 && System.nanoTime() < deadline
+        // live-block early exit (r13 ADVICE): a whole gc+poll round
+        // with ZERO decrease, twice in a row, means the survivors are
+        // reachable — not floating garbage — and another gc cannot
+        // free them. Floating garbage always decreases within a round
+        // of the gc that enqueued it.
+        staticRounds = if (decreased) 0 else staticRounds + 1
+        lastRoundEnd = cur
+        cur > 0 && gcs < 3 && staticRounds < 2 && System.nanoTime() < deadline
       }) ()
-      System.gc() // collect the byte arrays the unbroadcast pass freed
+      // collect the byte arrays the unbroadcast pass freed — pointless
+      // if nothing was freed (the live-block exit)
+      if (staticRounds < 2) System.gc()
     }
   }
 

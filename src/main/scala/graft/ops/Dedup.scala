@@ -593,6 +593,20 @@ object Dedup {
     // 2 GB dig): per-task builds are corpus/partitions, uniform, and
     // the candidate side shuffles as bare (d1, d2) pairs. Both engines'
     // results are strategy-invariant; DeterminismSweep re-proven.
+    //
+    // OPERATING REQUIREMENT (r13 ADVICE, applies to every shuffle_hash
+    // pin on a corpus-proportional frame — here, C28's verify joins,
+    // C33's gram joins): SHJ builds cannot spill, so per-task build =
+    // corpus_bytes/shuffle.partitions must keep fitting in executor
+    // task memory. At the pinned 32 partitions the 130 MiB sf1 frame
+    // costs ~4 MiB/task; builds stay under a conservative 128 MiB/task
+    // only to ~sf32. Past that, partitions MUST scale with the corpus
+    // (partitions ≈ corpus_bytes / 100 MiB keeps the build flat — the
+    // normal cluster setting, and what AQE coalescing starts from) —
+    // OR flip the pin to shuffle_merge and pay the measured 6.8× sort
+    // premium for spill safety. The crossover is exactly where the
+    // deployment cannot raise partitions ∝ SF; see SCALING.md (r14,
+    // "SHJ pin envelope") for the arithmetic at 100 TB.
     val full = sh.select($"doc_id", $"sh").hint("shuffle_hash")
     // |A∪B| = |A|+|B|−|∩| (distinct arrays): one hash-set build per
     // pair instead of two, bit-identical jac (same integer operands)

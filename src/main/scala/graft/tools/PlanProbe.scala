@@ -17,12 +17,18 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- args(1).split(",")) {
       val df = graft.SparkEntry.queries(n)(spark, args(0))
-      // collect(), NOT count(): count() spawns a SEPARATE QueryExecution
-      // (column-pruned, differently planned), leaving df's own adaptive
-      // plan unexecuted — the walk then reports the INITIAL static plan
-      // and misses every runtime join election (this hid the 130 MiB
-      // confirm() broadcast builds the 2 GB gate kept dying on)
-      df.collect()
+      // drain df's OWN QueryExecution, NOT count(): count() spawns a
+      // separate (column-pruned, differently planned) execution,
+      // leaving df's adaptive plan unexecuted — the walk then reports
+      // the INITIAL static plan and misses every runtime join election
+      // (this hid the 130 MiB confirm() broadcast builds the 2 GB gate
+      // kept dying on). toLocalIterator runs the same queryExecution
+      // and finalizes the adaptive plan while holding ONE partition at
+      // a time — collect() held the full result and risked driver OOM
+      // on corpus-sized outputs in exactly the low-memory forensics
+      // contexts this probe serves (r13 ADVICE)
+      val it = df.toLocalIterator()
+      while (it.hasNext) it.next()
       inventory(n, df)
       graft.GraftSession.release(spark)
     }

@@ -4,17 +4,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Synthesize an N×-scaled copy of a test SF dir in /tmp by unioning
-  * id-shifted replicas — for scale-behavior smoke runs only (the
-  * replica texts/vectors are identical, which deliberately stresses
-  * the dedup operators with a 100%-duplicated corpus, the CommonCrawl
-  * shape).
+  * id-shifted replicas — for scale-behavior smoke runs.
   *
-  *   runMain graft.tools.ScaleUp <srcSfDir> <outDir> <copies>
+  *   runMain graft.tools.ScaleUp <srcSfDir> <outDir> <copies> [mode]
+  *
+  * Two modes (r13 verdict task 4):
+  *
+  *  - `verbatim` (default): replica texts/vectors are identical, which
+  *    deliberately stresses the dedup operators with a 100%-duplicated
+  *    corpus (the CommonCrawl shape) — but it makes the exact near-dup
+  *    ANSWER grow quadratically in copy count, so a scale exponent
+  *    measured on it conflates answer growth with plan cost
+  *    (SCALING.md round-13: containment read e=2.0 on output that
+  *    itself grew 9.6×).
+  *  - `perturb`: replica i > 0 gets its tokens suffixed (`w` → `wvi`)
+  *    and its embedding dims rotated by i, so cross-copy pairs stop
+  *    being near-dups while WITHIN-replica structure (fragments,
+  *    planted dups, vector clusters) is preserved verbatim. The
+  *    answer then grows ~linearly with copies, and the measured
+  *    exponent is PLAN-bound: superlinear time on a perturbed replica
+  *    is a real plan pathology, not the replica's answer.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    val perturb = args.lift(3).contains("perturb")
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -25,9 +40,24 @@ object ScaleUp {
         if (name == "events") graft.Tables.eventsRaw(spark, src)
         else spark.read.parquet(s"$src/$name.parquet")
       val parts = (0 until copies).map { i =>
-        idCols.foldLeft(base) { (df, c) =>
+        val shifted = idCols.foldLeft(base) { (df, c) =>
           df.withColumn(c, col(c) + lit(i * shift))
         }
+        if (!perturb || i == 0) shifted
+        else if (name == "documents")
+          // suffix every token: replica i shares no shingle/gram/window
+          // with replica j ≠ i, but keeps its own internal structure
+          shifted
+            .withColumn("text", concat_ws(" ",
+              transform(split(col("text"), " "), w => concat(w, lit(s"v$i")))))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        else if (name == "embeddings")
+          // rotate dims by i: norm-preserving, kills cross-replica
+          // cosine alignment for the generator's quasi-random vectors
+          shifted.withColumn("embedding", expr(
+            s"transform(embedding, (x, j) -> element_at(embedding, " +
+              s"cast((j + $i) % size(embedding) as int) + 1))"))
+        else shifted
       }
       parts.reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)

@@ -12,12 +12,21 @@ import org.apache.spark.sql.SparkSession
   * real regression (both runs slow) from one noisy run. Per-query
   * errors print and don't abort the sweep.
   *
-  *   runMain graft.tools.TimeAll <sfDir> [runsPerQuery]
+  *   runMain graft.tools.TimeAll <sfDir> [runsPerQuery] [orderSeed]
+  *
+  * `orderSeed` (r13 verdict task 6) shuffles the query ORDER with a
+  * seeded deterministic permutation. The 2 GB gate regressed twice in
+  * r13 through order-dependent races (broadcast-drain vs cleaner) that
+  * a fixed alphabetical repro kept missing — the low-memory gate now
+  * runs N seeded orders so the next drain/planner race surfaces
+  * in-round instead of in the driver's sweep. No seed = the stable
+  * alphabetical order (cross-round comparability of the timings).
   */
 object TimeAll {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val runs = if (args.length > 1) args(1).toInt else 2
+    val orderSeed = if (args.length > 2) Some(args(2).toLong) else None
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,7 +39,16 @@ object TimeAll {
     // totals are only comparable after checking these two lines
     println(f"TIMER __canary_pre__: ${DriftCanary.warmThenTime(spark)}%.2f s")
     var total = 0.0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+    val ordered = {
+      val base = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      orderSeed match {
+        case Some(seed) =>
+          println(s"ORDER seed=$seed (randomized query order)")
+          new scala.util.Random(seed).shuffle(base)
+        case None => base
+      }
+    }
+    ordered.foreach { case (n, fn) =>
       try {
         if (tiny.isDirectory) fn(spark, tiny.getPath).count()
         val timings = (1 to runs).map { _ =>

@@ -67,4 +67,23 @@ class HarnessReleaseSpec extends AnyFunSuite {
         "the drain exited before the cleaner finished, the exact " +
         "2 GB-gate race")
   }
+
+  test("release with a LIVE broadcast exits early and leaves it usable (shared-JVM embedder)") {
+    // r13 ADVICE: an embedder holding a legitimately-live broadcast
+    // makes the zero fixpoint unreachable; release() must conclude
+    // "live, not floating garbage" after two static gc+poll rounds
+    // instead of burning the full retry budget — and must not break
+    // the broadcast. The live-path cost is documented at ~0.7 s; the
+    // 5 s deadline is the bound this assert enforces with margin.
+    val bc = spark.sparkContext.broadcast(Array.fill(1024)(7))
+    try {
+      val t0 = System.nanoTime()
+      GraftSession.release(spark)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(secs < 3.0,
+        f"release with a live broadcast took $secs%.1f s — early exit regressed")
+      assert(bc.value.length == 1024 && bc.value(0) == 7,
+        "release destroyed a live broadcast")
+    } finally bc.destroy()
+  }
 }

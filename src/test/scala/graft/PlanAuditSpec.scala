@@ -660,6 +660,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // in their Scaladoc.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
     import org.apache.spark.sql.types.ArrayType
     val seen = java.util.Collections.newSetFromMap(
@@ -670,6 +671,11 @@ class PlanAuditSpec extends AnyFunSuite {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
         case q: QueryStageExec => walk(q.plan)(f)
         case r: ReusedExchangeExec => walk(r.child)(f)
+        // a persisted subtree hides its physical plan behind the cache
+        // relation (not a child) — without this case a broadcast
+        // elected INSIDE a persisted frame (e.g. jaccardPairs' prefix)
+        // would evade the array-broadcast class lock (r13 ADVICE)
+        case m: InMemoryTableScanExec => walk(m.relation.cachedPlan)(f)
         case _ => ()
       }
       p.children.foreach(walk(_)(f))
