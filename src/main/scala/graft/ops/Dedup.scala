@@ -331,17 +331,24 @@ object Dedup {
     val ex = sh.select($"doc_id", $"n", explode($"sh").as("s"))
     val freq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"s")
+    // the df-cap needs to land ONLY on the prefix side: a surviving
+    // prefix entry has df(s) ≤ cap, and the full inverted index holds
+    // exactly df(s) rows for s — so each candidate probe fans out to
+    // ≤ cap partners BY DEFINITION of df, with no index-side filter,
+    // no extra join, and r13's exact plan shape. (r14: two filtered-
+    // index variants were built and measured at sf1 before landing on
+    // this free form — joining ex against a shared full ex⋈freq was
+    // +3.1× (72.6 s vs 23.6 s, no exchange reuse materialized across
+    // the window and index branches); a broadcast rare-shingle-set
+    // probe timed ≈ equal (22.2 s) but pays an extra pass over the
+    // exploded frame for a bound the prefix filter already implies.)
     val prefix = ex.join(freq, "s")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil(lit(t) * $"n") + 1)
-      .filter($"df" <= ContainDfCap) // hot prefix entries match nothing capped
+      .filter($"df" <= ContainDfCap) // hot prefix entries generate nothing
       .select($"doc_id".as("d1"), $"s")
-    // the capped inverted index: any one shingle fans out ≤ DfCap docs,
-    // so candidates per contained doc are ≤ prefix-len × DfCap — never
-    // cohort-quadratic
-    val exRare = ex.join(freq.filter($"df" <= ContainDfCap).select($"s"), "s")
     val cand = prefix
-      .join(exRare.select($"doc_id".as("d2"), $"s"), "s")
+      .join(ex.select($"doc_id".as("d2"), $"s"), "s")
       .filter($"d1" =!= $"d2")
       .select($"d1", $"d2").dropDuplicates("d1", "d2")
     // shuffle_hash on the VERIFY joins only (r13, 2 GB-gate dig

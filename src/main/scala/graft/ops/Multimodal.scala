@@ -257,14 +257,25 @@ object Multimodal {
     // build that never exceeded a few hundred MB — the same
     // measured-and-accepted trade as the containment prefix probe
     // (SCALING round-13).
+    // hamming filter BEFORE the pair-dedup shuffle (r14, perturbed
+    // scale curve): the 8-bit bands of a 32-bit hash are birthday-
+    // bound — ~4·n²/256 candidate rows regardless of true dup density
+    // — and the old order shuffled ALL of them through dropDuplicates
+    // before the one-instruction xor+popcount rejected 99.9%+. The
+    // filter is a pure function of the joined row (identical h1/h2 on
+    // every duplicate of a pair), so filtering first is semantics-
+    // preserving and the shuffle carries only true near-dup pairs.
+    // The map-side candidate GENERATION stays ∝ n²/256 (codegen'd,
+    // no exchange); the 100 TB path is a wider hash (16-bit bands
+    // ⇒ n²/65536) — see SCALING.md r14.
     bands.as("a").join(bands.as("b"),
         $"a.k" === $"b.k" && $"a.bv" === $"b.bv" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
         $"a.phash".as("h1"), $"b.phash".as("h2"))
-      .dropDuplicates("d1", "d2")
       .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
       .filter($"hamming" <= 3)
+      .dropDuplicates("d1", "d2")
       .select($"d1", $"d2", $"hamming")
   }
 
