@@ -647,17 +647,34 @@ object PipelineQueries {
     // empty result (see pipelineStreamIngest; r11 empty-input sweep)
     val maxId = docs.agg(max($"doc_id")).as[Option[Long]].head().getOrElse(0L)
     val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-    val batchDefs = Seq(
-      ("00", docs.filter($"doc_id" <= cut1)),
-      ("01", docs.filter($"doc_id" > cut1 && $"doc_id" <= cut2)),
-      ("02", docs.filter($"doc_id" > cut2)))
-    batchDefs.zipWithIndex.foreach { case ((name, part), i) =>
-      val tmp = graft.Scratch.dir(s"graft_neardup_$name")
-      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val dst = inDir.resolve(s"$name.parquet")
-      java.nio.file.Files.move(graft.Scratch.firstParquet(tmp), dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    // stage all three batch files in ONE write job (r14 floor shave:
+    // three serialized coalesce(1) jobs were ~1/4 of the registered
+    // query's wall) — repartition by the batch tag gives one writer
+    // task per tag, partitionBy lands each tag in its own dir, and the
+    // moves rename them into arrival order
+    locally {
+      val tmp = graft.Scratch.dir("graft_neardup_stage")
+      docs.withColumn("b",
+          when($"doc_id" <= cut1, "00")
+            .when($"doc_id" <= cut2, "01").otherwise("02"))
+        .repartition($"b")
+        .write.mode("overwrite").partitionBy("b").parquet(tmp.toString)
+      Seq("00", "01", "02").zipWithIndex.foreach { case (name, i) =>
+        val dst = inDir.resolve(s"$name.parquet")
+        val srcDir = tmp.resolve(s"b=$name")
+        if (java.nio.file.Files.isDirectory(srcDir))
+          java.nio.file.Files.move(graft.Scratch.firstParquet(srcDir), dst)
+        else {
+          // an empty slice writes no partition dir (empty corpus /
+          // degenerate cuts — r11 empty-input sweep): stage an empty
+          // single-file parquet so the stream still sees three files
+          val e = graft.Scratch.dir(s"graft_neardup_empty_$name")
+          docs.limit(0).coalesce(1).write.mode("overwrite").parquet(e.toString)
+          java.nio.file.Files.move(graft.Scratch.firstParquet(e), dst)
+        }
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      }
     }
     val histDir = graft.Scratch.dir("graft_neardup_hist").toString
     val keptDir = graft.Scratch.dir("graft_neardup_kept").toString
@@ -729,7 +746,12 @@ object PipelineQueries {
           }
         val kept = bsh.select($"doc_id", size($"sh").cast("long").as("n_sh"))
           .join(wbDrop.union(histDrop).distinct(), Seq("doc_id"), "left_anti")
-        kept.write.mode("append").parquet(keptDir)
+        // one file per trigger, not one per task (32 task-files per
+        // batch taxes the read-back listing) — repartition(1), NOT
+        // coalesce(1): coalesce would collapse the whole anti-join
+        // stage into a single task, while the exchange here carries
+        // only the final (doc_id, n_sh) longs (r14 floor shave)
+        kept.repartition(1).write.mode("append").parquet(keptDir)
         // SEEN policy: every batch doc enters history, kept or not.
         // ONE append job for both row kinds (r13 — was two): band rows
         // and shingle rows union into the single history table under
