@@ -236,47 +236,80 @@ object Multimodal {
 
   /** Unsorted C38 pair set from a (doc_id, phash) frame —
     * mmPhashNeardup adds only the presentation sort; C56 consumes
-    * this directly so no global sort sits mid-pipeline. */
+    * this directly so no global sort sits mid-pipeline.
+    *
+    * VALUE-keyed banding (r14, the r13 verdict's C38/C56 audit): the
+    * band self-join runs over DISTINCT phash values, not assets, so a
+    * viral cohort (m identical payloads — one phash) is ONE row in the
+    * join instead of m band rows, and the join's birthday term drops
+    * from ~4·n²/256 over assets to the same over distinct values.
+    * Doc pairs then expand from the surviving VALUE pairs:
+    *
+    *  - cross-value pairs (hamming 1–3) expand exactly — near-dup
+    *    density between distinct hashes is data, not skew;
+    *  - within-cohort pairs (hamming 0) get C3's exact reduction:
+    *    all-pairs among the [[Dedup.BucketCap]] smallest ids + a
+    *    (min, m) star link for every past-cap member — emission is
+    *    cap²-bounded + linear tail, never m², connectivity (what C56
+    *    consumes) is preserved by construction, and the oracle
+    *    self-describes the same reduction (rk ≤ cap / cnt > cap).
+    *
+    * The hamming filter runs on VALUE pairs before any expansion, so
+    * the pair-dedup shuffle carries only true near-dup value pairs
+    * (r14 perturbed scale curve measured the old doc-keyed,
+    * filter-last form at e=1.56; value-keyed + filter-first reads
+    * e≈0.5). */
   private def pairsFromHashed(hashed: DataFrame): DataFrame = {
     val s = hashed.sparkSession
     import s.implicits._
-    val bands = hashed.select($"doc_id", $"phash", explode(array(
+    graft.functions.MinKAgg.register(s)
+    val cap = Dedup.BucketCap
+    // one row per distinct hash: cnt + the cap smallest member ids
+    // (min_k's partial buffers are cap-bounded — a viral cohort never
+    // materializes its membership in any task); consumed by the band
+    // join and both expansions below
+    val vals = hashed.groupBy($"phash")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("mn"),
+        expr(s"min_k(doc_id, $cap)").as("ids"))
+      .persist()
+    val vbands = vals.select($"phash", explode(array(
       (0 until 4).map(k => struct(lit(k).as("k"),
         expr(s"shiftright(phash, ${8 * k}) & 255").as("bv"))): _*)).as("bd"))
-      .select($"doc_id", $"phash", $"bd.k", $"bd.bv")
-    // The self-join below takes the planner's estimate-driven
-    // broadcast (40 MiB actual build at sf1 behind an under-scaled
-    // static estimate). A shuffle_hash pin was built and MEASURED in
-    // the r13 dig: 2.4× slower at sf1 (4.5 → 11 s warm — the (k, bv)
-    // key is only 1024-ary, so the shuffled form clusters 366k
-    // candidate rows into few partitions while the broadcast form
-    // joins map-side with zero exchanges). The broadcast window is
-    // also SELF-LIMITING: the estimate grows linearly with the asset
-    // count, crosses the 10 MB threshold within a few SF doublings,
-    // and the plan degrades to the shuffled form on its own with a
-    // build that never exceeded a few hundred MB — the same
-    // measured-and-accepted trade as the containment prefix probe
-    // (SCALING round-13).
-    // hamming filter BEFORE the pair-dedup shuffle (r14, perturbed
-    // scale curve): the 8-bit bands of a 32-bit hash are birthday-
-    // bound — ~4·n²/256 candidate rows regardless of true dup density
-    // — and the old order shuffled ALL of them through dropDuplicates
-    // before the one-instruction xor+popcount rejected 99.9%+. The
-    // filter is a pure function of the joined row (identical h1/h2 on
-    // every duplicate of a pair), so filtering first is semantics-
-    // preserving and the shuffle carries only true near-dup pairs.
-    // The map-side candidate GENERATION stays ∝ n²/256 (codegen'd,
-    // no exchange); the 100 TB path is a wider hash (16-bit bands
-    // ⇒ n²/65536) — see SCALING.md r14.
-    bands.as("a").join(bands.as("b"),
+      .select($"phash", $"bd.k", $"bd.bv")
+    // The self-join takes the planner's estimate-driven broadcast (the
+    // r13 dig measured a shuffle_hash pin 2.4× slower here — the
+    // (k, bv) key is only 1024-ary, so the shuffled form clusters
+    // candidates into few partitions while broadcast joins map-side
+    // with zero exchanges). Self-limiting as values grow: the linear
+    // estimate crosses the 10 MB threshold and the plan degrades to
+    // the shuffled form on its own (SCALING round-13).
+    val vpairs = vbands.as("a").join(vbands.as("b"),
         $"a.k" === $"b.k" && $"a.bv" === $"b.bv" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        $"a.phash".as("h1"), $"b.phash".as("h2"))
+          $"a.phash" < $"b.phash")
+      .select($"a.phash".as("h1"), $"b.phash".as("h2"))
       .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
       .filter($"hamming" <= 3)
-      .dropDuplicates("d1", "d2")
-      .select($"d1", $"d2", $"hamming")
+      .dropDuplicates("h1", "h2")
+    // cross-value doc pairs: exact expansion over the asset lists
+    val cross = vpairs
+      .join(hashed.select($"phash".as("h1"), $"doc_id".as("da")), "h1")
+      .join(hashed.select($"phash".as("h2"), $"doc_id".as("db")), "h2")
+      .select(least($"da", $"db").as("d1"),
+        greatest($"da", $"db").as("d2"), $"hamming")
+    // within-cohort (identical hash): capped all-pairs ...
+    val withinCapped = vals.filter($"cnt" > 1)
+      .select(explode($"ids").as("d1"), $"ids")
+      .select($"d1", explode($"ids").as("d2"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2", lit(0L).as("hamming"))
+    // ... plus (min, m) star links for past-cap members — min_k keeps
+    // the cap SMALLEST ids, so "past cap" is exactly "not in ids"
+    val withinStar = vals.filter($"cnt" > cap)
+      .select($"phash".as("h"), $"mn", $"ids")
+      .join(hashed.select($"phash".as("h"), $"doc_id"), "h")
+      .filter(!array_contains($"ids", $"doc_id"))
+      .select($"mn".as("d1"), $"doc_id".as("d2"), lit(0L).as("hamming"))
+    cross.unionByName(withinCapped).unionByName(withinStar)
   }
 
   /** Dev-probe alias for the C38 pair set (ContractProbe). */
