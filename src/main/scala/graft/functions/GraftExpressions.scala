@@ -67,6 +67,19 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression): Phash32 = copy(child = c)
   }
 
+  /** binary → 64-band mean-threshold perceptual hash (the r15 widening
+    * for C38's 4×16-bit band LSH — see [[HashOps.phash64]] for the
+    * band arithmetic and the birthday-term rationale). */
+  case class Phash64(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      HashOps.phash64(input.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$H.phash64($c)")
+    override protected def withNewChildInternal(c: Expression): Phash64 = copy(child = c)
+  }
+
   /** binary → sum of unsigned byte values (payload checksum kernel). */
   case class ByteSum(child: Expression) extends UnaryExpression {
     override def nullIntolerant: Boolean = true
@@ -141,6 +154,7 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("byte_sum", es => ByteSum(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("phash32", es => Phash32(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("phash64", es => Phash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64", es => Fingerprint64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_valid", es => VecValid(es.head), "scala_udf")

@@ -99,11 +99,26 @@ object HashOps {
     * 32 × substring + byte_sum derivation this replaces, which copied
     * the payload 32 times); bit b is set iff its band sum exceeds the
     * 32-band mean. */
-  def phash32(bytes: Array[Byte]): Long = {
-    val l = bytes.length / 32
-    val sums = new Array[Long](32)
+  def phash32(bytes: Array[Byte]): Long = phashBanded(bytes, 32)
+
+  /** 64-band mean-threshold perceptual hash — the r15 widening of
+    * [[phash32]] for C38's LSH: 4×16-bit band slices of this hash key
+    * the candidate join, so the random-collision (birthday) term of
+    * candidate generation is n²/65536 instead of the 8-bit slices'
+    * n²/256 — band width must grow with log(corpus), as in every
+    * production LSH. Same arithmetic contract at B = 64: band b covers
+    * bytes [b·l, b·l+l) with l = len/64 (the trailing len%64 bytes fall
+    * outside every band); bit b set iff its band sum exceeds the
+    * 64-band mean. Payloads shorter than 64 bytes have no bands and
+    * hash to 0 — callers gate on length ≥ 64. */
+  def phash64(bytes: Array[Byte]): Long = phashBanded(bytes, 64)
+
+  /** Shared one-pass band fold behind [[phash32]]/[[phash64]]. */
+  private def phashBanded(bytes: Array[Byte], nb: Int): Long = {
+    val l = bytes.length / nb
+    val sums = new Array[Long](nb)
     var b = 0
-    while (b < 32) {
+    while (b < nb) {
       var i = b * l
       val end = i + l
       var s = 0L
@@ -113,10 +128,10 @@ object HashOps {
     }
     var tot = 0L
     b = 0
-    while (b < 32) { tot += sums(b); b += 1 }
+    while (b < nb) { tot += sums(b); b += 1 }
     var h = 0L
     b = 0
-    while (b < 32) { if (sums(b) * 32 > tot) h |= 1L << b; b += 1 }
+    while (b < nb) { if (sums(b) * nb > tot) h |= 1L << b; b += 1 }
     h
   }
 

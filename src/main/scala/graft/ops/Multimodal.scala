@@ -177,9 +177,23 @@ object Multimodal {
   // --------------------------------------------------------------- C38
   /** Perceptual-hash near-dup over binary media payloads — the
     * "same image, different encode" detector C25's exact-digest dedup
-    * structurally misses (one flipped byte changes md5). 32-block
+    * structurally misses (one flipped byte changes md5). 64-block
     * sign-vs-mean signature (pHash's block-DCT shape with block sums
-    * as the feature), banded 4×8 for candidates, Hamming ≤ 3 confirm.
+    * as the feature), banded 4×16 for candidates, Hamming ≤ 3 confirm.
+    *
+    * Band width is the scale lever (r15, from the r14 verdict's one
+    * weak flag): with 8-bit bands the candidate join's random-collision
+    * term is birthday-bound at ~4·n²/256 REGARDLESS of dup density —
+    * harmless at harness counts, fatal at 10⁸ assets. 16-bit bands
+    * divide that term by 256 (to n²/65536); measured on the 5000-doc
+    * sf0.1 corpus: band candidates 297,350 → 18,460 (16.1× — natural
+    * text clusters block signs, so the uniform-hash 256× is damped at
+    * this n; the asymptotic exponent is what matters), max band-bucket
+    * occupancy 133 → 38. Variant sensitivity is unchanged: the injected
+    * re-encode variants land at Hamming ≤ 3 for 87–89% of sources under
+    * the 64-block hash vs 84–92% under the 32-block one (measured,
+    * sf0.001/sf0.1). Band width must keep growing with log(corpus) —
+    * the standard LSH sizing rule.
     *
     * Banding guarantee: 3 flipped bits touch ≤ 3 of the 4 bands, so
     * every Hamming-≤3 pair shares at least one full band — recall is
@@ -198,11 +212,11 @@ object Multimodal {
     * clobbered — same-content-different-bytes, which lands at small
     * Hamming while md5 sees nothing.
     *
-    * 100 TB: the signature is 32 codegen `byte_sum` folds at scan
+    * 100 TB: the signature is one codegen `phash64` fold at scan
     * parallelism — the payload never shuffles; the band join moves 4
-    * (band, value, id, hash64) rows per asset; candidate buckets are
-    * equality-bounded (add C3's bucket cap for adversarial corpora);
-    * confirm is one integer XOR+popcount per candidate. */
+    * (band, value) rows per DISTINCT hash; candidate buckets are
+    * equality-bounded with C3's bucket-cap reduction for identical-hash
+    * cohorts; confirm is one integer XOR+popcount per candidate. */
   /** The C38/C56 asset feed: ASCII-normalized originals + re-encode
     * variants (every 8th asset with byte 1 of each 64-byte chunk
     * clobbered, id-shifted +3e6 — note 3e6 ≡ 0 mod 3, so a variant
@@ -218,20 +232,23 @@ object Multimodal {
           sequence(lit(0), expr("(length(text) - 1) div 64")),
           i => concat(lit("x"), $"text".substr(i * 64 + 2, lit(63))))
         ).as("text"))
-    docs.unionByName(variants).filter(length($"text") >= 32)
+    // ≥ 64 so every asset has all 64 hash blocks (l = len/64 ≥ 1);
+    // shorter payloads have no signature and are out of C38's scope
+    docs.unionByName(variants).filter(length($"text") >= 64)
   }
 
   /** Every asset's 64-bit perceptual hash — ONE pass over the feed
-    * via the single-pass [[graft.functions.HashOps.phash32]] kernel
-    * (r8: the previous 32 × substring + byte_sum projection copied
-    * every payload 32 times per row; HashOpsSpec pins kernel == that
-    * derivation). C56 reuses this frame as its asset list, so the
-    * string-transform feed is built once per query, not twice. */
+    * via the single-pass [[graft.functions.HashOps.phash64]] kernel
+    * (r8 established the fused-kernel shape: a per-band substring +
+    * byte_sum projection copies every payload B times per row;
+    * HashOpsSpec pins kernel == that derivation). C56 reuses this
+    * frame as its asset list, so the string-transform feed is built
+    * once per query, not twice. */
   private def phashHashed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftExpressions.register(s)
     phashFeed(s, dir)
-      .select($"doc_id", expr("phash32(encode(text, 'UTF-8'))").as("phash"))
+      .select($"doc_id", expr("phash64(encode(text, 'UTF-8'))").as("phash"))
   }
 
   /** Unsorted C38 pair set from a (doc_id, phash) frame —
@@ -241,8 +258,9 @@ object Multimodal {
     * VALUE-keyed banding (r14, the r13 verdict's C38/C56 audit): the
     * band self-join runs over DISTINCT phash values, not assets, so a
     * viral cohort (m identical payloads — one phash) is ONE row in the
-    * join instead of m band rows, and the join's birthday term drops
-    * from ~4·n²/256 over assets to the same over distinct values.
+    * join instead of m band rows; with r15's 16-bit bands the join's
+    * random-collision term is ~4·v²/65536 over v distinct values
+    * (was ~4·v²/256 at 8-bit bands — the r14 verdict's one weak flag).
     * Doc pairs then expand from the surviving VALUE pairs:
     *
     *  - cross-value pairs (hamming 1–3) expand exactly — near-dup
@@ -251,8 +269,11 @@ object Multimodal {
     *    all-pairs among the [[Dedup.BucketCap]] smallest ids + a
     *    (min, m) star link for every past-cap member — emission is
     *    cap²-bounded + linear tail, never m², connectivity (what C56
-    *    consumes) is preserved by construction, and the oracle
-    *    self-describes the same reduction (rk ≤ cap / cnt > cap).
+    *    consumes) is preserved by construction, and since r15 the
+    *    registered oracle self-describes the same reduction
+    *    ([[phashPairCtes]]'s within_cap/within_star CTEs — the r14
+    *    oracle still derived uncapped all-pairs, diverging on any
+    *    >cap cohort such as the skew replica's).
     *
     * The hamming filter runs on VALUE pairs before any expansion, so
     * the pair-dedup shuffle carries only true near-dup value pairs
@@ -272,17 +293,15 @@ object Multimodal {
       .agg(count(lit(1)).as("cnt"), min($"doc_id").as("mn"),
         expr(s"min_k(doc_id, $cap)").as("ids"))
       .persist()
-    val vbands = vals.select($"phash", explode(array(
-      (0 until 4).map(k => struct(lit(k).as("k"),
-        expr(s"shiftright(phash, ${8 * k}) & 255").as("bv"))): _*)).as("bd"))
-      .select($"phash", $"bd.k", $"bd.bv")
+    val vbands = bandsOf(vals)
     // The self-join takes the planner's estimate-driven broadcast (the
-    // r13 dig measured a shuffle_hash pin 2.4× slower here — the
-    // (k, bv) key is only 1024-ary, so the shuffled form clusters
-    // candidates into few partitions while broadcast joins map-side
-    // with zero exchanges). Self-limiting as values grow: the linear
-    // estimate crosses the 10 MB threshold and the plan degrades to
-    // the shuffled form on its own (SCALING round-13).
+    // r13 dig measured a shuffle_hash pin 2.4× slower here — broadcast
+    // joins map-side with zero exchanges; at r15's 16-bit bands the
+    // (k, bv) key is 262144-ary, so even the shuffled fallback no
+    // longer clusters candidates into few partitions). Self-limiting
+    // as values grow: the linear estimate crosses the 10 MB threshold
+    // and the plan degrades to the shuffled form on its own
+    // (SCALING round-13).
     val vpairs = vbands.as("a").join(vbands.as("b"),
         $"a.k" === $"b.k" && $"a.bv" === $"b.bv" &&
           $"a.phash" < $"b.phash")
@@ -312,19 +331,62 @@ object Multimodal {
     cross.unionByName(withinCapped).unionByName(withinStar)
   }
 
+  /** 4×16-bit band slices of a (phash, …) frame — one row per
+    * (distinct hash, band). Shared by the candidate join and the
+    * occupancy probe so the slicing arithmetic has one home. */
+  private def bandsOf(vals: DataFrame): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    vals.select($"phash", explode(array(
+      (0 until 4).map(k => struct(lit(k).as("k"),
+        expr(s"shiftright(phash, ${16 * k}) & 65535").as("bv"))): _*)).as("bd"))
+      .select($"phash", $"bd.k", $"bd.bv")
+  }
+
   /** Dev-probe alias for the C38 pair set (ContractProbe). */
   private[graft] def phashPairsProbe(s: SparkSession, dir: String): DataFrame =
     pairsFromHashed(phashHashed(s, dir))
+
+  /** Dev probe (SkewInputSpec r15): (distinct hash values, band-join
+    * candidate value-pairs BEFORE the hamming confirm) — the
+    * generation term the 16-bit band widening bounds. */
+  private[graft] def phashBandCandidates(s: SparkSession, dir: String): (Long, Long) = {
+    import s.implicits._
+    val vals = phashHashed(s, dir).select($"phash").distinct().persist()
+    val vbands = bandsOf(vals)
+    val cand = vbands.as("a").join(vbands.as("b"),
+        $"a.k" === $"b.k" && $"a.bv" === $"b.bv" && $"a.phash" < $"b.phash")
+      .select($"a.phash", $"b.phash").distinct().count()
+    val nv = vals.count()
+    vals.unpersist()
+    (nv, cand)
+  }
 
   def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     pairsFromHashed(phashHashed(s, dir)).orderBy($"d1", $"d2")
   }
   /** The C38 pair derivation as a CTE chain ending in `mpairs` —
-    * shared by the C38 oracle and C56's recursive clustering oracle. */
+    * shared by the C38 oracle and C56's recursive clustering oracle.
+    *
+    * Mirrors the ENGINE's derivation stage for stage (r15 ADVICE —
+    * the r14 oracle still derived uncapped doc-keyed all-pairs, so a
+    * >[[Dedup.BucketCap]] identical-hash cohort, e.g. the skew
+    * replica's viral cohort, diverged from the engine's capped
+    * emission):
+    *  - the 64-bit hash built in two's-complement (HUGEINT bit sum
+    *    wrapped past 2⁶³ — DuckDB's BIGINT `<<` overflows at bit 63);
+    *  - value-keyed 4×16-bit banding over DISTINCT hashes;
+    *  - Hamming ≤ 3 on VALUE pairs, then exact doc expansion;
+    *  - identical-hash cohorts reduced exactly like the engine: an
+    *    all-pairs clique over the [[Dedup.BucketCap]] smallest member
+    *    ids (row_number mirror of min_k) plus a (min, m) star link per
+    *    past-cap member — C3's oracle precedent (Dedup.scala
+    *    dedupMinhashLshSql). Where no cohort exceeds the cap this
+    *    reduces verbatim to full within-cohort all-pairs. */
   val phashPairCtes: String =
-    """ascii_docs AS (SELECT doc_id,
-      |    regexp_replace(text, '[^\x00-\x7f]', '', 'g') AS text
+    s"""ascii_docs AS (SELECT doc_id,
+      |    regexp_replace(text, '[^\\x00-\\x7f]', '', 'g') AS text
       |  FROM documents),
       |var AS (SELECT doc_id + 3000000 AS doc_id,
       |    array_to_string(['x' || text[CAST(i*64+2 AS INT) : CAST(i*64+64 AS INT)]
@@ -332,32 +394,56 @@ object Multimodal {
       |  FROM ascii_docs WHERE doc_id % 8 = 0 AND length(text) >= 64),
       |feed AS (SELECT doc_id, text FROM ascii_docs
       |  UNION ALL SELECT doc_id, text FROM var),
-      |f AS (SELECT doc_id, text, length(text) // 32 AS L
-      |  FROM feed WHERE length(text) >= 32),
+      |f AS (SELECT doc_id, text, length(text) // 64 AS L
+      |  FROM feed WHERE length(text) >= 64),
       |bs AS (SELECT doc_id, b,
       |    list_sum([ord(text[CAST(i AS INT)])
       |      FOR i IN range(b*L+1, b*L+L+1)]) AS bsum
-      |  FROM f CROSS JOIN range(0, 32) t(b)),
+      |  FROM f CROSS JOIN range(0, 64) t(b)),
       |g AS (SELECT doc_id, sum(bsum) AS tot FROM bs GROUP BY 1),
-      |h AS (SELECT bs.doc_id,
-      |    CAST(sum(CASE WHEN bsum * 32 > tot
-      |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT)
-      |      AS phash
-      |  FROM bs JOIN g USING (doc_id) GROUP BY 1),
-      |bands AS (SELECT doc_id, phash, k,
-      |    (phash >> CAST(8*k AS INT)) & 255 AS bv
-      |  FROM h CROSS JOIN range(0, 4) t(k)),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-      |    a.phash AS h1, b.phash AS h2
-      |  FROM bands a JOIN bands b
-      |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
-      |mpairs AS (SELECT d1, d2, h1, h2 FROM cand
-      |  WHERE bit_count(xor(h1, h2)) <= 3)""".stripMargin
+      |h AS (SELECT doc_id,
+      |    CAST(CASE WHEN hs >= 9223372036854775808
+      |      THEN hs - 18446744073709551616 ELSE hs END AS BIGINT) AS phash
+      |  FROM (SELECT bs.doc_id,
+      |      sum(CASE WHEN bsum * 64 > tot
+      |        THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+      |        ELSE CAST(0 AS HUGEINT) END) AS hs
+      |    FROM bs JOIN g USING (doc_id) GROUP BY 1)),
+      |vals AS (SELECT phash, count(*) AS cnt, min(doc_id) AS mn
+      |  FROM h GROUP BY 1),
+      |vbands AS (SELECT phash, k,
+      |    (phash >> CAST(16*k AS INT)) & 65535 AS bv
+      |  FROM vals CROSS JOIN range(0, 4) t(k)),
+      |vpairs AS (SELECT h1, h2,
+      |    CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      |  FROM (SELECT DISTINCT a.phash AS h1, b.phash AS h2
+      |    FROM vbands a JOIN vbands b
+      |      ON a.k = b.k AND a.bv = b.bv AND a.phash < b.phash)
+      |  WHERE bit_count(xor(h1, h2)) <= 3),
+      |crossp AS (SELECT least(x.doc_id, y.doc_id) AS d1,
+      |    greatest(x.doc_id, y.doc_id) AS d2, v.hamming
+      |  FROM vpairs v JOIN h x ON x.phash = v.h1
+      |    JOIN h y ON y.phash = v.h2),
+      |hrk AS (SELECT doc_id, phash,
+      |    row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY phash) AS csz,
+      |    min(doc_id) OVER (PARTITION BY phash) AS mn
+      |  FROM h),
+      |within_cap AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    CAST(0 AS BIGINT) AS hamming
+      |  FROM hrk a JOIN hrk b
+      |    ON a.phash = b.phash AND a.doc_id < b.doc_id
+      |  WHERE a.rk <= ${Dedup.BucketCap} AND b.rk <= ${Dedup.BucketCap}),
+      |within_star AS (SELECT mn AS d1, doc_id AS d2,
+      |    CAST(0 AS BIGINT) AS hamming
+      |  FROM hrk WHERE csz > ${Dedup.BucketCap} AND rk > ${Dedup.BucketCap}),
+      |mpairs AS (SELECT d1, d2, hamming FROM crossp
+      |  UNION ALL SELECT d1, d2, hamming FROM within_cap
+      |  UNION ALL SELECT d1, d2, hamming FROM within_star)""".stripMargin
 
   val mmPhashNeardupSql: String =
     s"""WITH $phashPairCtes
-       |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-       |FROM mpairs ORDER BY d1, d2""".stripMargin
+       |SELECT d1, d2, hamming FROM mpairs ORDER BY d1, d2""".stripMargin
 
   // --------------------------------------------------------------- C56
   /** Canonical media selection — C27's text pipeline closed for the

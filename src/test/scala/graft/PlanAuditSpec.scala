@@ -340,7 +340,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("mm pair generation stays banded (no cartesian/BNLJ) for C38/C56") {
     // the shared phash pair generator behind mm_phash_neardup AND
-    // mm_canonical: candidates must come from the 4×8-bit band
+    // mm_canonical: candidates must come from the 4×16-bit band
     // equi-join — all-pairs over assets must never materialize
     val plan = executed(ops.Multimodal.phashPairsProbe(spark, sf0001))
     val bad = plan.collect {

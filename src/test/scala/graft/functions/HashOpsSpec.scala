@@ -95,4 +95,26 @@ class HashOpsSpec extends AnyFunSuite {
       assert(HashOps.phash32(payload) === want, s"len=$len")
     }
   }
+
+  test("phash64 kernel equals the 64-band substring+byte_sum derivation") {
+    // r15 widening (C38's 4×16-bit band LSH): same band arithmetic at
+    // B = 64 — l = len/64, trailing len%64 bytes outside every band,
+    // bit set iff band sum beats the 64-band mean — including bit 63's
+    // sign-bit landing (two's complement), which the DuckDB oracle
+    // reconstructs via a HUGEINT wrap
+    val rnd = new scala.util.Random(43)
+    for (len <- Seq(64, 65, 127, 128, 200, 2048, 4097)) {
+      val payload = Array.fill[Byte](len)(rnd.nextInt(256).toByte)
+      val l = len / 64
+      val sums = (0 until 64).map(b =>
+        payload.slice(b * l, b * l + l).map(x => (x & 0xff).toLong).sum)
+      val tot = sums.sum
+      val want = (0 until 64)
+        .map(b => if (sums(b) * 64 > tot) 1L << b else 0L).sum
+      assert(HashOps.phash64(payload) === want, s"len=$len")
+    }
+    // bit 63 must be reachable: a payload whose LAST band dominates
+    val hot = Array.tabulate[Byte](128)(i => if (i >= 126) 0xff.toByte else 0x01)
+    assert(HashOps.phash64(hot) < 0L, "band 63 above the mean must set the sign bit")
+  }
 }

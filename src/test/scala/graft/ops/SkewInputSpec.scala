@@ -122,6 +122,64 @@ class SkewInputSpec extends AnyFunSuite {
       "C28 oracle must self-describe the df-cap (inter_rare > 0)")
   }
 
+  test("viral cohort: C38 phash emission is capped + star-reduced, complete, non-quadratic") {
+    // r15 (ADVICE high): 150 assets share ONE identical payload — one
+    // phash value, 2.3× the 64-id cap (the skew replica's viral cohort
+    // shape on the media path). Contract: capped all-pairs over the 64
+    // smallest ids plus a (min, m) star link per past-cap member —
+    // never cohort², and the whole cohort stays one connected
+    // component. Ids ≡ 1 (mod 8) so the %8==0 re-encode variant
+    // injection adds no second cohort.
+    val out = graft.Scratch.dir("graft_skew_c38").toString
+    val viral = Seq.fill(8)("alpha beta gamma delta").mkString(" ") // 183 chars
+    val n = 150
+    (0 until n).map(i => (8L * i + 1, viral)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val pairs = Multimodal.phashPairsProbe(spark, out)
+      .select($"d1", $"d2", $"hamming").as[(Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+
+    val cap = Dedup.BucketCap
+    val expected = cap * (cap - 1) / 2 + (n - cap)
+    assert(pairs.length === expected,
+      s"expected capped ${expected} pairs (uncapped all-pairs would be " +
+        s"${n * (n - 1) / 2}), got ${pairs.length}")
+    assert(pairs.forall(_._3 === 0L), "identical payloads must pair at hamming 0")
+    // completeness: every asset participates; min-id canonical reaches all
+    val ids = (0 until n).map(i => 8L * i + 1)
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(inPairs === ids.toSet,
+      s"unpaired assets: ${(ids.toSet -- inPairs).take(5)}")
+    val parent = scala.collection.mutable.Map(ids.map(d => d -> d): _*)
+    def find(d: Long): Long =
+      if (parent(d) == d) d else { val r = find(parent(d)); parent(d) = r; r }
+    pairs.foreach { case (a, b, _) => parent(find(a)) = find(b) }
+    assert(ids.map(find).toSet.size === 1,
+      "viral media cohort must resolve to one connected component")
+    // and the contract lives in the compared artifact (ADVICE r15: the
+    // r14 oracle derived uncapped all-pairs — the skew gate's blind spot)
+    val sql = graft.SparkEntry.oracleSql("mm_phash_neardup")
+    assert(sql.contains(s"rk <= $cap") && sql.contains("within_star"),
+      "C38 oracle must self-describe the capped + star reduction")
+  }
+
+  test("C38 band occupancy: 16-bit bands keep candidate generation sub-all-pairs") {
+    // r15 done-criterion for the r14 weak flag: the band join's
+    // candidate count over v distinct hashes must stay well under the
+    // all-pairs space — ≤ v²/256 discriminates the widened 4×16-bit
+    // bands (measured v²/≈600 on this corpus: 219 candidates at
+    // v = 497) from the old 4×8-bit ones (measured v²/≈45: 2,920 —
+    // which FAILS this bound). The asymptotic term is 4·v²/65536 for
+    // uniform hashes; natural text clusters block signs, hence the
+    // conservative margin.
+    val (nv, cand) = Multimodal.phashBandCandidates(spark, graft.SparkFixture.sf0001)
+    spark.catalog.clearCache()
+    assert(nv > 400, s"fixture corpus too small to bound ($nv values)")
+    assert(cand <= nv * nv / 256,
+      s"band candidates $cand exceed v²/256 = ${nv * nv / 256} at v=$nv — " +
+        "the generation term has regressed toward the 8-bit birthday bound")
+  }
+
   test("C3's registered oracle self-describes the star reduction (r12)") {
     // r11 verdict task 4: the skew sweep used to carry an out-of-band
     // "1 disclosed FAIL" narrative because C3's oracle was the
