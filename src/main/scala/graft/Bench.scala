@@ -67,11 +67,19 @@ object Bench {
     // plan and row count every invocation, zero file IO — so any
     // movement in canary_pre/mid/post is the BOX, not the tree, and a
     // cross-round total comparison starts by normalizing against it.
+    // r15 (r14 verdict task 3): a SECOND canary of the shuffle/join
+    // class brackets the sweeps too — r14's window drift was
+    // class-selective (shingle-self-join queries +46% while the scan
+    // canary held), so the headline is only attributable when BOTH
+    // canary triples are read together.
     val canaryPre = graft.tools.DriftCanary.warmThenTime(spark)
+    val canary2Pre = graft.tools.DriftCanary.warmThenTimeJoin(spark)
     val sweepA = sweep(1 to RunsA)
     val canaryMid = graft.tools.DriftCanary.run(spark)
+    val canary2Mid = graft.tools.DriftCanary.runJoin(spark)
     val sweepB = sweep(RunsA + 1 to Runs)
     val canaryPost = graft.tools.DriftCanary.run(spark)
+    val canary2Post = graft.tools.DriftCanary.runJoin(spark)
     val results = ordered.map { case (name, _) =>
       val timed = sweepA(name) ++ sweepB(name)
       val secs = timed.map(_._2)
@@ -173,7 +181,14 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1).sorted
     val total = results.map(_._2).filter(_ >= 0).sum
     val medTotal = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"queries_max":$maxs,"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"noisy_queries":${jarr(noisyQueries)},"noisy":${noisyQueries.nonEmpty},"n_noisy":${noisyQueries.size},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"sweep_a_total":${f3(sweepATotal)},"sweep_b_total":${f3(sweepBTotal)},"canary_pre":${f3(canaryPre)},"canary_mid":${f3(canaryMid)},"canary_post":${f3(canaryPost)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries_max":$maxs,"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"noisy_queries":${jarr(noisyQueries)},"noisy":${noisyQueries.nonEmpty},"n_noisy":${noisyQueries.size},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"sweep_a_total":${f3(sweepATotal)},"sweep_b_total":${f3(sweepBTotal)},"canary_pre":${f3(canaryPre)},"canary_mid":${f3(canaryMid)},"canary_post":${f3(canaryPost)},"canary2_pre":${f3(canary2Pre)},"canary2_mid":${f3(canary2Mid)},"canary2_post":${f3(canary2Post)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
+    // Compact trailer (r14 verdict task 4: BENCH_r14's `parsed` was
+    // null — the driver keeps only the LAST ~2000 bytes of stdout, and
+    // the full line above is long enough that its head gets clipped,
+    // leaving no complete JSON object in the tail). This line carries
+    // the headline totals + both canary triples in < 400 bytes, so a
+    // whole parseable JSON object always survives the clipping.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"n_noisy":${noisyQueries.size},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"canary_pre":${f3(canaryPre)},"canary_mid":${f3(canaryMid)},"canary_post":${f3(canaryPost)},"canary2_pre":${f3(canary2Pre)},"canary2_mid":${f3(canary2Mid)},"canary2_post":${f3(canary2Post)},"runs":$Runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,9 +35,12 @@ object TimeAll {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-    // drift canary brackets the sweep (see DriftCanary): cross-window
-    // totals are only comparable after checking these two lines
+    // drift canaries bracket the sweep (see DriftCanary): cross-window
+    // totals are only comparable after checking these lines — canary =
+    // scan/CPU class, canary2 = shuffle/join class (r15: r14's window
+    // drift was class-selective and invisible to the scan probe)
     println(f"TIMER __canary_pre__: ${DriftCanary.warmThenTime(spark)}%.2f s")
+    println(f"TIMER __canary2_pre__: ${DriftCanary.warmThenTimeJoin(spark)}%.2f s")
     var total = 0.0
     val ordered = {
       val base = graft.SparkEntry.queries.toSeq.sortBy(_._1)
@@ -69,6 +72,7 @@ object TimeAll {
       }
     }
     println(f"TIMER __canary_post__: ${DriftCanary.run(spark)}%.2f s")
+    println(f"TIMER __canary2_post__: ${DriftCanary.runJoin(spark)}%.2f s")
     println(f"TIMER __total__: $total%.2f s (pairwise-min of $runs runs/query)")
     spark.stop()
   }
