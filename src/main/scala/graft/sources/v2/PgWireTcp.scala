@@ -114,7 +114,13 @@ object PgWire {
   * wal_sender, it does NOT ack-gate its sends; bounding standby memory
   * is the STANDBY'S job (the consumer's maxBufferedMsgs backpressure
   * pushes back through the socket). */
-class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64) {
+/** `pulseEvery`/`pulseMs` (r15, defaults-path soak): when set, the
+  * replay pauses `pulseMs` after every `pulseEvery` messages —
+  * a slow-producer cadence that lets a knobs-off consumer cut the
+  * stream into many micro-batches, so the commit-trim can be observed
+  * bounding retention on the configuration users actually get. */
+class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64,
+    pulseEvery: Int = 0, pulseMs: Long = 0L) {
   private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
   @volatile var maxAckedLsn: Long = -1L
@@ -204,6 +210,10 @@ class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64) {
         if (n % keepaliveEvery == 0) {
           PgWire.writeCopyData(out, PgWire.keepalive(lsn, replyRequested = true))
           out.flush()
+        }
+        if (pulseEvery > 0 && n % pulseEvery == 0) {
+          out.flush()
+          Thread.sleep(pulseMs)
         }
       }
     }
@@ -417,8 +427,21 @@ class PgWireTcpStream(host: String, port: Int, maxPerTrigger: Int = 0,
       LsnOffset(o)
     }
   }
-  override def deserializeOffset(json: String): Offset =
-    LsnOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    // versioned shape (r15 ADVICE): r14 changed the offset currency
+    // from message counts to LSNs with the same bare-long encoding, so
+    // a pre-change checkpoint's count would PARSE as an LSN and
+    // silently re-deliver or mis-slice. The {"lsn":N} shape makes an
+    // old checkpoint unreadable-loudly instead of wrong-quietly.
+    """\{\s*"lsn"\s*:\s*(\d+)\s*\}""".r.findFirstMatchIn(t) match {
+      case Some(m) => LsnOffset(m.group(1).toLong)
+      case None => throw new IllegalStateException(
+        s"unreadable pgoutput-tcp offset '$t': expected {\"lsn\":N}. " +
+          "Pre-LSN checkpoints (bare message counts) cannot be resumed — " +
+          "delete the checkpoint directory and restart from the slot")
+    }
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[LsnOffset].lsn, end.asInstanceOf[LsnOffset].lsn)
     reader // restart path: this may be the first call on a fresh stream
@@ -426,8 +449,20 @@ class PgWireTcpStream(host: String, port: Int, maxPerTrigger: Int = 0,
     val rows = lock.synchronized {
       // a recovered pending batch can be planned before the reconnected
       // replay has caught up to its checkpointed end LSN — wait for it
-      while (!ended && maxLsn < e && System.nanoTime() < deadline)
+      while (e > s && !ended && maxLsn < e && System.nanoTime() < deadline)
         lock.wait(100)
+      // r15 (ADVICE): a shortfall here means the replay never reached
+      // the checkpointed end — committing whatever arrived would be
+      // SILENT data loss inside a batch the checkpoint marks complete,
+      // the one hole the exactly-once contract cannot tolerate. Fail
+      // the query loudly instead; the engine retries the batch on the
+      // next start and a healthy feed heals it. (An empty e == s range
+      // plans no rows and is exempt — nothing was promised.)
+      if (e > s && maxLsn < e) throw new IllegalStateException(
+        s"pgoutput-tcp recovery shortfall: batch ($s, $e] planned but the " +
+          s"replayed feed reached only $maxLsn " +
+          (if (ended) "before the stream ended" else "within the 60s deadline") +
+          " — refusing to emit a short batch")
       plannedLsn = math.max(plannedLsn, e)
       buf.iterator.filter(r => r._1 > s && r._1 <= e).toArray
     }
@@ -488,10 +523,12 @@ object PgWireTcpStream {
   @volatile private[graft] var latest: PgWireTcpStream = _
 }
 
-/** Replication offset = WAL byte position, serialized as the bare
-  * long. The same currency the reference acks and resumes from. */
+/** Replication offset = WAL byte position — the same currency the
+  * reference acks and resumes from — serialized as {"lsn":N} so a
+  * stale bare-count checkpoint from the pre-LSN encoding can never be
+  * misread as a byte position (see deserializeOffset). */
 case class LsnOffset(lsn: Long) extends Offset {
-  override def json(): String = lsn.toString
+  override def json(): String = s"""{"lsn":$lsn}"""
 }
 
 case class PgWireSlicePartition(rows: Array[(Long, Array[Byte])])

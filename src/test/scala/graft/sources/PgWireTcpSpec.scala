@@ -20,6 +20,11 @@ class PgWireTcpSpec extends AnyFunSuite {
 
   // one encode of the A22 feed serves all three transports/tests
   private lazy val segDir = graft.cdc.CdcQueries.writeWireSegments(spark, sf0001)
+  // feed size for pulse sizing (a throwaway server counts the frames)
+  private lazy val segTotal = {
+    val probe = new PgWireReplayServer(segDir)
+    try probe.totalMsgs finally probe.close()
+  }
 
   test("pgoutput over loopback TCP equals the A22 file-transport answer, and acks the final LSN") {
     // the A22 answer over the file transport (its CORRECTNESS row is
@@ -108,6 +113,34 @@ class PgWireTcpSpec extends AnyFunSuite {
     assert(stream.maxRetained <= buffered,
       s"driver retained ${stream.maxRetained} rows at peak — committed prefix not " +
         s"trimmed (stream is ${server.totalMsgs} msgs, window $buffered)")
+  }
+
+  test("defaults path (knobs at 0=unbounded): commit-trim still bounds retention across a pulsed multi-batch run") {
+    // r14 verdict: the bounded-retention spec exercised only the
+    // knobs-on path; with both knobs at their 0 defaults the buffer is
+    // bounded ONLY by the commit-time prefix trim. A pulsed replay
+    // (slow producer) makes the knobs-off consumer cut the stream into
+    // many batches whose commits must each trim — without the trim the
+    // peak pins at totalMsgs, since nothing else ever shrinks the
+    // buffer on this path.
+    val server = new PgWireReplayServer(segDir, keepaliveEvery = 1000,
+      pulseEvery = math.max(16, segTotal / 24), pulseMs = 150L)
+    val sink = graft.Scratch.dir("graft_pgwire_defsink").toString
+    val ckpt = graft.Scratch.dir("graft_pgwire_defckpt").toString
+    drainToSink(server.port, sink, ckpt, perTrigger = 0, buffered = 0)
+
+    val lsns = spark.read.parquet(sink).select("lsn")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(lsns.length === server.totalMsgs)
+    assert(lsns.distinct.length === lsns.length, "duplicate LSNs in sink")
+    assert(lsns.last === server.totalLsn)
+
+    val stream = PgWireTcpStream.latest
+    assert(stream.batchesPlanned >= 8,
+      s"only ${stream.batchesPlanned} batches — the pulsed feed did not produce a multi-batch run")
+    assert(stream.maxRetained <= server.totalMsgs / 2,
+      s"defaults-path peak retention ${stream.maxRetained} of ${server.totalMsgs} msgs — " +
+        "commit-time prefix trim is not bounding the knobs-off buffer")
   }
 
   test("checkpoint restart resumes from the acked LSN exactly-once (reference main.go:64-100 contract)") {
