@@ -191,7 +191,8 @@ object Dedup {
           $"b.n" >= ceil(lit(t) * $"a.n") && $"a.n" >= ceil(lit(t) * $"b.n"))
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .dropDuplicates("d1", "d2")
-    val full = sh.select($"doc_id", $"sh").hint("shuffle_hash")
+    val full = ShjEnvelope.check(sh.select($"doc_id", $"sh"), "c2-verify")
+      .hint("shuffle_hash")
     // |A∪B| = |A|+|B|−|∩| exactly (shingle arrays are distinct), so
     // the union hash-set build — half the per-pair verify cost, the
     // measured bottleneck of this query at sf1 — never runs. The
@@ -362,7 +363,8 @@ object Dedup {
     // single-task build cliff and merge's 6.8× sort cost, and the
     // linear estimate degrades it to a shuffle naturally as SF grows
     // (SCALING round-13).
-    val full = sh.select($"doc_id", $"sh").hint("shuffle_hash")
+    val full = ShjEnvelope.check(sh.select($"doc_id", $"sh"), "c28-verify")
+      .hint("shuffle_hash")
     cand.join(full.as("x"), $"d1" === $"x.doc_id")
       .join(full.as("y"), $"d2" === $"y.doc_id")
       .select($"d1", $"d2",
@@ -446,7 +448,9 @@ object Dedup {
     // here). Everything keys on gh, so the keep join's exchanges are
     // the self-join's exchanges (AQE reuse); per-partition builds are
     // uniform (keep's gh is unique; exF's gh is df-capped at 100).
-    val exF = ex.join(keep.select($"gh").hint("shuffle_hash"), "gh")
+    val exF = ShjEnvelope.check(
+      ex.join(ShjEnvelope.check(keep.select($"gh"), "c33-keep")
+        .hint("shuffle_hash"), "gh"), "c33-grams")
       .hint("shuffle_hash")
     val shared = exF.as("a")
       .join(exF.as("b"), $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
@@ -613,8 +617,13 @@ object Dedup {
     // OR flip the pin to shuffle_merge and pay the measured 6.8× sort
     // premium for spill safety. The crossover is exactly where the
     // deployment cannot raise partitions ∝ SF; see SCALING.md (r14,
-    // "SHJ pin envelope") for the arithmetic at 100 TB.
-    val full = sh.select($"doc_id", $"sh").hint("shuffle_hash")
+    // "SHJ pin envelope") for the arithmetic at 100 TB. Since r15 the
+    // requirement is SELF-ENFORCING at plan time: ShjEnvelope.check
+    // computes est_bytes/partitions for every pinned build and warns
+    // (or fails under spark.graft.shj.enforce) past the 128 MiB/task
+    // budget — the envelope stopped being prose.
+    val full = ShjEnvelope.check(sh.select($"doc_id", $"sh"), "c3-confirm")
+      .hint("shuffle_hash")
     // |A∪B| = |A|+|B|−|∩| (distinct arrays): one hash-set build per
     // pair instead of two, bit-identical jac (same integer operands)
     def confirm(cand: DataFrame): DataFrame =
