@@ -75,6 +75,13 @@ class HarnessReleaseSpec extends AnyFunSuite {
     // instead of burning the full retry budget — and must not break
     // the broadcast. The live-path cost is documented at ~0.7 s; the
     // 5 s deadline is the bound this assert enforces with margin.
+    // r15 (ADVICE): floating broadcasts left by earlier tests in the
+    // shared-fixture JVM make round 1 observe a decrease, resetting the
+    // static-round counter — release then legitimately runs up to 3
+    // full gc+stall rounds and can brush the 3 s bound under slow CI
+    // GC. Clear pre-existing garbage first so the timed call measures
+    // the live-broadcast early-exit, not someone else's cleanup.
+    GraftSession.release(spark)
     val bc = spark.sparkContext.broadcast(Array.fill(1024)(7))
     try {
       val t0 = System.nanoTime()
