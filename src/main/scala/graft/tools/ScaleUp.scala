@@ -32,6 +32,15 @@ object ScaleUp {
     val perturb = args.lift(3).contains("perturb")
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, out, copies, perturb)
+    spark.stop()
+  }
+
+  /** Body of the CLI, callable in-process (ScaleCurve builds its
+    * replicas through this; ScaleCurveSpec pins the perturb
+    * contract without a JVM fork). */
+  def scale(spark: SparkSession, src: String, out: String,
+      copies: Int, perturb: Boolean): Unit = {
 
     def rep(name: String, idCols: Seq[String], shift: Long): Unit = {
       // events: keep the on-disk ts representation (eventsRaw handles
@@ -75,6 +84,5 @@ object ScaleUp {
     rep("events", Seq("event_id"), 100000000L)
     rep("documents", Seq("doc_id"), 100000000L)
     rep("embeddings", Seq("vec_id"), 100000000L)
-    spark.stop()
   }
 }
