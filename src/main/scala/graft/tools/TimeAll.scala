@@ -39,8 +39,10 @@ object TimeAll {
     // totals are only comparable after checking these lines — canary =
     // scan/CPU class, canary2 = shuffle/join class (r15: r14's window
     // drift was class-selective and invisible to the scan probe)
-    println(f"TIMER __canary_pre__: ${DriftCanary.warmThenTime(spark)}%.2f s")
-    println(f"TIMER __canary2_pre__: ${DriftCanary.warmThenTimeJoin(spark)}%.2f s")
+    val canaryPre = DriftCanary.warmThenTime(spark)
+    val canary2Pre = DriftCanary.warmThenTimeJoin(spark)
+    println(f"TIMER __canary_pre__: $canaryPre%.2f s")
+    println(f"TIMER __canary2_pre__: $canary2Pre%.2f s")
     var total = 0.0
     val ordered = {
       val base = graft.SparkEntry.queries.toSeq.sortBy(_._1)
@@ -71,8 +73,19 @@ object TimeAll {
         case e: Exception => println(s"TIMER $n: FAILED ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
       }
     }
-    println(f"TIMER __canary_post__: ${DriftCanary.run(spark)}%.2f s")
-    println(f"TIMER __canary2_post__: ${DriftCanary.runJoin(spark)}%.2f s")
+    val canaryPost = DriftCanary.run(spark)
+    val canary2Post = DriftCanary.runJoin(spark)
+    println(f"TIMER __canary_post__: $canaryPost%.2f s")
+    println(f"TIMER __canary2_post__: $canary2Post%.2f s")
+    // same within-run drift naming as Bench's drift_classes: a class
+    // is drifted when its pre/post pair moves >1.5× either way; empty
+    // list = the sweep total is cross-round comparable as-is
+    val drifted = Seq(
+      "scan" -> (canaryPre, canaryPost),
+      "shuffle" -> (canary2Pre, canary2Post)
+    ).collect { case (cls, (a, b))
+        if math.min(a, b) > 0 && math.max(a, b) / math.min(a, b) > 1.5 => cls }
+    println(s"CANARY VERDICT: drift_classes=${drifted.mkString("[", ",", "]")}")
     println(f"TIMER __total__: $total%.2f s (pairwise-min of $runs runs/query)")
     spark.stop()
   }
