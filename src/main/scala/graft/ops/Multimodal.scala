@@ -293,19 +293,7 @@ object Multimodal {
       .agg(count(lit(1)).as("cnt"), min($"doc_id").as("mn"),
         expr(s"min_k(doc_id, $cap)").as("ids"))
       .persist()
-    val vbands = bandsOf(vals)
-    // The self-join takes the planner's estimate-driven broadcast (the
-    // r13 dig measured a shuffle_hash pin 2.4× slower here — broadcast
-    // joins map-side with zero exchanges; at r15's 16-bit bands the
-    // (k, bv) key is 262144-ary, so even the shuffled fallback no
-    // longer clusters candidates into few partitions). Self-limiting
-    // as values grow: the linear estimate crosses the 10 MB threshold
-    // and the plan degrades to the shuffled form on its own
-    // (SCALING round-13).
-    val vpairs = vbands.as("a").join(vbands.as("b"),
-        $"a.k" === $"b.k" && $"a.bv" === $"b.bv" &&
-          $"a.phash" < $"b.phash")
-      .select($"a.phash".as("h1"), $"b.phash".as("h2"))
+    val vpairs = bandCandidates(vals)
       .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
       .filter($"hamming" <= 3)
       .dropDuplicates("h1", "h2")
@@ -343,6 +331,30 @@ object Multimodal {
       .select($"phash", $"bd.k", $"bd.bv")
   }
 
+  /** Band-join candidate VALUE pairs (h1 < h2) — the generation term
+    * the 16-bit widening bounds. One home for the join predicate (r15
+    * review: the occupancy probe re-implemented it, so a future change
+    * to the band key would leave SkewInputSpec certifying a term the
+    * engine no longer computes), shared by the pair stage and
+    * [[phashBandCandidates]].
+    *
+    * The self-join takes the planner's estimate-driven broadcast (the
+    * r13 dig measured a shuffle_hash pin 2.4× slower here — broadcast
+    * joins map-side with zero exchanges; at r15's 16-bit bands the
+    * (k, bv) key is 262144-ary, so even the shuffled fallback no
+    * longer clusters candidates into few partitions). Self-limiting
+    * as values grow: the linear estimate crosses the 10 MB threshold
+    * and the plan degrades to the shuffled form on its own
+    * (SCALING round-13). */
+  private def bandCandidates(vals: DataFrame): DataFrame = {
+    val s = vals.sparkSession
+    import s.implicits._
+    val vbands = bandsOf(vals)
+    vbands.as("a").join(vbands.as("b"),
+        $"a.k" === $"b.k" && $"a.bv" === $"b.bv" && $"a.phash" < $"b.phash")
+      .select($"a.phash".as("h1"), $"b.phash".as("h2"))
+  }
+
   /** Dev-probe alias for the C38 pair set (ContractProbe). */
   private[graft] def phashPairsProbe(s: SparkSession, dir: String): DataFrame =
     pairsFromHashed(phashHashed(s, dir))
@@ -353,10 +365,7 @@ object Multimodal {
   private[graft] def phashBandCandidates(s: SparkSession, dir: String): (Long, Long) = {
     import s.implicits._
     val vals = phashHashed(s, dir).select($"phash").distinct().persist()
-    val vbands = bandsOf(vals)
-    val cand = vbands.as("a").join(vbands.as("b"),
-        $"a.k" === $"b.k" && $"a.bv" === $"b.bv" && $"a.phash" < $"b.phash")
-      .select($"a.phash", $"b.phash").distinct().count()
+    val cand = bandCandidates(vals).distinct().count()
     val nv = vals.count()
     vals.unpersist()
     (nv, cand)

@@ -31,8 +31,13 @@ object ShjEnvelope {
   val BudgetBytes: Long = 128L * 1024 * 1024
 
   /** Last breach observed (stage, estimatedBytes, partitions) — test
-    * observable, None after a clean check. */
+    * observable. STICKY: a clean check never clears it, because a
+    * multi-pin operator (c33 checks two frames) would otherwise erase
+    * an inner breach with a later clean check and the spec's
+    * no-breach assertion would pass vacuously (r15 review). Clear
+    * explicitly via [[resetBreach]]. */
   @volatile private[graft] var lastBreach: Option[(String, BigInt, Int)] = None
+  private[graft] def resetBreach(): Unit = lastBreach = None
 
   /** Plan-time envelope check for an SHJ build frame; returns the
     * frame unchanged so it chains into `.hint("shuffle_hash")`. */
@@ -52,7 +57,7 @@ object ShjEnvelope {
       if (spark.conf.get("spark.graft.shj.enforce", "false").toBoolean)
         throw new IllegalStateException(msg)
       Console.err.println(s"GRAFT WARN $msg")
-    } else lastBreach = None
+    }
     df
   }
 }

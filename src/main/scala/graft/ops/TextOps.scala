@@ -350,7 +350,8 @@ object TextOps {
     // estimate ~20× under actual, so the flip survives SF doublings).
     // The df>100 anti-filter above bounds per-key rows, so the
     // shuffled self-join's per-partition builds are uniform.
-    val ok = fps.join(broadcast(common), Seq("h"), "left_anti")
+    val ok = ShjEnvelope.check(
+        fps.join(broadcast(common), Seq("h"), "left_anti"), "winnowing-fps")
       .hint("shuffle_hash")
     ok.as("a").join(ok.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")

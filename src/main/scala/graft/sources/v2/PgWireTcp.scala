@@ -44,7 +44,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * driver, which is the correct shape for a CDC control stream and is
   * NOT the bulk path — at 100 TB the bulk path stays the DFS-backed
   * segment sources (A22/A34), with this source as the low-latency tail
-  * reader. Offsets are message counts; commit(n) acks the last
+  * reader. Offsets are LSNs (byte positions, serialized as the
+  * versioned {"lsn":N} JSON shape — r14/r15); commit acks the last
   * consumed LSN via StandbyStatusUpdate exactly as the reference's
   * standby loop does, so the server can trim its WAL. */
 object PgWire {
@@ -118,9 +119,23 @@ object PgWire {
   * replay pauses `pulseMs` after every `pulseEvery` messages —
   * a slow-producer cadence that lets a knobs-off consumer cut the
   * stream into many micro-batches, so the commit-trim can be observed
-  * bounding retention on the configuration users actually get. */
+  * bounding retention on the configuration users actually get.
+  *
+  * `ackWindowBytes` (r15 review — the soak's totalMsgs/2 retention
+  * bound was implicitly a RACE against box speed): when set, each
+  * pulse additionally waits until the un-acked span (sent LSN −
+  * maxAckedLsn) shrinks under the window, making peak retention a
+  * deterministic function of the window instead of the consumer's
+  * batch-cycle latency. The window must cover ≥ 2 pulse chunks: Spark
+  * commits batch N (→ the ack) only while CONSTRUCTING batch N+1,
+  * and construction needs new data — a 1-chunk window would gate the
+  * producer on an ack that needs the producer's next chunk (the
+  * commit-lag livelock this file documents); with ≥ 2 chunks in
+  * flight the next chunk is always already buffered. A 30 s deadline
+  * per wait degrades to un-paced replay rather than hanging the
+  * suite; the spec's retention assert then fails loudly. */
 class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64,
-    pulseEvery: Int = 0, pulseMs: Long = 0L) {
+    pulseEvery: Int = 0, pulseMs: Long = 0L, ackWindowBytes: Long = 0L) {
   private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
   @volatile var maxAckedLsn: Long = -1L
@@ -213,7 +228,13 @@ class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64,
         }
         if (pulseEvery > 0 && n % pulseEvery == 0) {
           out.flush()
-          Thread.sleep(pulseMs)
+          if (ackWindowBytes > 0) {
+            val d = System.nanoTime() + 30L * 1000 * 1000 * 1000
+            while (lsn - maxAckedLsn > ackWindowBytes && connAlive &&
+                System.nanoTime() < d)
+              Thread.sleep(5)
+          }
+          if (pulseMs > 0) Thread.sleep(pulseMs)
         }
       }
     }
@@ -434,7 +455,10 @@ class PgWireTcpStream(host: String, port: Int, maxPerTrigger: Int = 0,
     // a pre-change checkpoint's count would PARSE as an LSN and
     // silently re-deliver or mis-slice. The {"lsn":N} shape makes an
     // old checkpoint unreadable-loudly instead of wrong-quietly.
-    """\{\s*"lsn"\s*:\s*(\d+)\s*\}""".r.findFirstMatchIn(t) match {
+    // anchored full-string match (r15 review): an unanchored search
+    // would accept garbage-wrapped or concatenated entries like
+    // '{"lsn":12}{"lsn":34}' and silently resume from the FIRST match
+    """^\{\s*"lsn"\s*:\s*(\d+)\s*\}$""".r.findFirstMatchIn(t) match {
       case Some(m) => LsnOffset(m.group(1).toLong)
       case None => throw new IllegalStateException(
         s"unreadable pgoutput-tcp offset '$t': expected {\"lsn\":N}. " +

@@ -46,13 +46,28 @@ object ScaleCurve {
     spark.sparkContext.setLogLevel("ERROR")
 
     val srcTag = new java.io.File(src).getName
+    // completion marker carries a fingerprint of the SOURCE dir (file
+    // name/size/mtime per table): a regenerated source — sf dirs are
+    // rebuilt between rounds — or a different dir with the same
+    // basename invalidates the cache instead of silently timing
+    // queries against last round's data (r15 review)
+    val srcPrint = Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .flatMap { t =>
+        val fs = Option(t.listFiles()).getOrElse(Array(t))
+        fs.sortBy(_.getName).map(f => s"${t.getName}/${f.getName}:${f.length}:${f.lastModified}")
+      }.mkString("\n")
     def replica(copies: Int): String = {
       val out = s"/tmp/scalecurve/${srcTag}_x${copies}p"
       val marker = new java.io.File(out, "_GRAFT_SCALE_OK")
-      if (!marker.isFile) {
+      val cached = marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == srcPrint
+      if (!cached) {
+        if (marker.isFile)
+          println(s"CURVE source changed since $out was built — rebuilding")
         println(s"CURVE building ${copies}x perturbed replica at $out")
         ScaleUp.scale(spark, src, out, copies, perturb = true)
-        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+        java.nio.file.Files.write(marker.toPath, srcPrint.getBytes("UTF-8"))
       }
       out
     }
@@ -65,7 +80,12 @@ object ScaleCurve {
     if (tiny.isDirectory) names.foreach { n =>
       graft.SparkEntry.queries(n)(spark, tiny.getPath).count()
       graft.GraftSession.release(spark)
-    }
+    } else
+      // an unwarmed first block pays codegen/JIT inside tLo, biasing
+      // the exponent DOWN — loud, because a too-small e can pass a
+      // plan that is actually superlinear (r15 review)
+      println(s"CURVE WARN no sf0.001 sibling next to $src — shapes unwarmed, " +
+        "the lo-replica block absorbs codegen/JIT cost and e is biased low")
 
     val best = collection.mutable.Map.empty[(Int, String), Double]
     val rowsAt = collection.mutable.Map.empty[(Int, String), Long]

@@ -34,17 +34,40 @@ class ShjEnvelopeSpec extends AnyFunSuite {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.graft.shj.enforce", "false")
+      ShjEnvelope.resetBreach()
     }
   }
 
   test("the pinned operators pass through the guard clean at fixture scale") {
-    // wiring proof: a real pinned operator (C28 containment — two
-    // check'd frames) plans and runs with no breach at sf0.001/32
-    ShjEnvelope.lastBreach = Some(("sentinel", BigInt(0), 0))
+    // wiring proof: real pinned operators plan and run with no breach
+    // at sf0.001/32. lastBreach is STICKY (a clean check never clears
+    // it — r15 review: the old clean-clear let a later clean check in
+    // the same multi-pin operator erase an inner breach), so the
+    // explicit reset + run + isEmpty pattern here observes a breach at
+    // ANY of the operator's pins, not just the last one.
+    ShjEnvelope.resetBreach()
     val n = Dedup.dedupContainment(spark, sf0001).count()
+    val w = TextOps.textWinnowing(spark, sf0001).count()
     spark.catalog.clearCache()
-    assert(n >= 0)
+    assert(n >= 0 && w >= 0)
     assert(ShjEnvelope.lastBreach.isEmpty,
       s"unexpected envelope breach at fixture scale: ${ShjEnvelope.lastBreach}")
+  }
+
+  test("a later clean check does not erase an earlier breach (sticky observable)") {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      ShjEnvelope.resetBreach()
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      ShjEnvelope.check(spark.range(200L * 1000 * 1000).toDF("doc_id"), "spec-inner")
+      assert(ShjEnvelope.lastBreach.exists(_._1 == "spec-inner"))
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ShjEnvelope.check(spark.range(10).toDF("doc_id"), "spec-outer-clean")
+      assert(ShjEnvelope.lastBreach.exists(_._1 == "spec-inner"),
+        "clean outer check must not clear the inner breach")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      ShjEnvelope.resetBreach()
+    }
   }
 }

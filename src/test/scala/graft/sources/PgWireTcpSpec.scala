@@ -21,9 +21,9 @@ class PgWireTcpSpec extends AnyFunSuite {
   // one encode of the A22 feed serves all three transports/tests
   private lazy val segDir = graft.cdc.CdcQueries.writeWireSegments(spark, sf0001)
   // feed size for pulse sizing (a throwaway server counts the frames)
-  private lazy val segTotal = {
+  private lazy val (segTotal, segBytes) = {
     val probe = new PgWireReplayServer(segDir)
-    try probe.totalMsgs finally probe.close()
+    try (probe.totalMsgs, probe.totalLsn) finally probe.close()
   }
 
   test("pgoutput over loopback TCP equals the A22 file-transport answer, and acks the final LSN") {
@@ -123,8 +123,20 @@ class PgWireTcpSpec extends AnyFunSuite {
     // many batches whose commits must each trim — without the trim the
     // peak pins at totalMsgs, since nothing else ever shrinks the
     // buffer on this path.
+    //
+    // r15 review: a purely time-pulsed producer makes the retention
+    // bound a race against the consumer's batch-cycle latency (a slow
+    // box buffers many pulse chunks per batch and flakes the assert).
+    // The ack-window pace makes the peak DETERMINISTIC: the producer
+    // never runs more than ~3 chunks past the acked (= trimmed) LSN,
+    // so peak retention is a property of the window, not of box speed
+    // — and since acks only advance when commits trim, a missing trim
+    // still pins the un-acked span and fails the assert.
+    val chunkMsgs = math.max(16, segTotal / 24)
+    val avgMsgBytes = math.max(1L, segBytes / math.max(1, segTotal))
     val server = new PgWireReplayServer(segDir, keepaliveEvery = 1000,
-      pulseEvery = math.max(16, segTotal / 24), pulseMs = 150L)
+      pulseEvery = chunkMsgs, pulseMs = 15L,
+      ackWindowBytes = 3L * chunkMsgs * avgMsgBytes)
     val sink = graft.Scratch.dir("graft_pgwire_defsink").toString
     val ckpt = graft.Scratch.dir("graft_pgwire_defckpt").toString
     drainToSink(server.port, sink, ckpt, perTrigger = 0, buffered = 0)
@@ -136,11 +148,17 @@ class PgWireTcpSpec extends AnyFunSuite {
     assert(lsns.last === server.totalLsn)
 
     val stream = PgWireTcpStream.latest
-    assert(stream.batchesPlanned >= 8,
-      s"only ${stream.batchesPlanned} batches — the pulsed feed did not produce a multi-batch run")
-    assert(stream.maxRetained <= server.totalMsgs / 2,
-      s"defaults-path peak retention ${stream.maxRetained} of ${server.totalMsgs} msgs — " +
-        "commit-time prefix trim is not bounding the knobs-off buffer")
+    // ≥ 6 is structural under the ack window: a batch can span at most
+    // the ~4 chunks in flight, so a ~24-chunk stream needs ≥ 6 batches
+    assert(stream.batchesPlanned >= 6,
+      s"only ${stream.batchesPlanned} batches — the paced feed did not produce a multi-batch run")
+    // deterministic bound: window (3 chunks) + 1 chunk overshoot,
+    // with 1 chunk of frame-size-variance margin — ~1/5 of the stream,
+    // and independent of how slow the consumer's batch cycle is
+    assert(stream.maxRetained <= 5L * chunkMsgs,
+      s"defaults-path peak retention ${stream.maxRetained} msgs (chunk $chunkMsgs, " +
+        s"stream ${server.totalMsgs}) — commit-time prefix trim is not bounding " +
+        "the knobs-off buffer")
   }
 
   test("checkpoint restart resumes from the acked LSN exactly-once (reference main.go:64-100 contract)") {
