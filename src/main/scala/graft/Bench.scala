@@ -201,7 +201,21 @@ object Bench {
     // leaving no complete JSON object in the tail). This line carries
     // the headline totals + both canary triples in < 400 bytes, so a
     // whole parseable JSON object always survives the clipping.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"n_noisy":${noisyQueries.size},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"canary_pre":${f3(canaryPre)},"canary_mid":${f3(canaryMid)},"canary_post":${f3(canaryPost)},"canary2_pre":${f3(canary2Pre)},"canary2_mid":${f3(canary2Mid)},"canary2_post":${f3(canary2Post)},"drift_classes":${jarr(driftClasses)},"runs":$Runs,"sf":"$sfDir"}""")
+    // "trailer":true (r15 ADVICE): a full-stdout consumer that parses
+    // every JSON line would otherwise double-count the headline total —
+    // the discriminator lets it drop this line while the tail parser
+    // still finds a complete object.
+    val trailer = s"""{"trailer":true,"metric":"total","value":${f3(total)},"unit":"sec","n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"n_noisy":${noisyQueries.size},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"canary_pre":${f3(canaryPre)},"canary_mid":${f3(canaryMid)},"canary_post":${f3(canaryPost)},"canary2_pre":${f3(canary2Pre)},"canary2_mid":${f3(canary2Mid)},"canary2_post":${f3(canary2Post)},"drift_classes":${jarr(driftClasses)},"runs":$Runs,"sf":"$sfDir"}"""
+    println(trailer)
+    // Sidecar file (r15 verdict task 8): the round artifact stays
+    // machine-readable even when the driver's stdout clipping eats the
+    // whole tail — the file carries the same compact trailer object.
+    try {
+      val p = java.nio.file.Paths.get("BENCH_trailer.json")
+      java.nio.file.Files.write(p, (trailer + "\n").getBytes("UTF-8"))
+    } catch { case t: Throwable =>
+      Console.err.println(s"GRAFT WARN could not write BENCH_trailer.json: $t")
+    }
     spark.stop()
   }
 }

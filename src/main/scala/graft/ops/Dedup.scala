@@ -161,7 +161,20 @@ object Dedup {
     // verify) — persist so shingling runs once, not per branch; the
     // returned frame is lazy, so lifetime is bounded by the caller
     // (Verify/Bench clearCache after each query's action)
-    val sh = shingled(s, dir).withColumn("n", size($"sh")).persist()
+    //
+    // Shingles are digested to 64-bit hashes at the scan (r16, the
+    // C28 move — see dedupContainment's scaladoc for the byte math
+    // and collision honesty): every downstream consumer (df count,
+    // prefix window, candidate self-join, SHJ-pinned verify) needs
+    // only equality + a total order, and the PPJoin prefix theorem
+    // holds under ANY consistent global ordering, so swapping the
+    // (df, string) tie-break for (df, digest) changes at most which
+    // candidates are generated, never which pairs confirm. The
+    // string-exact DuckDB oracle is unchanged — it would surface a
+    // consequential collision as a hash mismatch.
+    val sh = shingled(s, dir)
+      .select($"doc_id", transform($"sh", x => xxhash64(x)).as("sh"))
+      .withColumn("n", size($"sh")).persist()
     val ex = sh.select($"doc_id", $"n", explode($"sh").as("s"))
     val freq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df", $"s")
@@ -327,7 +340,26 @@ object Dedup {
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = 0.9
+    // Digest shingles to fixed-width 64-bit hashes AT THE SCAN (r15
+    // verdict task 3 — C33's digest-only-shuffle pattern): every
+    // downstream consumer (df count, prefix window, candidate join,
+    // SHJ-pinned verify intersects) needs only equality + a total
+    // order, so the shuffles and the two corpus-proportional verify
+    // builds carry 8-byte longs instead of ~15-char strings (measured
+    // ~24 B/element in Tungsten arrays: offset word + padded UTF-8 —
+    // a ~3× cut on the dominant shuffle, and long-keyed joins hash
+    // cheaper than UTF8String). Collision honesty: 64-bit birthday on
+    // the oracle corpora (~10⁴–10⁷ distinct shingles) is ≤ ~1e-5
+    // round-trip; a collision merges two shingles and shifts one
+    // pair's cont by 1/n. The DuckDB oracle deliberately does NOT
+    // mirror the digest — it stays string-exact, so the gate would
+    // SURFACE a consequential collision as a hash mismatch rather
+    // than reproduce it. The prefix tie-break (df, digest) differs
+    // from (df, string) order, but the prefix theorem holds for any
+    // consistent total order and the verify recomputes cont exactly,
+    // so the emitted pair set is tie-break-invariant.
     val sh = shingleDocs(s, fragFeed(s, dir))
+      .select($"doc_id", transform($"sh", x => xxhash64(x)).as("sh"))
       .withColumn("n", size($"sh")).persist()
     val ex = sh.select($"doc_id", $"n", explode($"sh").as("s"))
     val freq = ex.groupBy($"s").agg(count(lit(1)).as("df"))
@@ -622,7 +654,14 @@ object Dedup {
     // computes est_bytes/partitions for every pinned build and warns
     // (or fails under spark.graft.shj.enforce) past the 128 MiB/task
     // budget — the envelope stopped being prose.
-    val full = ShjEnvelope.check(sh.select($"doc_id", $"sh"), "c3-confirm")
+    // Confirm frame digested to 64-bit shingle hashes (r16, the C28
+    // move): |∩| and the sizes are collision-transparently identical,
+    // the SHJ-pinned builds carry 8-byte longs instead of strings, and
+    // — critically — the SIGNATURE path above is untouched, so LSH
+    // banding, buckets, and the recall contract are byte-identical.
+    val full = ShjEnvelope.check(
+      sh.select($"doc_id", transform($"sh", x => xxhash64(x)).as("sh")),
+      "c3-confirm")
       .hint("shuffle_hash")
     // |A∪B| = |A|+|B|−|∩| (distinct arrays): one hash-set build per
     // pair instead of two, bit-identical jac (same integer operands)

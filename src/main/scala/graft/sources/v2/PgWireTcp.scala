@@ -32,9 +32,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[graft.cdc.PgOutput]] already encodes/decodes — so the decode path,
   * latest-state operator, and oracle are shared verbatim with A22,
   * proving the DSv2 reader transport-agnostic (PgWireTcpSpec
-  * hash-matches the two transports end-to-end). The startup/auth
-  * handshake and START_REPLICATION command are out of scope — the
-  * replayed stream begins where COPY BOTH mode begins.
+  * hash-matches the two transports end-to-end). Since r16 the session
+  * BOOTSTRAP preceding copy mode is in scope too — the full exchange
+  * the reference's pgconn/pglogrepl stack performs (main.go:18–60):
+  * StartupMessage with `replication=database` → AuthenticationOk →
+  * `IDENTIFY_SYSTEM` → `CREATE_REPLICATION_SLOT … LOGICAL pgoutput`
+  * (the duplicate-slot 42710 error path on reconnect is real) →
+  * `START_REPLICATION SLOT … LOGICAL lsn (proto_version '1',
+  * publication_names '…')` → CopyBothResponse — so the source speaks
+  * the wire protocol from TCP connect onward, not just from copy mode.
   *
   * Scale/topology disclosure: like Spark's own socket source, the
   * driver owns the connection (a replication slot is a single ordered
@@ -95,6 +101,115 @@ object PgWire {
       .putLong(flushedLsn).putLong(SendTime).put(0.toByte)
     b.array()
   }
+
+  // ---- FE/BE session messages (r16: the handshake PRECEDING copy
+  // mode — reference main.go:18–60 via pgconn/pglogrepl; framings are
+  // PostgreSQL's public protocol-message-formats page). Every
+  // post-startup message is tag byte + int32 length (incl. itself) +
+  // body; the StartupMessage alone is untagged.
+
+  /** FE/BE protocol 3.0 (196608); SSLRequest/GSSENCRequest magics the
+    * server must answer 'N' (no TLS in the loopback replayer). */
+  val Protocol3: Int = 3 << 16
+  val SslRequestCode: Int = 80877103
+  val GssEncRequestCode: Int = 80877104
+
+  def writeMsg(out: DataOutputStream, tag: Char, payload: Array[Byte]): Unit = {
+    out.writeByte(tag)
+    out.writeInt(payload.length + 4)
+    out.write(payload)
+  }
+
+  /** One tagged session message, or None on clean EOF. */
+  def readMsg(in: DataInputStream): Option[(Char, Array[Byte])] = {
+    val tag = in.read()
+    if (tag < 0) None
+    else {
+      val len = in.readInt() - 4
+      if (len < 0) throw new java.io.IOException(s"corrupt message length $len")
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      Some((tag.toChar, buf))
+    }
+  }
+
+  def cstr(s: String): Array[Byte] = s.getBytes("UTF-8") :+ 0.toByte
+
+  /** PG's textual WAL-position shape, e.g. `0/16B3748`. */
+  def lsnText(lsn: Long): String =
+    f"${lsn >>> 32}%X/${lsn & 0xFFFFFFFFL}%X"
+  def parseLsnText(s: String): Long = s.split("/") match {
+    case Array(hi, lo) =>
+      (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+    case _ => throw new IllegalArgumentException(s"bad LSN '$s'")
+  }
+
+  /** Untagged StartupMessage: int32 len, int32 protocol, key\0value\0
+    * pairs, trailing \0. A replication session asks for
+    * `replication=database` (logical decoding needs a database-attached
+    * walsender — same startup the reference's pgconn issues). */
+  def startupMessage(params: Seq[(String, String)]): Array[Byte] = {
+    val kv = params.flatMap { case (k, v) => cstr(k) ++ cstr(v) }.toArray :+ 0.toByte
+    val b = java.nio.ByteBuffer.allocate(4 + 4 + kv.length)
+    b.putInt(4 + 4 + kv.length).putInt(Protocol3).put(kv)
+    b.array()
+  }
+
+  def parseStartupParams(body: Array[Byte]): Map[String, String] = {
+    // body = everything after the protocol int: key\0value\0...\0
+    val parts = new String(body, "UTF-8").split("\u0000", -1)
+    parts.grouped(2).takeWhile(p => p.length == 2 && p(0).nonEmpty)
+      .map(p => p(0) -> p(1)).toMap
+  }
+
+  /** RowDescription 'T' body: all-text columns (oid 25, typlen -1). */
+  def rowDescription(cols: Seq[String]): Array[Byte] = {
+    val fields = cols.flatMap { name =>
+      val b = java.nio.ByteBuffer.allocate(name.getBytes("UTF-8").length + 1 + 18)
+      b.put(cstr(name)).putInt(0).putShort(0).putInt(25).putShort(-1)
+        .putInt(-1).putShort(0)
+      b.array().toSeq
+    }.toArray
+    val b = java.nio.ByteBuffer.allocate(2 + fields.length)
+    b.putShort(cols.size.toShort).put(fields)
+    b.array()
+  }
+
+  /** DataRow 'D' body: int16 nfields, per field int32 len + text bytes. */
+  def dataRow(vals: Seq[String]): Array[Byte] = {
+    val cells = vals.flatMap { v =>
+      val bytes = v.getBytes("UTF-8")
+      val b = java.nio.ByteBuffer.allocate(4 + bytes.length)
+      b.putInt(bytes.length).put(bytes)
+      b.array().toSeq
+    }.toArray
+    val b = java.nio.ByteBuffer.allocate(2 + cells.length)
+    b.putShort(vals.size.toShort).put(cells)
+    b.array()
+  }
+
+  /** ErrorResponse 'E' body: S/V/C/M fields, \0-terminated list. */
+  def errorResponse(sqlState: String, message: String): Array[Byte] =
+    Array[Byte]('S') ++ cstr("ERROR") ++ Array[Byte]('V') ++ cstr("ERROR") ++
+      Array[Byte]('C') ++ cstr(sqlState) ++ Array[Byte]('M') ++ cstr(message) :+ 0.toByte
+
+  /** (sqlState, message) out of an ErrorResponse body. */
+  def parseError(body: Array[Byte]): (String, String) = {
+    var code = ""; var msg = ""
+    var i = 0
+    while (i < body.length && body(i) != 0) {
+      val tag = body(i).toChar
+      val end = body.indexOf(0.toByte, i + 1)
+      val v = new String(body, i + 1, end - i - 1, "UTF-8")
+      if (tag == 'C') code = v else if (tag == 'M') msg = v
+      i = end + 1
+    }
+    (code, msg)
+  }
+
+  /** CopyBothResponse 'W' body: overall format 0, zero columns — the
+    * walsender's reply to START_REPLICATION before XLogData flows. */
+  def copyBothResponse: Array[Byte] = Array[Byte](0, 0, 0)
 }
 
 /** Harness-side replayer: serves connections SERIALLY, streaming the
@@ -141,6 +256,15 @@ class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64,
   @volatile var maxAckedLsn: Long = -1L
   @volatile var finalLsn: Long = -1L
   @volatile private var closed = false
+  /** Replication slots created over this server's lifetime — a slot
+    * survives its connection exactly like the real catalog object, so
+    * a reconnecting standby's CREATE hits the duplicate-slot error
+    * path and its START_REPLICATION resumes the same slot. */
+  private val slots = scala.collection.mutable.Set.empty[String]
+  /** Bootstrap transcript (one line per session-level event) — the
+    * spec's observable that the handshake actually ran, in order. */
+  val sessionLog = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  private def logSession(s: String): Unit = sessionLog.add(s)
   /** end-of-WAL byte position / message count of the full replay —
     * known up front so specs can assert "killed mid-stream" without
     * racing the replay */
@@ -182,13 +306,124 @@ class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64,
     }
   }
 
-  /** One connection's replay: send (resume, end] then half-close and
-    * wait for the end-of-WAL ack. Throws if the peer dies mid-replay —
-    * the accept loop treats that as a standby crash and waits for the
-    * next connection. */
+  /** Walsender-side session bootstrap: startup (answering SSL/GSSENC
+    * probes with 'N'), AuthenticationOk + ParameterStatus +
+    * ReadyForQuery, then the simple-query loop until START_REPLICATION
+    * flips the session into COPY BOTH. Returns the requested start
+    * LSN. Replication commands outside copy mode are the walsender
+    * grammar (postgresql.org protocol-replication): IDENTIFY_SYSTEM,
+    * CREATE_REPLICATION_SLOT, START_REPLICATION. */
+  private def sessionBootstrap(in: DataInputStream, out: DataOutputStream): Long = {
+    // startup: loop past encryption probes (each is a fresh untagged
+    // request), then parse the real StartupMessage
+    var params = Map.empty[String, String]
+    var started = false
+    while (!started) {
+      val len = in.readInt() - 8
+      val code = in.readInt()
+      if (code == PgWire.SslRequestCode || code == PgWire.GssEncRequestCode) {
+        out.writeByte('N'); out.flush() // no TLS on the loopback replayer
+      } else if (code == PgWire.Protocol3) {
+        val body = new Array[Byte](len)
+        in.readFully(body)
+        params = PgWire.parseStartupParams(body)
+        started = true
+      } else throw new java.io.IOException(s"unsupported protocol $code")
+    }
+    if (!params.get("replication").contains("database")) {
+      // logical decoding needs a database-attached walsender
+      PgWire.writeMsg(out, 'E', PgWire.errorResponse("0A000",
+        "logical replication requires replication=database in the startup packet"))
+      out.flush()
+      throw new java.io.IOException("startup without replication=database")
+    }
+    logSession(s"startup user=${params.getOrElse("user", "?")} " +
+      s"database=${params.getOrElse("database", "?")} replication=database")
+    PgWire.writeMsg(out, 'R', Array[Byte](0, 0, 0, 0)) // AuthenticationOk
+    PgWire.writeMsg(out, 'S', PgWire.cstr("server_version") ++ PgWire.cstr("16.0"))
+    PgWire.writeMsg(out, 'S', PgWire.cstr("integer_datetimes") ++ PgWire.cstr("on"))
+    PgWire.writeMsg(out, 'Z', Array[Byte]('I'))
+    out.flush()
+
+    def resultSet(cols: Seq[String], row: Seq[String], tag: String): Unit = {
+      PgWire.writeMsg(out, 'T', PgWire.rowDescription(cols))
+      PgWire.writeMsg(out, 'D', PgWire.dataRow(row))
+      PgWire.writeMsg(out, 'C', PgWire.cstr(tag))
+      PgWire.writeMsg(out, 'Z', Array[Byte]('I'))
+      out.flush()
+    }
+
+    val CreateSlot = """(?i)CREATE_REPLICATION_SLOT\s+(\w+)\s+LOGICAL\s+(\w+).*""".r
+    val StartRepl =
+      """(?i)START_REPLICATION\s+SLOT\s+(\w+)\s+LOGICAL\s+([0-9A-Fa-f]+/[0-9A-Fa-f]+)\s*\((.*)\)\s*""".r
+    while (true) {
+      PgWire.readMsg(in) match {
+        case None | Some(('X', _)) =>
+          throw new java.io.IOException("standby left during session setup")
+        case Some(('Q', body)) =>
+          val sql = new String(body, 0, math.max(0, body.length - 1), "UTF-8").trim
+          sql match {
+            case s if s.equalsIgnoreCase("IDENTIFY_SYSTEM") =>
+              logSession("IDENTIFY_SYSTEM")
+              resultSet(Seq("systemid", "timeline", "xlogpos", "dbname"),
+                Seq("7000000000000000001", "1", PgWire.lsnText(totalLsn),
+                  params.getOrElse("database", "postgres")),
+                "IDENTIFY_SYSTEM")
+            case CreateSlot(slot, plugin) =>
+              if (!plugin.equalsIgnoreCase("pgoutput")) {
+                PgWire.writeMsg(out, 'E', PgWire.errorResponse("58P01",
+                  s"output plugin '$plugin' not available (replayer speaks pgoutput)"))
+                PgWire.writeMsg(out, 'Z', Array[Byte]('I')); out.flush()
+              } else if (slots.synchronized(!slots.add(slot))) {
+                // the catalog object survives the connection — the
+                // reconnect path the reference demo tolerates too
+                logSession(s"slot-exists $slot")
+                PgWire.writeMsg(out, 'E', PgWire.errorResponse("42710",
+                  s"""replication slot "$slot" already exists"""))
+                PgWire.writeMsg(out, 'Z', Array[Byte]('I')); out.flush()
+              } else {
+                logSession(s"CREATE_REPLICATION_SLOT $slot pgoutput")
+                resultSet(
+                  Seq("slot_name", "consistent_point", "snapshot_name", "output_plugin"),
+                  Seq(slot, PgWire.lsnText(math.max(0L, maxAckedLsn)), "", "pgoutput"),
+                  "CREATE_REPLICATION_SLOT")
+              }
+            case StartRepl(slot, lsn, opts) =>
+              if (slots.synchronized(!slots.contains(slot))) {
+                PgWire.writeMsg(out, 'E', PgWire.errorResponse("42704",
+                  s"""replication slot "$slot" does not exist"""))
+                PgWire.writeMsg(out, 'Z', Array[Byte]('I')); out.flush()
+              } else if (!opts.toLowerCase.contains("proto_version")) {
+                PgWire.writeMsg(out, 'E', PgWire.errorResponse("22023",
+                  "proto_version parameter missing"))
+                PgWire.writeMsg(out, 'Z', Array[Byte]('I')); out.flush()
+              } else {
+                logSession(s"START_REPLICATION $slot $lsn " +
+                  opts.replaceAll("\\s+", " ").trim)
+                PgWire.writeMsg(out, 'W', PgWire.copyBothResponse)
+                out.flush()
+                return PgWire.parseLsnText(lsn)
+              }
+            case other =>
+              PgWire.writeMsg(out, 'E', PgWire.errorResponse("42601",
+                s"unrecognized replication command: $other"))
+              PgWire.writeMsg(out, 'Z', Array[Byte]('I')); out.flush()
+          }
+        case Some((tag, _)) =>
+          throw new java.io.IOException(s"unexpected session message '$tag'")
+      }
+    }
+    0L // unreachable
+  }
+
+  /** One connection's replay: bootstrap the replication session, then
+    * send (resume, end] and half-close and wait for the end-of-WAL
+    * ack. Throws if the peer dies mid-replay — the accept loop treats
+    * that as a standby crash and waits for the next connection. */
   private def serveOne(sock: Socket): Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 65536))
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 65536))
+    val requested = sessionBootstrap(in, out)
     @volatile var connAlive = true
     // ack drain on its own thread — the reference's standby loop is
     // full-duplex too (main.go:64–100 acks while :101–135 reads)
@@ -208,13 +443,16 @@ class PgWireReplayServer(segDir: String, keepaliveEvery: Int = 64,
       finally connAlive = false
     }, "pgwire-replay-acks")
     acks.setDaemon(true); acks.start()
-    // the slot's confirmed-flush position at connect time: everything
-    // at or below it is already applied by the standby and is NOT
-    // resent (reference main.go:64–100 — START_REPLICATION from the
-    // last acked LSN). A crash between the standby's apply and its ack
-    // resends a suffix the standby already planned — safe, because the
-    // consumer slices batches by (start, end] LSN range, not arrival.
-    val resume = maxAckedLsn
+    // the slot's confirmed-flush position at connect time, or the
+    // standby's requested START_REPLICATION position if further along:
+    // everything at or below it is already applied by the standby and
+    // is NOT resent (reference main.go:64–100 — START_REPLICATION from
+    // the last acked LSN; PG serves from confirmed_flush when the
+    // request is older — the max below). A crash between the standby's
+    // apply and its ack resends a suffix the standby already planned —
+    // safe, because the consumer slices batches by (start, end] LSN
+    // range, not arrival.
+    val resume = math.max(maxAckedLsn, requested)
     var lsn = 0L
     var n = 0
     frames().foreach { frame =>
@@ -285,13 +523,15 @@ class PgOutputTcpSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("pgoutput-tcp requires .option(\"port\", ...)")).toInt
     val maxPerTrigger = Option(properties.get("maxMsgsPerTrigger")).map(_.toInt).getOrElse(0)
     val maxBuffered = Option(properties.get("maxBufferedMsgs")).map(_.toInt).getOrElse(0)
-    new PgWireTcpTable(host, port, maxPerTrigger, maxBuffered, tcpSchema)
+    val slot = Option(properties.get("slot")).getOrElse("graft_slot")
+    val publication = Option(properties.get("publication")).getOrElse("graft_pub")
+    new PgWireTcpTable(host, port, maxPerTrigger, maxBuffered, slot, publication, tcpSchema)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
 
 class PgWireTcpTable(host: String, port: Int, maxPerTrigger: Int,
-    maxBuffered: Int, tblSchema: StructType)
+    maxBuffered: Int, slot: String, publication: String, tblSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"pgoutput-tcp:$host:$port"
   override def schema(): StructType = tblSchema
@@ -303,7 +543,7 @@ class PgWireTcpTable(host: String, port: Int, maxPerTrigger: Int,
         override def readSchema(): StructType = tblSchema
         override def description(): String = s"PgWireTcpScan($host:$port)"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PgWireTcpStream(host, port, maxPerTrigger, maxBuffered)
+          new PgWireTcpStream(host, port, maxPerTrigger, maxBuffered, slot, publication)
       }
     }
 }
@@ -344,7 +584,9 @@ class PgWireTcpTable(host: String, port: Int, maxPerTrigger: Int,
   * size the buffer > one trigger's rows or the pipeline deadlocks —
   * enforced at construction. */
 class PgWireTcpStream(host: String, port: Int, maxPerTrigger: Int = 0,
-    maxBuffered: Int = 0) extends MicroBatchStream with SupportsAdmissionControl {
+    maxBuffered: Int = 0, slot: String = "graft_slot",
+    publication: String = "graft_pub")
+    extends MicroBatchStream with SupportsAdmissionControl {
   require(maxBuffered == 0 || (maxPerTrigger > 0 && maxBuffered > maxPerTrigger),
     s"maxBufferedMsgs ($maxBuffered) must exceed maxMsgsPerTrigger ($maxPerTrigger): " +
       "Spark commits batch N at batch N+1's construction, so the buffer must " +
@@ -360,20 +602,114 @@ class PgWireTcpStream(host: String, port: Int, maxPerTrigger: Int = 0,
   @volatile private[graft] var maxRetained = 0
   /** non-empty micro-batches planned — the many-batches observable */
   @volatile private[graft] var batchesPlanned = 0
+  /** (systemid, timeline, xlogpos) from IDENTIFY_SYSTEM — handshake observable */
+  @volatile private[graft] var identified: Option[(String, Long, Long)] = None
+  /** CREATE_REPLICATION_SLOT hit the 42710 duplicate-slot path (reconnect) */
+  @volatile private[graft] var slotAlreadyExisted = false
+  /** LSN this session's START_REPLICATION requested — handshake observable */
+  @volatile private[graft] var startedAtLsn: Long = -1L
   PgWireTcpStream.latest = this
 
   private lazy val socket: Socket = new Socket(InetAddress.getByName(host), port)
-  private lazy val out = new DataOutputStream(
-    new BufferedOutputStream(socket.getOutputStream))
-  private def sendStatus(lsn: Long): Unit = out.synchronized {
-    PgWire.writeCopyData(out, PgWire.standbyStatus(lsn))
-    out.flush()
+
+  /** Standby-side replication-session bootstrap (reference
+    * main.go:18–60): startup with `replication=database`, drain
+    * auth/parameters to ReadyForQuery, IDENTIFY_SYSTEM,
+    * CREATE_REPLICATION_SLOT (tolerating 42710 — the slot outlives a
+    * crashed session), then START_REPLICATION from the last committed
+    * LSN; returns once CopyBothResponse flips the session into COPY
+    * BOTH. Runs exactly once, lazily, before any copy-mode I/O —
+    * whichever of the reader thread or a commit-time ack touches the
+    * connection first. */
+  private lazy val io: (DataInputStream, DataOutputStream) = {
+    val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 65536))
+    val o = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream))
+    o.write(PgWire.startupMessage(Seq(
+      "user" -> "graft", "database" -> "postgres",
+      "replication" -> "database", "application_name" -> "graft-standby")))
+    o.flush()
+    var ready = false
+    while (!ready) PgWire.readMsg(in) match {
+      case Some(('R', body)) =>
+        val code = java.nio.ByteBuffer.wrap(body).getInt()
+        if (code != 0) throw new java.io.IOException(
+          s"unsupported authentication request $code (replayer speaks trust auth)")
+      case Some(('S', _)) | Some(('K', _)) => () // ParameterStatus / BackendKeyData
+      case Some(('Z', _)) => ready = true
+      case Some(('E', body)) =>
+        val (c, m) = PgWire.parseError(body)
+        throw new java.io.IOException(s"startup failed: $c $m")
+      case Some((t, _)) => throw new java.io.IOException(s"unexpected startup reply '$t'")
+      case None => throw new java.io.EOFException("primary closed during startup")
+    }
+
+    /** One simple-query round trip: rows on success, the error pair on
+      * ErrorResponse; always consumes through ReadyForQuery. */
+    def simpleQuery(sql: String): Either[(String, String), Seq[Seq[String]]] = {
+      PgWire.writeMsg(o, 'Q', PgWire.cstr(sql))
+      o.flush()
+      var err: Option[(String, String)] = None
+      val rows = Seq.newBuilder[Seq[String]]
+      var done = false
+      while (!done) PgWire.readMsg(in) match {
+        case Some(('T', _)) | Some(('C', _)) => ()
+        case Some(('D', body)) =>
+          val b = java.nio.ByteBuffer.wrap(body)
+          val n = b.getShort()
+          rows += (0 until n).map { _ =>
+            val len = b.getInt()
+            if (len < 0) null
+            else { val v = new Array[Byte](len); b.get(v); new String(v, "UTF-8") }
+          }
+        case Some(('E', body)) => err = Some(PgWire.parseError(body))
+        case Some(('Z', _)) => done = true
+        case Some((t, _)) => throw new java.io.IOException(s"unexpected query reply '$t'")
+        case None => throw new java.io.EOFException("primary closed mid-query")
+      }
+      err.toLeft(rows.result())
+    }
+
+    simpleQuery("IDENTIFY_SYSTEM") match {
+      case Right(Seq(Seq(sysid, tl, xlogpos, _*), _*)) =>
+        identified = Some((sysid, tl.toLong, PgWire.parseLsnText(xlogpos)))
+      case Right(other) => throw new java.io.IOException(s"bad IDENTIFY_SYSTEM reply $other")
+      case Left((c, m)) => throw new java.io.IOException(s"IDENTIFY_SYSTEM failed: $c $m")
+    }
+    simpleQuery(s"CREATE_REPLICATION_SLOT $slot LOGICAL pgoutput") match {
+      case Right(_) => ()
+      case Left(("42710", _)) => slotAlreadyExisted = true // slot survived a crash
+      case Left((c, m)) => throw new java.io.IOException(s"CREATE_REPLICATION_SLOT failed: $c $m")
+    }
+    // resume currency: the engine re-commits the checkpointed batch to
+    // the source before polling, so lastCommittedLsn is the standby's
+    // durable position — exactly what the reference requests
+    val startLsn = lastCommittedLsn
+    PgWire.writeMsg(o, 'Q', PgWire.cstr(
+      s"START_REPLICATION SLOT $slot LOGICAL ${PgWire.lsnText(startLsn)} " +
+        s"(proto_version '1', publication_names '$publication')"))
+    o.flush()
+    PgWire.readMsg(in) match {
+      case Some(('W', _)) => startedAtLsn = startLsn // CopyBothResponse: copy mode
+      case Some(('E', body)) =>
+        val (c, m) = PgWire.parseError(body)
+        throw new java.io.IOException(s"START_REPLICATION failed: $c $m")
+      case Some((t, _)) => throw new java.io.IOException(s"unexpected START_REPLICATION reply '$t'")
+      case None => throw new java.io.EOFException("primary closed at START_REPLICATION")
+    }
+    (in, o)
+  }
+
+  private def sendStatus(lsn: Long): Unit = {
+    val out = io._2
+    out.synchronized {
+      PgWire.writeCopyData(out, PgWire.standbyStatus(lsn))
+      out.flush()
+    }
   }
   private lazy val reader: Thread = {
     val t = new Thread(() => {
       try {
-        val in = new DataInputStream(new BufferedInputStream(
-          socket.getInputStream, 65536))
+        val in = io._1
         var m = PgWire.readCopyData(in)
         while (m.isDefined) {
           val b = java.nio.ByteBuffer.wrap(m.get)
@@ -403,7 +739,17 @@ class PgWireTcpStream(host: String, port: Int, maxPerTrigger: Int = 0,
           }
           m = PgWire.readCopyData(in)
         }
-      } catch { case _: Throwable => () }
+      } catch {
+        // a half-closed replay (end-of-WAL) lands here as clean EOF →
+        // None → loop exit, not an exception; anything thrown is a real
+        // session failure (bootstrap refusal, bad framing, socket
+        // reset). `ended` below keeps the engine from hanging either
+        // way, but a swallowed bootstrap error would surface only as a
+        // mysteriously-empty stream — say what happened (r16 review).
+        case t: Throwable =>
+          if (!stopped) Console.err.println(
+            s"GRAFT WARN pgoutput-tcp reader died: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
       finally lock.synchronized { ended = true; lock.notifyAll() }
     }, s"pgwire-tcp-reader-$host-$port")
     t.setDaemon(true)
