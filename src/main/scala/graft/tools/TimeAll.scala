@@ -24,15 +24,20 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeAll {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val runs = if (args.length > 1) args(1).toInt else 2
-    val orderSeed = if (args.length > 2) Some(args(2).toLong) else None
-    val spark = SparkSession.builder()
+    // trailing k=v args become session confs (the TimeQuery convention
+    // — r16: the 2 GB enforcement seed needs spark.graft.shj.enforce);
+    // positional args are everything else, in the old order
+    val (confArgs, posArgs) = args.partition(_.contains("="))
+    val sfDir = posArgs(0)
+    val runs = if (posArgs.length > 1) posArgs(1).toInt else 2
+    val orderSeed = if (posArgs.length > 2) Some(posArgs(2).toLong) else None
+    val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    confArgs.map(_.split("=", 2)).foreach(a => b.config(a(0), a(1)))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     // drift canaries bracket the sweep (see DriftCanary): cross-window
