@@ -10,6 +10,26 @@ object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a frame across the session's cores ONLY when its planned
+    * partition count is below them (r16 optimization pass, guide §2.3/
+    * §2.4). The CPU-heavy per-row ops (shingling, gram hashing,
+    * winnowing) used an unconditional
+    * `repartition(defaultParallelism)`: right at test SF — the tables
+    * arrive as one or two parquet splits, and without the spread the
+    * per-row work serializes on the scan — but at corpus scale the
+    * scan already carries ≥ thousands of splits and the repartition
+    * becomes a full shuffle of the TEXT PAYLOAD that exists only to
+    * re-balance already-parallel work (the §8 anti-pattern: heavy
+    * bytes moved to make a decision the scan layout already made).
+    * The partition count comes from the PHYSICAL plan (no job runs),
+    * so the cutover is input-derived: small inputs keep today's exact
+    * plan, large inputs lose one corpus-sized exchange.
+    * DeterminismSweep's scan-split axis pins that both shapes agree. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** `events.ts`'s physical parquet type has drifted across test-data
     * generations: TIMESTAMP(NANOS) — which Spark refuses natively
     * ([PARQUET_TYPE_ILLEGAL]) and only reads as a raw nanos BIGINT via

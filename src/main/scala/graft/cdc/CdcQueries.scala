@@ -1265,12 +1265,34 @@ object CdcQueries {
     val cut = changes.agg(floor(max($"seq") / 2).cast("long"))
       .as[Option[Long]].head().getOrElse(0L)
     val inDir = graft.Scratch.dir(s"graft_${tag}_in")
-    Seq(("00", changes.filter($"seq" <= cut)),
-        ("01", changes.filter($"seq" > cut))).foreach { case (name, half) =>
-      val tmp = graft.Scratch.dir(s"graft_${tag}_$name")
-      half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      java.nio.file.Files.move(graft.Scratch.firstParquet(tmp),
-        inDir.resolve(s"$name.parquet"))
+    // ONE write job for both halves (r16 — the r14 neardup staging
+    // shave ported): repartition by the half tag, partitionBy lands
+    // each half in its own dir, moves rename into arrival order. An
+    // empty half (empty feed) writes no partition dir — stage an
+    // empty single-file parquet so the stream still sees two files.
+    locally {
+      val tmp = graft.Scratch.dir(s"graft_${tag}_stage")
+      changes.withColumn("b", when($"seq" <= cut, "00").otherwise("01"))
+        .repartition($"b")
+        .write.mode("overwrite").partitionBy("b").parquet(tmp.toString)
+      Seq("00", "01").zipWithIndex.foreach { case (name, i) =>
+        val dst = inDir.resolve(s"$name.parquet")
+        val srcDir = tmp.resolve(s"b=$name")
+        if (java.nio.file.Files.isDirectory(srcDir))
+          java.nio.file.Files.move(graft.Scratch.firstParquet(srcDir), dst)
+        else {
+          val e = graft.Scratch.dir(s"graft_${tag}_empty_$name")
+          changes.limit(0).coalesce(1).write.mode("overwrite")
+            .parquet(e.toString)
+          java.nio.file.Files.move(graft.Scratch.firstParquet(e), dst)
+        }
+        // both halves leave ONE write job with tied mtimes, and batch
+        // ORDER is the whole point of the 2-batch stream (v0 = first
+        // half) — pin strictly increasing mtimes (the ingest/neardup
+        // convention) so FileStreamSource can't tie-reorder
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      }
     }
     val schema = StructType(Seq(
       StructField("key", LongType), StructField("seq", LongType),

@@ -67,6 +67,21 @@ object CdcStream {
   val HdfsProvider: String =
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
   private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  /** RocksDB changelog checkpointing, scaffold-defaulted ON (r16
+    * optimization pass): the default full-snapshot mode uploads every
+    * store's SST set synchronously inside EVERY micro-batch commit —
+    * measured at sf0.1 as ~1/3 of the whole stateful-runner floor
+    * (5-runner A/B: 20.6 s full-snapshot vs 13.8 s changelog, same
+    * window; sf1 warm-run parity 24.8 vs 24.6 s, so the win is pure
+    * per-commit fixed cost, not a small-state artifact). Changelog
+    * mode commits the per-batch delta and defers SST snapshots to the
+    * background maintenance thread — the documented production
+    * trade (faster commits, recovery replays changelog since the last
+    * snapshot). Explicit session conf always wins, same contract as
+    * the provider default above; recovery-across-restart is re-proven
+    * under the flag by StreamRecoverySpec/StreamRecoverySf1. */
+  private val ChangelogConf =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
   private[cdc] def withStatePartitions[T](s: SparkSession,
       defaultProvider: String = RocksProvider)(f: => T): T =
@@ -80,11 +95,14 @@ object CdcStream {
       // conf.get(key, fallback) returns the fallback iff the key is not
       // EXPLICITLY set in this session (registered defaults don't count)
       val explicitProvider = s.conf.get(ProviderConf, "")
+      val explicitChangelog = s.conf.get(ChangelogConf, "")
       s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
       if (explicitProvider.isEmpty) s.conf.set(ProviderConf, defaultProvider)
+      if (explicitChangelog.isEmpty) s.conf.set(ChangelogConf, "true")
       try f finally {
         s.conf.set("spark.sql.shuffle.partitions", prev)
         if (explicitProvider.isEmpty) s.conf.unset(ProviderConf)
+        if (explicitChangelog.isEmpty) s.conf.unset(ChangelogConf)
       }
     }
 

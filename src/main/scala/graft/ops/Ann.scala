@@ -182,8 +182,7 @@ object Ann {
     import s.implicits._
     GraftExpressions.register(s)
     val K = 16; val Iters = 2
-    val c = corpus(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val c = graft.Tables.spread(s, corpus(s, dir))
 
     var centroids = c.orderBy($"vec_id").limit(K)
       .select(row_number().over(Window.orderBy($"vec_id")).as("cluster"),
@@ -1312,7 +1311,7 @@ object Ann {
   private[ops] def embKnnGraph(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftExpressions.register(s)
-    val c = corpus(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val c = graft.Tables.spread(s, corpus(s, dir))
     val n = c.count()
     val k = math.max(8L, (n + 255) / 256).toInt
     val cents = Dedup.trainedCentroids(s, c, k, 2)

@@ -95,7 +95,7 @@ object Dedup {
     import s.implicits._
     docs
       .select($"doc_id", split($"text", " ").as("w"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
       .filter(size($"w") >= 3)
       .select($"doc_id", array_distinct(
         transform(sequence(lit(0), size($"w") - 3),
@@ -460,7 +460,7 @@ object Dedup {
     // coverage) — persist; lifetime bounded by the caller's clearCache
     val grams = fragFeed(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
       .filter(size($"w") >= K)
       .select($"doc_id", array_distinct(
         transform(sequence(lit(0), size($"w") - K),
@@ -903,7 +903,7 @@ object Dedup {
     // (and the audit oracle's closed form carries the same predicate)
     val fp = feed
       .filter($"text".isNotNull)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
       .select($"doc_id", expr("simhash64(split(text, ' '))").as("sim"))
       // two consumers (class distinct + member expansion); lifetime
       // bounded by the caller's clearCache
@@ -1056,7 +1056,23 @@ object Dedup {
     * otherwise grows by one join per round and Catalyst re-analyzes
     * the whole history each time — measured 0.9 s → 3.3 s per round
     * at sf0.1; with the lineage cut each round stays flat. */
-  def starContract(edges0raw: DataFrame, parts: Int): (DataFrame, Int) = {
+  /** Edge count at or below which [[starContract]] resolves components
+    * in ONE single-task union-find pass instead of the distributed
+    * contraction loop. The constant is the SAME per-partition edge
+    * density the loop's own `width()` sizing declares (≈250k edges per
+    * partition): below it the whole edge set fits the loop's own
+    * one-partition budget, so the loop's ~10 tiny jobs (checkpoint +
+    * count per round, three window shuffles per round, the fixpoint
+    * exceptAll) are pure scheduling overhead — measured at sf0.1:
+    * 2.5 s warm to contract 756 edges over 2 rounds. Labels are
+    * IDENTICAL by construction (component minimum, the loop's own
+    * fixpoint invariant). At corpus scale the edge set blows past the
+    * cutoff and the O(log n) loop runs unchanged — the cutover is
+    * data-derived, never core-count-derived. */
+  val SmallGraphCutoff = 250000L
+
+  def starContract(edges0raw: DataFrame, parts: Int,
+      smallCutoff: Long = SmallGraphCutoff): (DataFrame, Int) = {
     val s = edges0raw.sparkSession
     import s.implicits._
     // materialize the caller's edge derivation ONCE: verts and the
@@ -1064,6 +1080,46 @@ object Dedup {
     // the full upstream pair-generation subtree (banded joins, feature
     // hashing) — at sf0.1 that was a second multi-second pass (r8)
     val edges0 = edges0raw.localCheckpoint()
+    val nEdges0 = edges0.count()
+    if (nEdges0 <= smallCutoff) {
+      // single-task union-find over the checkpointed edge blocks:
+      // executor-side (never a driver collect), memory bounded by the
+      // cutoff (≤ 2·cutoff long↦long entries), labels = component min
+      // — bit-identical to the loop's fixpoint. rounds = 0 marks the
+      // fast path for probes; coalesce(1) reads the checkpoint, it
+      // does NOT collapse the caller's derivation (already cut).
+      val labels = edges0.select($"u".cast("long"), $"v".cast("long"))
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x
+            while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            r
+          }
+          def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+          while (it.hasNext) {
+            val row = it.next()
+            val u = row.getLong(0); val v = row.getLong(1)
+            add(u); add(v)
+            if (u != v) {
+              val ru = find(u); val rv = find(v)
+              if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+            }
+          }
+          // roots are component minima already: union always points the
+          // larger root at the smaller, so find() lands on the min id
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+          val keys = parent.keySet().iterator()
+          while (keys.hasNext) { val k = keys.next(); out += ((k, find(k))) }
+          out.iterator
+        }
+        .toDF("u", "l")
+        .localCheckpoint()
+      return (labels, 0)
+    }
     val verts = edges0.select($"u")
       .unionByName(edges0.select($"v".as("u")))
       .distinct().localCheckpoint()
@@ -1092,7 +1148,7 @@ object Dedup {
     locally {
       var edges = canon(edges0.filter($"u" =!= $"v")
         .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v")),
-        width(edges0.count()))
+        width(nEdges0))
         .localCheckpoint()
       var rounds = 0
       var prevCount = edges.count()

@@ -485,22 +485,39 @@ object PipelineQueries {
     val maxBase = feed.filter($"doc_id" < Dedup.DupShift)
       .agg(max($"doc_id")).as[Option[Long]].head().getOrElse(0L)
     val (cut1, cut2) = (maxBase / 3, 2 * maxBase / 3)
-    val batches = Seq(
-      ("00", feed.filter($"doc_id" <= cut1)),
-      ("01", feed.filter($"doc_id" > cut1 && $"doc_id" <= cut2)),
-      ("02", feed.filter($"doc_id" > cut2 && $"doc_id" < Dedup.DupShift)),
-      ("03", feed.filter($"doc_id" >= Dedup.DupShift)))
-    batches.zipWithIndex.foreach { case ((name, part), i) =>
-      val tmp = graft.Scratch.dir(s"graft_ingest_$name")
-      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val dst = inDir.resolve(s"$name.parquet")
-      java.nio.file.Files.move(graft.Scratch.firstParquet(tmp), dst)
-      // batch order is load-bearing (first-seen == min doc_id) and
-      // FileStreamSource orders by mtime, which Files.move preserves
-      // — pin a strictly increasing mtime so coarse-granularity
-      // filesystems can't tie/reorder the batches
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    // stage all four batch files in ONE write job (r16 — the r14
+    // neardup floor shave ported: four serialized coalesce(1) jobs
+    // were ~0.8 s of this runner's sf0.1 floor): repartition by the
+    // batch tag gives one writer task per tag, partitionBy lands each
+    // tag in its own dir, and the moves rename them into arrival order
+    locally {
+      val tmp = graft.Scratch.dir("graft_ingest_stage")
+      feed.withColumn("b",
+          when($"doc_id" <= cut1, "00")
+            .when($"doc_id" > cut1 && $"doc_id" <= cut2, "01")
+            .when($"doc_id" > cut2 && $"doc_id" < Dedup.DupShift, "02")
+            .otherwise("03"))
+        .repartition($"b")
+        .write.mode("overwrite").partitionBy("b").parquet(tmp.toString)
+      Seq("00", "01", "02", "03").zipWithIndex.foreach { case (name, i) =>
+        val dst = inDir.resolve(s"$name.parquet")
+        val srcDir = tmp.resolve(s"b=$name")
+        if (java.nio.file.Files.isDirectory(srcDir))
+          java.nio.file.Files.move(graft.Scratch.firstParquet(srcDir), dst)
+        else {
+          // an empty slice writes no partition dir (empty corpus /
+          // degenerate cuts — r11 empty-input sweep): stage an empty
+          // single-file parquet so the stream still sees four files
+          val e = graft.Scratch.dir(s"graft_ingest_empty_$name")
+          feed.limit(0).coalesce(1).write.mode("overwrite").parquet(e.toString)
+          java.nio.file.Files.move(graft.Scratch.firstParquet(e), dst)
+        }
+        // batch order is load-bearing (first-seen == min doc_id) and
+        // FileStreamSource orders by mtime — pin a strictly increasing
+        // mtime so coarse-granularity filesystems can't tie/reorder
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      }
     }
     val tableDir = graft.Scratch.dir("graft_ingest_tbl").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(

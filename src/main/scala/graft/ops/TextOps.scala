@@ -270,7 +270,7 @@ object TextOps {
     import s.implicits._
     val grams = table(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
       .filter(size($"w") >= 13)
       .select($"doc_id", explode(array_distinct(
         transform(sequence(lit(0), size($"w") - 13),
@@ -326,7 +326,7 @@ object TextOps {
     val K = 5; val W = 4; val B = 1048576L
     docs
       .select($"doc_id", split($"text", " ").as("w"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
       .filter(size($"w") >= K + W - 1)
       .select($"doc_id",
         transform(sequence(lit(0), size($"w") - K), i =>
@@ -406,7 +406,7 @@ object TextOps {
     import s.implicits._
     val grams = table(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
       .filter(size($"w") >= 13)
       .select($"doc_id", explode(array_distinct(
         transform(sequence(lit(0), size($"w") - 13),
@@ -502,7 +502,7 @@ object TextOps {
     import s.implicits._
     val pos = table(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
       .filter(size($"w") >= 13)
       .select($"doc_id", explode(
         transform(sequence(lit(0), size($"w") - 13),
@@ -587,7 +587,7 @@ object TextOps {
     import s.implicits._
     val docs = table(s, dir, "documents")
       .select($"doc_id", array_distinct(split($"text", " ")).as("w"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
     val ex = docs.select($"doc_id", explode($"w").as("word"))
     val df = ex.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
@@ -689,7 +689,7 @@ object TextOps {
     import s.implicits._
     val ex = table(s, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("word"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
     val tf = ex.groupBy($"word").agg(count(lit(1)).as("tf"))
     val tot = ex.agg(count(lit(1)).as("t"))
     // Zipf head: tiny top-k by construction → TakeOrderedAndProject,
@@ -1092,7 +1092,7 @@ object TextOps {
     val docs = table(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 2)
-      .repartition(s.sparkContext.defaultParallelism)
+      .transform(df => graft.Tables.spread(s, df))
     val bi = docs.select($"doc_id", explode(transform(
         sequence(lit(2), size($"w")),
         i => struct(element_at($"w", i - 1).as("prev"),

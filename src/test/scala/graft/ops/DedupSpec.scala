@@ -91,18 +91,43 @@ class DedupSpec extends AnyFunSuite {
     // implementation) needed one round per hop and threw past its
     // 20-round cap on exactly this shape; star-contraction folds the
     // chain in half each round
+    // smallCutoff = 0 forces the DISTRIBUTED loop (the r16 small-graph
+    // union-find fast path would otherwise absorb every fixture-scale
+    // graph and leave the loop untested)
     val chain = (0L until 199L).map(i => (i + 1, i)).toDF("u", "v")
-    val (labels, rounds) = Dedup.starContract(chain, 4)
+    val (labels, rounds) = Dedup.starContract(chain, 4, smallCutoff = 0L)
     val got = labels.as[(Long, Long)].collect().toMap
     assert(got.size === 200)
     assert(got.values.forall(_ == 0L), "every node labels to the chain min")
-    assert(rounds <= 12, s"expected ~log2(200) rounds, got $rounds")
+    assert(rounds >= 1 && rounds <= 12,
+      s"expected the loop to run ~log2(200) rounds, got $rounds")
     // multi-component + singleton sanity on the same code path
     val multi = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("u", "v")
-    val (l2, _) = Dedup.starContract(multi, 2)
+    val (l2, _) = Dedup.starContract(multi, 2, smallCutoff = 0L)
     val m2 = l2.as[(Long, Long)].collect().toMap
     assert(m2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("small-graph union-find fast path labels exactly like the loop") {
+    import spark.implicits._
+    // adversarial mix: a deep chain, a star, a clique, self-loops,
+    // duplicate and reversed edges — the shapes the loop's canon +
+    // alternating stars normalize — on both code paths
+    val edges = ((0L until 60L).map(i => (i + 1, i)) ++ // chain 0..60
+      (100L to 120L).map(i => (100L, i)) ++             // star w/ self-loop
+      (for (a <- 200L to 205L; b <- 200L to 205L if a != b) yield (a, b)) ++
+      (0L until 30L).map(i => (i, i + 1)) ++            // reversed dups
+      Seq((300L, 300L))).toDF("u", "v")                 // pure singleton
+    val (fast, fr) = Dedup.starContract(edges, 4)
+    assert(fr === 0, "fixture-scale graph must take the fast path")
+    val (loop, lr) = Dedup.starContract(edges, 4, smallCutoff = 0L)
+    assert(lr >= 1, "cutoff 0 must force the distributed loop")
+    val fm = fast.as[(Long, Long)].collect().toMap
+    val lm = loop.as[(Long, Long)].collect().toMap
+    assert(fm === lm, "fast-path labels diverge from the loop's fixpoint")
+    assert(fm(60L) === 0L && fm(120L) === 100L && fm(205L) === 200L &&
+      fm(300L) === 300L)
   }
 
   test("dedup_exact keeps one canonical row per text") {
