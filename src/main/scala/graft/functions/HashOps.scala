@@ -35,18 +35,38 @@ object HashOps {
     x ^ (x >>> 31)
   }
 
+  /** Per-permutation seeds mix64(p), precomputed once (r16): the inner
+    * loop below evaluated mix64(p) PER (shingle, perm) — a constant
+    * table recomputed n·numPerms times per row. Values are identical
+    * (same mix64(p) longs), so signatures, banding, and the recall
+    * contract are byte-for-byte unchanged; the hot loop just drops
+    * from two splitmix64 finalizers to one. Sized to the largest perm
+    * count any caller uses (128), grown on demand under a lock for
+    * hypothetical larger callers. */
+  @volatile private var permSeeds: Array[Long] = Array.tabulate(128)(p => mix64(p.toLong))
+  private def seedsFor(numPerms: Int): Array[Long] = {
+    val cur = permSeeds
+    if (cur.length >= numPerms) cur
+    else synchronized {
+      if (permSeeds.length < numPerms)
+        permSeeds = Array.tabulate(numPerms)(p => mix64(p.toLong))
+      permSeeds
+    }
+  }
+
   /** MinHash signature: sig(p) = min over shingles of mix64(h ^ seed_p).
     * One pass over the shingles per row, perms in the inner loop so each
     * shingle is hashed once. */
   def minhashSig(shingles: ArrayData, numPerms: Int): ArrayData = {
     val sig = Array.fill[Long](numPerms)(Long.MaxValue)
+    val seeds = seedsFor(numPerms)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       val base = fnv64(shingles.getUTF8String(i))
       var p = 0
       while (p < numPerms) {
-        val h = mix64(base ^ mix64(p.toLong))
+        val h = mix64(base ^ seeds(p))
         if (h < sig(p)) sig(p) = h
         p += 1
       }
