@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout instead of
+// through sbt's logger: the logger's "[info] " line prefix breaks any
+// consumer that parses the Bench/Verify JSON lines from stdout (a bare
+// line must start with '{' to be machine-readable from a clipped tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -195,6 +195,17 @@ object Bench {
       "shuffle" -> Seq(canary2Pre, canary2Mid, canary2Post)
     ).collect { case (cls, t) if t.min > 0 && t.max / t.min > 1.5 => cls }
     println(s"""{"queries_max":$maxs,"queries_median":$meds,"queries":$qs,"noise_vs_prev":${jarr(noise)},"noisy_queries":${jarr(noisyQueries)},"noisy":${noisyQueries.nonEmpty},"n_noisy":${noisyQueries.size},"n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"failed":${jarr(failed)},"metric":"total","value":${f3(total)},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"sweep_a_total":${f3(sweepATotal)},"sweep_b_total":${f3(sweepBTotal)},"canary_pre":${f3(canaryPre)},"canary_mid":${f3(canaryMid)},"canary_post":${f3(canaryPost)},"canary2_pre":${f3(canary2Pre)},"canary2_mid":${f3(canary2Mid)},"canary2_post":${f3(canary2Post)},"drift_classes":${jarr(driftClasses)},"runs":$Runs,"unit":"sec","sf":"$sfDir"}""")
+    // Per-query compact lines (r16 verdict task 1): the headline line
+    // above is several KB, so a consumer that keeps only the LAST
+    // ~2000 bytes of stdout never sees a complete per-query map. Each
+    // line below is a self-contained <100-byte JSON object; printed
+    // ascending so the SLOWEST queries (the interesting ones) sit
+    // nearest the tail and survive the clipping. A full-stdout
+    // consumer skips them via the "q" discriminator, same contract as
+    // the trailer's "trailer":true.
+    results.filter(_._2 >= 0).sortBy(_._2).foreach { case (n, b, m, _, _) =>
+      println(s"""{"q":"$n","s":${f3(b)},"med":${f3(m)}}""")
+    }
     // Compact trailer (r14 verdict task 4: BENCH_r14's `parsed` was
     // null — the driver keeps only the LAST ~2000 bytes of stdout, and
     // the full line above is long enough that its head gets clipped,
@@ -207,12 +218,18 @@ object Bench {
     // still finds a complete object.
     val trailer = s"""{"trailer":true,"metric":"total","value":${f3(total)},"unit":"sec","n_ok":${results.count(_._2 >= 0)},"n_failed":${failed.size},"n_noisy":${noisyQueries.size},"median_total":${f3(medTotal)},"pairwise_min_total":${f3(pairwiseMinTotal)},"canary_pre":${f3(canaryPre)},"canary_mid":${f3(canaryMid)},"canary_post":${f3(canaryPost)},"canary2_pre":${f3(canary2Pre)},"canary2_mid":${f3(canary2Mid)},"canary2_post":${f3(canary2Post)},"drift_classes":${jarr(driftClasses)},"runs":$Runs,"sf":"$sfDir"}"""
     println(trailer)
-    // Sidecar file (r15 verdict task 8): the round artifact stays
-    // machine-readable even when the driver's stdout clipping eats the
-    // whole tail — the file carries the same compact trailer object.
+    // Sidecar file (r15 verdict task 8; extended per r16 verdict task
+    // 1): the round artifact stays machine-readable even when the
+    // driver's stdout clipping eats the whole tail. The file carries
+    // the compact trailer object EXTENDED with the full per-query
+    // pairwise-min map ("queries") and the per-query medians
+    // ("queries_median") — files don't clip, so this is the canonical
+    // per-query record for regression analysis.
     try {
+      val sidecar = trailer.stripSuffix("}") +
+        s""","queries":$qs,"queries_median":$meds}"""
       val p = java.nio.file.Paths.get("BENCH_trailer.json")
-      java.nio.file.Files.write(p, (trailer + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (sidecar + "\n").getBytes("UTF-8"))
     } catch { case t: Throwable =>
       Console.err.println(s"GRAFT WARN could not write BENCH_trailer.json: $t")
     }

@@ -307,6 +307,52 @@ object CdcStream {
         "ts unit/schema mismatch; see Tables.eventTsMicros")
   }
 
+  /** Write the 1-row end-of-stream sentinel parquet with parquet-java
+    * (no Spark job — see the call site). The ts column carries the
+    * FEED's physical representation: plain int64 nanos for a LongType
+    * feed, TIMESTAMP(MICROS) with the matching isAdjustedToUTC flag
+    * for the timestamp feeds — exactly what the old
+    * `lit(...).write.parquet` produced for each branch of the declared
+    * schema. */
+  private[cdc] def writeSentinelFile(dst: java.nio.file.Path,
+      tsType: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.parquet.schema.{MessageType, Types}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val tsField = tsType match {
+      case LongType => Types.required(INT64).named("ts")
+      case TimestampNTZType => Types.required(INT64)
+        .as(LTA.timestampType(false, LTA.TimeUnit.MICROS)).named("ts")
+      case _ => Types.required(INT64)
+        .as(LTA.timestampType(true, LTA.TimeUnit.MICROS)).named("ts")
+    }
+    val schema = new MessageType("spark_schema",
+      Types.required(INT64).named("event_id"),
+      tsField,
+      Types.required(INT64).named("user_id"),
+      Types.required(BINARY).as(LTA.stringType()).named("event_type"),
+      Types.required(DOUBLE).named("value"),
+      Types.required(BINARY).as(LTA.stringType()).named("props"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(new org.apache.hadoop.fs.Path(dst.toUri), conf))
+      .withConf(conf)
+      .build()
+    val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+    g.add("event_id", -1L)
+    g.add("ts", tsType match {
+      case LongType => 4102444800000000000L // 2100-01-01 in nanos
+      case _ => 4102444800000000L // 2100-01-01 in micros
+    })
+    g.add("user_id", -1L)
+    g.add("event_type", "sentinel")
+    g.add("value", 0.0)
+    g.add("props", "{}")
+    try w.write(g) finally w.close()
+  }
+
   /** Run a watermarked APPEND-mode streaming aggregation over the
     * events file with end-of-stream punctuation: the events parquet is
     * batch 1; a far-future sentinel event (user −1, year 2100) arrives
@@ -373,21 +419,15 @@ object CdcStream {
         .outputMode(OutputMode.Append).format("memory").queryName(name).start()
       try {
         q.processAllAvailable()
-        // sentinel ts must carry the FILE's representation (2100-01-01)
-        val sentTs = tsType match {
-          case LongType => lit(4102444800000000000L) // nanos
-          case TimestampNTZType =>
-            lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0))
-          case _ => lit(java.time.Instant.parse("2100-01-01T00:00:00Z"))
-        }
-        val sent = spark.range(1).select(
-          lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
-          lit("sentinel").as("event_type"), lit(0.0).as("value"),
-          lit("{}").as("props"))
-        val sentDir = graft.Scratch.dir("graft_punct_sent")
-        sent.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-        val part = graft.Scratch.firstParquet(sentDir)
-        java.nio.file.Files.move(part, inDir.resolve("01_sentinel.parquet"))
+        // sentinel ts must carry the FILE's representation (2100-01-01).
+        // Written with parquet-java directly (r17, r16 verdict task 3):
+        // the 1-row sentinel was a full Spark write JOB (plan + schedule
+        // + commit protocol, ~0.15 s × 4 punctuated runners per bench
+        // run) for a constant row — a driver-side file write needs none
+        // of that. Same bytes semantically: the declared read schema is
+        // per-column name/type-matched, so the stream decodes the
+        // sentinel identically to the old Spark-written file.
+        writeSentinelFile(inDir.resolve("01_sentinel.parquet"), tsType)
         q.processAllAvailable()
       } finally q.stop()
     }
