@@ -63,4 +63,24 @@ object Scratch {
       found
     } finally s.close()
   }
+
+  /** The SINGLE `.parquet` under `d`, failing LOUDLY when the writer
+    * emitted more than one (r16 ADVICE: the one-job batch staging moves
+    * "the" part file per partition dir — if a writer setting like
+    * `spark.sql.files.maxRecordsPerFile` ever splits a partition dir
+    * into several files, [[firstParquet]] would silently drop every row
+    * outside the first file from the staged stream batch). */
+  def onlyParquet(d: Path): Path = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(d)
+    try {
+      val parts = s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      require(parts.nonEmpty, s"no .parquet written under $d")
+      require(parts.size == 1,
+        s"expected exactly one .parquet under $d but found ${parts.size} — " +
+          "a multi-file partition dir would silently lose rows on staging")
+      parts.head
+    } finally s.close()
+  }
 }

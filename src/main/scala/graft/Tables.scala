@@ -24,7 +24,16 @@ object Tables {
     * The partition count comes from the PHYSICAL plan (no job runs),
     * so the cutover is input-derived: small inputs keep today's exact
     * plan, large inputs lose one corpus-sized exchange.
-    * DeterminismSweep's scan-split axis pins that both shapes agree. */
+    * DeterminismSweep's scan-split axis pins that both shapes agree.
+    *
+    * PRECONDITION (r16 ADVICE): `df` must be SCAN-ADJACENT — a narrow
+    * chain over a file source. `df.rdd.getNumPartitions` forces
+    * physical planning and builds a discarded RDD conversion per call
+    * (job-free but not cost-free), and for any plan containing a
+    * SHUFFLE it returns `spark.sql.shuffle.partitions` rather than the
+    * scan split count — a post-shuffle caller would silently skip the
+    * spread whenever the session default exceeds the core count. All
+    * current callers sit directly over a parquet scan. */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df

@@ -1272,14 +1272,27 @@ object CdcQueries {
     // empty single-file parquet so the stream still sees two files.
     locally {
       val tmp = graft.Scratch.dir(s"graft_${tag}_stage")
-      changes.withColumn("b", when($"seq" <= cut, "00").otherwise("01"))
+      // null-seq rows are dropped EXPLICITLY (r16 ADVICE): the pre-r16
+      // per-half range filters (seq <= cut / seq > cut) silently dropped
+      // them from both halves, while the when-chain's otherwise() would
+      // route them into the last batch — a silent semantic change on a
+      // feed that ever carries null seqs (well-formed feeds never do:
+      // seq is framing-mandatory per the ChangeRecord contract).
+      // sortWithinPartitions($"seq") keeps within-file row order
+      // deterministic (r16 ADVICE: repartition replaced coalesce(1), so
+      // file order became shuffle-fetch order; latestWithTombstones
+      // breaks ties by seq only, so a duplicate (key, seq) in a feed
+      // would otherwise resolve nondeterministically).
+      changes.filter($"seq".isNotNull)
+        .withColumn("b", when($"seq" <= cut, "00").otherwise("01"))
         .repartition($"b")
+        .sortWithinPartitions($"seq")
         .write.mode("overwrite").partitionBy("b").parquet(tmp.toString)
       Seq("00", "01").zipWithIndex.foreach { case (name, i) =>
         val dst = inDir.resolve(s"$name.parquet")
         val srcDir = tmp.resolve(s"b=$name")
         if (java.nio.file.Files.isDirectory(srcDir))
-          java.nio.file.Files.move(graft.Scratch.firstParquet(srcDir), dst)
+          java.nio.file.Files.move(graft.Scratch.onlyParquet(srcDir), dst)
         else {
           val e = graft.Scratch.dir(s"graft_${tag}_empty_$name")
           changes.limit(0).coalesce(1).write.mode("overwrite")

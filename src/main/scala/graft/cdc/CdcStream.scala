@@ -290,21 +290,83 @@ object CdcStream {
     * feed in BATCH with the SAME declared schema + normalization and
     * require its min event-time to be post-2000 — cheap (one small
     * agg) and it turns silent garbage into a named failure. */
+  /** Min `ts` in MICROS from the parquet FOOTER statistics of every
+    * data file under `path` (r17, guide §6: the sanity guard below ran
+    * a full-feed min-aggregation JOB for every streaming runner on
+    * every bench run — column-chunk min/max answer the same question
+    * from metadata on the driver). Returns None when any chunk lacks
+    * trustworthy stats (caller falls back to the Spark agg);
+    * Some(None) for an empty/all-null feed; Some(Some(micros))
+    * otherwise. The unit normalization mirrors
+    * [[graft.Tables.eventTsMicros]]: a LongType feed stores nanos
+    * (div 1000), the timestamp types store micros. */
+  private def minTsMicrosFromFooters(spark: SparkSession, path: String,
+      tsType: org.apache.spark.sql.types.DataType): Option[Option[Long]] = try {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      else Seq(p)
+    var min: Option[Long] = None
+    var trusted = true
+    files.foreach { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = rdr.getFooter.getBlocks
+        blocks.forEach { b =>
+          if (trusted && b.getRowCount > 0) {
+            val col = b.getColumns.asScala
+              .find(_.getPath.toDotString == "ts").orNull
+            val st = if (col == null) null else col.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val v = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+              min = Some(min.fold(v)(math.min(_, v)))
+            } else if (st == null || !st.isNumNullsSet ||
+                st.getNumNulls < b.getRowCount) {
+              // stats absent (vs a genuinely all-null chunk) — the
+              // metadata cannot answer; the caller must scan
+              trusted = false
+            }
+          }
+        }
+      } finally rdr.close()
+    }
+    if (!trusted) None
+    else Some(min.map(v => tsType match {
+      case LongType => v / 1000 // raw nanos feed (legacy read)
+      case _ => v
+    }))
+  } catch { case _: Exception => None }
+
+  /** 2000-01-01T00:00:00Z in epoch micros — the sanity floor. */
+  private val Year2000Micros = 946684800000000L
+
   private[cdc] def assertEventTimeSane(spark: SparkSession, path: String,
       schema: StructType): Unit = {
-    val batch = spark.read.schema(schema).parquet(path)
-    val minTs = batch
-      .agg(min(graft.Tables.eventTs(schema("ts").dataType)).as("min_ts"))
-      .head.getTimestamp(0)
-    // null min ⇒ the feed is EMPTY (or all-null ts) — a legitimate
-    // state (fresh CDC slot, filtered-to-nothing partition), not a
-    // unit mismatch: let it flow through to an empty result (r11
-    // empty-input sweep; the old guard blamed "ts unit/schema
-    // mismatch" for an empty feed)
-    require(minTs == null ||
-        minTs.after(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")),
-      s"event feed at $path has min event-time $minTs (pre-2000) — " +
-        "ts unit/schema mismatch; see Tables.eventTsMicros")
+    val tsType = schema("ts").dataType
+    // null/absent min ⇒ the feed is EMPTY (or all-null ts) — a
+    // legitimate state (fresh CDC slot, filtered-to-nothing
+    // partition), not a unit mismatch: let it flow through to an empty
+    // result (r11 empty-input sweep; the old guard blamed "ts
+    // unit/schema mismatch" for an empty feed)
+    val minMicros: Option[Long] = minTsMicrosFromFooters(spark, path, tsType)
+      .getOrElse {
+        // fallback: footer stats unavailable — the original r8 agg
+        val batch = spark.read.schema(schema).parquet(path)
+        val minTs = batch
+          .agg(min(graft.Tables.eventTs(tsType)).as("min_ts"))
+          .head.getTimestamp(0)
+        Option(minTs).map(t => t.getTime * 1000 + t.getNanos / 1000 % 1000)
+      }
+    require(minMicros.forall(_ > Year2000Micros),
+      s"event feed at $path has min event-time " +
+        minMicros.map(us => java.time.Instant.EPOCH
+          .plus(us, java.time.temporal.ChronoUnit.MICROS).toString).orNull +
+        " (pre-2000) — ts unit/schema mismatch; see Tables.eventTsMicros")
   }
 
   /** Write the 1-row end-of-stream sentinel parquet with parquet-java

@@ -987,29 +987,29 @@ object Dedup {
     // e.g. empty pages, and those must cluster together; r10 dirty
     // audit). Null-text docs can't be content-hashed and are excluded
     // explicitly on both sides.
-    // Hub-join form, not collect_list: min/count are constant-size agg
-    // buffers and members rejoin on the hash, so a viral document with
-    // 10^8 exact copies never materializes as one in-memory array
-    // (r10 bounded-buffer hardening; wd persisted — both the hub
-    // aggregate and the rejoin consume it)
-    val wd = dupFeed(s, dir).filter($"text".isNotNull)
-      .select(md5($"text").as("h"), $"doc_id").persist()
-    val hubs = wd.groupBy($"h")
-      .agg(min($"doc_id").as("d1"), count(lit(1)).as("c"))
-      .filter($"c" > 1)
-    val exactE = wd.join(hubs, "h")
+    // ONE window pass over the hash frame (r17, guide §2.4 — was a hub
+    // aggregate + rejoin): min/count over the h-partition produce the
+    // identical (min-id hub, member) star set with a single exchange on
+    // h instead of two (the agg's plus the join probe's), no join, and
+    // no persist (the frame now has one consumer). Same r10
+    // bounded-buffer guarantee: a viral 10^8-copy document sits in
+    // WindowExec's SPILLABLE per-group buffer (the starContract canon
+    // precedent), never in one in-memory array.
+    val wh = Window.partitionBy($"h")
+    val exactE = dupFeed(s, dir).filter($"text".isNotNull)
+      .select(md5($"text").as("h"), $"doc_id")
+      .withColumn("d1", min($"doc_id").over(wh))
+      .withColumn("c", count(lit(1)).over(wh))
+      .filter($"c" > 1 && $"doc_id" =!= $"d1")
       .select($"d1", $"doc_id".as("d2"))
-      .filter($"d1" =!= $"d2")
     val e = near.unionByName(exactE).dropDuplicates("d1", "d2")
-    // size the loop's shuffles to the EDGE volume, not the session
-    // default: at test SF a handful of partitions, at corpus scale it
-    // grows past the session default (≈1 partition per 250k edges)
-    val eP = e.persist()
-    val nEdges = eP.count()
-    val parts = math.max(1, math.min(10000, (nEdges / 250000L).toInt + 1))
+    // parts ≤ 0 ⇒ starContract sizes the loop's shuffles from ITS OWN
+    // edge count (≈1 partition per 250k edges — r17; this used to be a
+    // caller-side persist + count that materialized the whole mining
+    // DAG one extra cached pass before the checkpoint re-counted the
+    // same edges)
     val (labels, _) =
-      starContract(eP.select($"d1".as("u"), $"d2".as("v")), parts)
-    eP.unpersist()
+      starContract(e.select($"d1".as("u"), $"d2".as("v")), -1)
     labels.select($"u".as("doc_id"), $"l".as("canonical_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy($"canonical_id")))
@@ -1040,7 +1040,8 @@ object Dedup {
     * loop, so a component-sized hub degree is disk-bounded, not
     * heap-bounded (r10 hardening; was groupBy-collect_set).
     *
-    * `parts` sizes the loop's shuffles to edge volume — CONF-FREE
+    * `parts` sizes the loop's shuffles to edge volume (pass ≤ 0 to
+    * derive it from the checkpointed edge count, r17) — CONF-FREE
     * (r11 concurrency audit): each window pass is preceded by an
     * explicit `repartition(np, u)`, which is the exact exchange the
     * window would insert anyway but at a width we pick per round from
@@ -1078,9 +1079,22 @@ object Dedup {
     // materialize the caller's edge derivation ONCE: verts and the
     // round-0 canonicalization below would otherwise each recompute
     // the full upstream pair-generation subtree (banded joins, feature
-    // hashing) — at sf0.1 that was a second multi-second pass (r8)
-    val edges0 = edges0raw.localCheckpoint()
+    // hashing) — at sf0.1 that was a second multi-second pass (r8).
+    // The long cast applies to BOTH paths (r16 ADVICE: the fast path
+    // cast u/v inside its own branch, so a non-long id input would get
+    // LongType labels below the cutoff and its native type above —
+    // which path ran, and hence the output schema, would depend on
+    // edge count). Every current caller passes long ids already.
+    val edges0 = edges0raw
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .localCheckpoint()
     val nEdges0 = edges0.count()
+    // parts ≤ 0: derive the loop's width ceiling from the edge count
+    // just taken (≈1 partition per 250k edges, capped at 10k) — the
+    // sizing dedupCluster used to compute with its own persist+count
+    val partsEff =
+      if (parts > 0) parts
+      else math.max(1, math.min(10000, (nEdges0 / 250000L).toInt + 1))
     if (nEdges0 <= smallCutoff) {
       // single-task union-find over the checkpointed edge blocks:
       // executor-side (never a driver collect), memory bounded by the
@@ -1088,7 +1102,7 @@ object Dedup {
       // — bit-identical to the loop's fixpoint. rounds = 0 marks the
       // fast path for probes; coalesce(1) reads the checkpoint, it
       // does NOT collapse the caller's derivation (already cut).
-      val labels = edges0.select($"u".cast("long"), $"v".cast("long"))
+      val labels = edges0
         .coalesce(1)
         .mapPartitions { it =>
           val parent = new java.util.HashMap[Long, Long]()
@@ -1142,7 +1156,7 @@ object Dedup {
     // with the live canonical count (≈1 partition per 250k edges,
     // floor 1 — the same density the caller sizes `parts` from)
     val maxParts =
-      math.max(parts, s.conf.get("spark.sql.shuffle.partitions").toInt)
+      math.max(partsEff, s.conf.get("spark.sql.shuffle.partitions").toInt)
     def width(n: Long): Int =
       math.max(1, math.min(maxParts, (n / 250000L).toInt + 1))
     locally {

@@ -480,8 +480,19 @@ object Multimodal {
     val mediaType = expr(
       "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
       "ELSE 'video' END")
+    // size-gated broadcast (r16 verdict task 7, same gate as
+    // pipelineCanonicalCorpus): the checkpointed labels RDD carries no
+    // stats, so the planner defaults this corpus⋈labels join to SMJ —
+    // one cheap count over the checkpoint elects the broadcast when the
+    // label set is provably small, and keeps SMJ above the gate (label
+    // volume is duplicate-proportional at 100 TB).
+    val labelSide = {
+      val l = labels.withColumnRenamed("u", "doc_id")
+      if (labels.count() <= PipelineQueries.DropBroadcastMaxRows) broadcast(l)
+      else l
+    }
     hashed.select($"doc_id")
-      .join(labels.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .join(labelSide, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"l", $"doc_id").as("canonical_id"))
       .withColumn("media_type", mediaType)
       .groupBy($"media_type")

@@ -268,13 +268,35 @@ object PipelineQueries {
     * resolution; output is the per-source keep/drop accounting a
     * dataset card reports. Cost = C22 + one broadcast-sized anti join
     * (the drop list is |dup members|, tiny relative to the corpus). */
+  /** Drop-list rows at or below which [[pipelineCanonicalCorpus]]
+    * broadcast-hints its documents⋈drop join (r16 verdict task 7). The
+    * drop list is (doc_id, bool) — ~32 B/row framed, so 4M rows is a
+    * ~128 MB hash relation: comfortably inside driver/executor budgets
+    * (guide §3.1: "a few hundred MB is usually fine", hard cap 8 GB)
+    * while far above every test SF (≤ thousands of rows). ABOVE the
+    * gate the join stays SMJ: on a heavily-duplicated 100 TB crawl the
+    * drop list is data-proportional (can be billions of rows) and
+    * broadcasting it would kill the driver — the gate reads the COUNT
+    * the checkpointed labels already paid for, so no size estimate is
+    * trusted (the labels RDD carries none; that garbage estimate is
+    * exactly why the planner never elected the broadcast itself). */
+  val DropBroadcastMaxRows = 4000000L
+
   def pipelineCanonicalCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val drop = Dedup.dedupCluster(s, dir)
       .filter($"doc_id" =!= $"canonical_id" && $"doc_id" < Dedup.DupShift)
       .select($"doc_id", lit(true).as("is_dup"))
+    // size-gated broadcast election (guide §3.1: explicit hint where
+    // estimates are wrong): the count is one cheap job over the
+    // already-materialized (localCheckpoint'ed) labels — Catalyst
+    // prunes the cluster_size window under it — and below the gate the
+    // hint removes the SMJ's corpus-side exchange+sort entirely (the
+    // documents table aggregates by source straight off the scan).
+    val dropRows = drop.count()
+    val dropSide = if (dropRows <= DropBroadcastMaxRows) broadcast(drop) else drop
     graft.Tables.table(s, dir, "documents")
-      .join(drop, Seq("doc_id"), "left")
+      .join(dropSide, Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(sum(when($"is_dup".isNull, 1L).otherwise(0L)).as("n_kept"),
         sum(when($"is_dup".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
@@ -492,7 +514,12 @@ object PipelineQueries {
     // tag in its own dir, and the moves rename them into arrival order
     locally {
       val tmp = graft.Scratch.dir("graft_ingest_stage")
-      feed.withColumn("b",
+      // null-doc_id rows dropped EXPLICITLY (r16 ADVICE): the pre-r16
+      // per-batch range filters silently dropped them from every batch,
+      // while the when-chain's otherwise() would route them into the
+      // last batch — preserve the range-filter semantics by name.
+      feed.filter($"doc_id".isNotNull)
+        .withColumn("b",
           when($"doc_id" <= cut1, "00")
             .when($"doc_id" > cut1 && $"doc_id" <= cut2, "01")
             .when($"doc_id" > cut2 && $"doc_id" < Dedup.DupShift, "02")
@@ -503,7 +530,7 @@ object PipelineQueries {
         val dst = inDir.resolve(s"$name.parquet")
         val srcDir = tmp.resolve(s"b=$name")
         if (java.nio.file.Files.isDirectory(srcDir))
-          java.nio.file.Files.move(graft.Scratch.firstParquet(srcDir), dst)
+          java.nio.file.Files.move(graft.Scratch.onlyParquet(srcDir), dst)
         else {
           // an empty slice writes no partition dir (empty corpus /
           // degenerate cuts — r11 empty-input sweep): stage an empty
@@ -671,7 +698,10 @@ object PipelineQueries {
     // moves rename them into arrival order
     locally {
       val tmp = graft.Scratch.dir("graft_neardup_stage")
-      docs.withColumn("b",
+      // null-doc_id rows dropped explicitly; strict one-file move —
+      // same r16-ADVICE hardening as pipelineStreamIngest's staging
+      docs.filter($"doc_id".isNotNull)
+        .withColumn("b",
           when($"doc_id" <= cut1, "00")
             .when($"doc_id" <= cut2, "01").otherwise("02"))
         .repartition($"b")
@@ -680,7 +710,7 @@ object PipelineQueries {
         val dst = inDir.resolve(s"$name.parquet")
         val srcDir = tmp.resolve(s"b=$name")
         if (java.nio.file.Files.isDirectory(srcDir))
-          java.nio.file.Files.move(graft.Scratch.firstParquet(srcDir), dst)
+          java.nio.file.Files.move(graft.Scratch.onlyParquet(srcDir), dst)
         else {
           // an empty slice writes no partition dir (empty corpus /
           // degenerate cuts — r11 empty-input sweep): stage an empty

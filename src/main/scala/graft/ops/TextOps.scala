@@ -1307,52 +1307,70 @@ object TextOps {
       .persist()
     val stepRows = scala.collection.mutable
       .ArrayBuffer.empty[(Long, String, String, String, Long, Long, Long)]
-    var k = 1
-    var exhausted = false
-    while (k <= BpeSteps && !exhausted) {
-      val sy = vocab.select($"tf", symsExpr.as("sy"))
-      // BOUNDED collect: exactly one (l, r, n) winner row per round
-      // (see Scaladoc: the in-plan broadcast alternative doubles the
-      // lineage per round); the pair table stays on the executors
-      val bestRows = sy.filter(size($"sy") >= 2)
+    // BOUNDED collect: exactly one (l, r, n) winner row per round (see
+    // Scaladoc: the in-plan broadcast alternative doubles the lineage
+    // per round); the pair table stays on the executors.
+    def winnerFrame(v: DataFrame): DataFrame =
+      v.select($"tf", symsExpr.as("sy"))
+        .filter(size($"sy") >= 2)
         .select($"tf", explode(expr(
           "transform(sequence(1, size(sy) - 1), i -> named_struct(" +
             "'l', element_at(sy, i), 'r', element_at(sy, i + 1)))")).as("p"))
         .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"tf").as("n"))
         .orderBy($"n".desc, $"l", $"r").limit(1)
-        .collect()
-      if (bestRows.isEmpty) {
-        // Pairs exhausted (empty corpus, or every word down to one
-        // symbol): production BPE training STOPS — emit the rounds
-        // completed so far, possibly zero (r12, softened from a named
-        // error: an empty upstream partition is a routine state, not a
-        // caller bug). This is bit-exactly what the oracle computes:
-        // its round-k winner CTE b$k is empty, the per-round output row
-        // CROSS JOINs b$k away, and v$k = v$(k-1) CROSS JOIN b$k kills
-        // every later round too.
-        exhausted = true
-      } else {
-        val (l, r, n) = (bestRows(0).getString(0), bestRows(0).getString(1),
-          bestRows(0).getLong(2))
-        val prev = vocab
-        vocab = prev
-          .select($"tf", replace($"seq",
-            lit(Sep + l + B + r + Sep), lit(Sep + l + r + Sep)).as("seq"))
-          .persist()
-        // one stats rollup per round: each exploded symbol INSTANCE
-        // contributes its word's tf, so sum(tf) over the explode IS
-        // total_tokens (= Σ tf·|symbols|) and the same frame feeds the
-        // distinct-type count — no second vocab pass. The 1-row collect
-        // materializes the NEW generation's persist, after which the
-        // superseded generation is safely dropped (nothing reads it
-        // again — earlier rounds' curve points are already local rows).
-        val st = vocab.select($"tf", explode(symsExpr).as("s"))
-          .agg(sum($"tf").as("total_tokens"),
-            countDistinct($"s").as("n_types"))
-          .collect()(0)
-        prev.unpersist()
-        stepRows += ((k.toLong, l, r, l + r, n, st.getLong(0), st.getLong(1)))
-      }
+    // Round-0 winner is its own (bounded, 1-row) job; every later
+    // winner piggybacks on the stats job below.
+    var best: Option[(String, String, Long)] = winnerFrame(vocab).collect()
+      .headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // An empty round-0 winner (empty corpus, or every word a single
+    // symbol) means production BPE training STOPS — emit the rounds
+    // completed so far, possibly zero (r12, softened from a named
+    // error: an empty upstream partition is a routine state, not a
+    // caller bug). This is bit-exactly what the oracle computes: its
+    // round-k winner CTE b$k is empty, the per-round output row CROSS
+    // JOINs b$k away, and v$k = v$(k-1) CROSS JOIN b$k kills every
+    // later round too.
+    var k = 1
+    while (k <= BpeSteps && best.nonEmpty) {
+      val (l, r, n) = best.get
+      val prev = vocab
+      vocab = prev
+        .select($"tf", replace($"seq",
+          lit(Sep + l + B + r + Sep), lit(Sep + l + r + Sep)).as("seq"))
+        .persist()
+      // ONE job per round (r17, r16 verdict task 8 — was two): the
+      // round's stats rollup and the NEXT round's winner election both
+      // scan the same freshly-persisted vocabulary generation, so they
+      // union into a single ≤2-row collect. Values are identical to the
+      // two-job form — same aggregates over the same generation, same
+      // (n desc, l, r) tie-break inside the winner subtree's limit —
+      // so the trajectory and the oracle's unrolled-CTE mirror are
+      // untouched; only the per-round job count halves (12 → 7 jobs
+      // per query at BpeSteps = 6). Each exploded symbol INSTANCE
+      // contributes its word's tf, so sum(tf) over the explode IS
+      // total_tokens (= Σ tf·|symbols|) and the same frame feeds the
+      // distinct-type count — no second vocab pass. The collect
+      // materializes the NEW generation's persist, after which the
+      // superseded generation is safely dropped (nothing reads it
+      // again — earlier rounds' curve points are already local rows).
+      // The LAST round skips the dead winner subtree.
+      val statsF = vocab.select($"tf", explode(symsExpr).as("s"))
+        .agg(sum($"tf").as("total_tokens"), countDistinct($"s").as("n_types"))
+        .select(lit("s").as("kind"), lit(null).cast("string").as("l"),
+          lit(null).cast("string").as("r"), lit(null).cast("long").as("n"),
+          $"total_tokens", $"n_types")
+      val combined =
+        if (k == BpeSteps) statsF
+        else statsF.unionByName(winnerFrame(vocab)
+          .select(lit("w").as("kind"), $"l", $"r", $"n",
+            lit(null).cast("long").as("total_tokens"),
+            lit(null).cast("long").as("n_types")))
+      val rows = combined.collect()
+      prev.unpersist()
+      val st = rows.find(_.getString(0) == "s").get
+      stepRows += ((k.toLong, l, r, l + r, n, st.getLong(4), st.getLong(5)))
+      best = rows.find(_.getString(0) == "w")
+        .map(w => (w.getString(1), w.getString(2), w.getLong(3)))
       k += 1
     }
     vocab.unpersist()

@@ -147,7 +147,19 @@ object PartitionedTable {
               .withColumn("__b", bucketCol(buckets)))
           val all = prior.map(_.unionByName(b)).getOrElse(b)
           val version = s"v${batchId}_${System.currentTimeMillis()}"
-          latestWithTombstones(all).write.partitionBy("__b")
+          // task-per-bucket write (r17, guide §6): latestWithTombstones
+          // leaves the frame hash-partitioned by KEY, so a bare
+          // partitionBy("__b") fans every task across every touched
+          // bucket dir — tasks × buckets small files per batch, and the
+          // NEXT batch's prior read (plus compact's snapshot read) pays
+          // the listing + per-file open bill. One extra exchange of the
+          // final (key-latest) rows clusters each bucket into one file.
+          // sortWithinPartitions keeps within-file order deterministic
+          // (the staging convention — r16 ADVICE).
+          latestWithTombstones(all)
+            .repartition(col("__b"))
+            .sortWithinPartitions(col("key"), col("seq"))
+            .write.partitionBy("__b")
             .mode("overwrite").parquet(s"$table/$version")
           writeManifest(s, table, s"m${batchId}_${System.currentTimeMillis()}",
             manifest ++ touched.map(_ -> version), buckets)
@@ -181,9 +193,14 @@ object PartitionedTable {
       kept.repartition(buckets, col("__b")).write.partitionBy("__b")
         .mode("overwrite").parquet(s"$table/$version")
       // manifest lists only buckets that still hold rows (a bucket whose
-      // every row was a dropped tombstone writes no dir)
-      val present = s.read.parquet(s"$table/$version")
-        .select("__b").distinct().collect().map(_.getInt(0))
+      // every row was a dropped tombstone writes no dir). The written
+      // partition DIRS name those buckets exactly — a filesystem listing
+      // replaces the r16 form's full parquet re-read of the new version
+      // (one table-sized read job per compact saved; guide §1.2).
+      val present = fs(s, table)
+        .listStatus(new Path(s"$table/$version")).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__b="))
+        .map(_.getPath.getName.stripPrefix("__b=").toInt)
       writeManifest(s, table, s"mc_${System.currentTimeMillis()}",
         present.map(_ -> version).toMap, buckets)
     }

@@ -49,4 +49,36 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "streamed windows diverge from the batch aggregate")
   }
+
+  test("parquet-java sentinel file round-trips identically to the Spark-written row") {
+    // r17: the punctuated runners' 1-row sentinel is written with
+    // parquet-java instead of a Spark write job — per declared ts
+    // type, Spark must read back EXACTLY the row the old
+    // lit(...).coalesce(1).write.parquet produced.
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val cases: Seq[(DataType, org.apache.spark.sql.Column)] = Seq(
+      (LongType, lit(4102444800000000000L)),
+      (TimestampNTZType, lit(java.time.LocalDateTime.of(2100, 1, 1, 0, 0))),
+      (TimestampType, lit(java.time.Instant.parse("2100-01-01T00:00:00Z"))))
+    cases.foreach { case (tsType, sentTs) =>
+      val d = graft.Scratch.dir(s"sentinel_rt")
+      val file = d.resolve("s.parquet")
+      CdcStream.writeSentinelFile(file, tsType)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", tsType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val got = spark.read.schema(schema).parquet(file.toString)
+      val want = spark.range(1).select(
+        lit(-1L).as("event_id"), sentTs.as("ts"), lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+      assert(got.schema.map(f => (f.name, f.dataType)) ===
+        want.schema.map(f => (f.name, f.dataType)),
+        s"schema mismatch for $tsType")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"sentinel row mismatch for $tsType")
+    }
+  }
 }
